@@ -1,0 +1,96 @@
+"""Crawl-job specification (the reference's "config IS the query").
+
+Mirrors the settings surface of the reference
+(/root/reference/libs/CrawlerSettings.class.php:11-58 and the per-spider
+rule maps, worker/SpiderFrame.class.php:48-122): follow mode, depth
+limit, deny/allow regex rules, priority rules, politeness budget, retry
+budget. PHP-delimited regexes (``#...# i``) are accepted and translated
+to Java/`re` syntax once at plan-build time.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# libs/CrawlerConst.class.php:19-22
+FOLLOW_MODE_ANY = 0
+FOLLOW_MODE_DOMAIN = 1   # default (libs/CrawlerSettings.class.php:23)
+FOLLOW_MODE_HOST = 2
+FOLLOW_MODE_PATH = 3
+
+# libs/urlfilter_rules.txt:1 — the stock deny rule
+DEFAULT_URL_FILTER_RULES = (
+    r"#\.(jpg|gif|png|pdf|jpeg|css|js|mp3|mp4|flv|swf|svg|bmp)# i",
+)
+
+
+def php_regex_to_std(rx: str) -> str:
+    """Translate a PHP-delimited PCRE (``#pat# i`` / ``/pat/is``) to a
+    plain pattern with inline flags usable by both Java rlike and
+    Python re. Raises on constructs neither engine supports."""
+    rx = rx.strip()
+    delim = rx[0]
+    end = rx.rfind(delim)
+    if end <= 0:
+        return rx  # already a bare pattern
+    pat, flags = rx[1:end], rx[end + 1:].replace(" ", "")
+    inline = ""
+    if "i" in flags:
+        inline += "i"
+    if "s" in flags:
+        inline += "s"
+    if "m" in flags:
+        inline += "m"
+    if "U" in flags:
+        # PCRE ungreedy: invert quantifier greediness; we only support the
+        # common case of making * and + lazy.
+        pat = re.sub(r"([*+?}])(?!\?)", r"\1?", pat)
+    return (f"(?{inline})" if inline else "") + pat
+
+
+@dataclass
+class CrawlSpec:
+    """One crawl job == one logical query over the web graph."""
+
+    seeds: list[str]
+    follow_mode: int = FOLLOW_MODE_DOMAIN
+    max_depth: int | None = 1          # libs/CrawlerSettings.class.php:44
+    url_filter_rules: list[str] = field(default_factory=list)    # deny (F5)
+    linktext_filter_rules: list[str] = field(default_factory=list)  # F6
+    url_follow_rules: list[str] = field(default_factory=list)    # allow (F7)
+    linktext_follow_rules: list[str] = field(default_factory=list)
+    priority_rules: list[tuple[str, int]] = field(default_factory=list)  # P2
+    obey_nofollow: bool = False
+    obey_robots_txt: bool = False
+    user_agent: str = "PHPCrawl"
+    crawl_delay_s: float = 5.0         # libs/CrawlerSettings.class.php:43
+    round_duration_s: float = 5.0      # BSP round = one politeness window
+    per_host_politeness: bool = False  # scale generalization of the global budget
+    retry_limit: int = 3               # libs/CrawlerSettings.class.php:37
+    request_limit: int = 0             # 0 = unlimited (P10)
+    traffic_limit_bytes: int = 0
+    aggressive_link_search: bool = False
+    content_type_receive_rules: list[str] = field(
+        default_factory=lambda: [r"#text/html# i"]
+    )
+    link_search_content_types: list[str] = field(
+        default_factory=lambda: [r"#text/html# i"]
+    )
+    max_rounds: int = 1000
+
+    def std_rules(self, rules: list[str]) -> list[str]:
+        return [php_regex_to_std(r) for r in rules]
+
+    @property
+    def budget_per_round(self) -> int:
+        """Politeness budget: fetches allowed per BSP round.
+
+        With the reference's global 1-request-per-delay semantics a round
+        of duration T admits floor(T/delay) fetches; the default config
+        (T == delay) gives budget 1, which makes the BSP engine's pop
+        order IDENTICAL to the reference's sequential pop order.
+        """
+        if self.crawl_delay_s <= 0:
+            return 2 ** 31 - 1
+        return max(1, int(self.round_duration_s / self.crawl_delay_s))

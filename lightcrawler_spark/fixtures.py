@@ -1,0 +1,366 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §§1-5).
+
+Everything is seeded and wall-clock-free: the same call always yields the
+same bytes, so golden traces and per-row image invariants are stable
+across runs and machines.
+
+- images: seeded RNG → solid/gradient/noise RGB arrays, encoded per fmt
+  (FIXTURES.md §1; schema == BASELINE.json input_hint).
+- webgraph: a small multi-host web with list→detail trees, pagination
+  JS counters, redirect chains, cross-host links, duplicate links,
+  depth-overflow branches, GBK pages, and <img>+caption detail pages
+  (FIXTURES.md §2).
+- seeds/robots: crawl-job specs + robots bodies (FIXTURES.md §3-4).
+- simulate_reference_crawl: single-claimant reference-semantics
+  simulator producing the golden trace (FIXTURES.md §5) — pops ONE url
+  at a time exactly like the reference with number_of_process=1
+  (PHPCrawler.class.php:649-695), using the same kernels the engine
+  uses (urlkit/extract/admission semantics in pure Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import CrawlSpec
+from .functions import urlkit
+from .functions.urlkit import url_md5
+from .imagecodec import encode_image, phash64
+from .operators.extract import extract_meta_tags, find_links
+from .operators.admission import parse_robots_body
+
+__all__ = [
+    "make_images",
+    "make_webgraph",
+    "default_spec",
+    "ROBOTS_FIXTURE",
+    "simulate_reference_crawl",
+]
+
+CAPTIONS = [
+    "A quiet harbor at dawn",
+    "证券监督管理委员会公告",  # CJK caption case (input_hint)
+    "Steam engine no. 4014 leaving the yard",
+    "国务院关于促进信息消费的若干意见",
+    "Aerial view of braided river delta",
+    "Handwritten ledger, 1907",
+]
+
+
+def make_image_array(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB content: cycle solid / gradient / noise."""
+    kind = i % 3
+    if kind == 0:
+        rgb = [(i * 37) % 256, (i * 59) % 256, (i * 83) % 256]
+        return np.full((h, w, 3), rgb, dtype=np.uint8)
+    if kind == 1:
+        gy = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        gx = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        arr[:, :, 0] = gy
+        arr[:, :, 1] = gx
+        arr[:, :, 2] = (i * 17) % 256
+        return arr
+    rng = np.random.default_rng(42 + i)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def make_images(n: int = 64) -> list[dict]:
+    """Rows matching the input_hint schema: image_id, bytes, w, h, fmt,
+    caption, phash."""
+    rows = []
+    for i in range(n):
+        w = 24 + (i % 5) * 8
+        h = 24 + (i % 7) * 4
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        arr = make_image_array(i, w, h)
+        rows.append(
+            {
+                "image_id": f"img_{i:012d}",
+                "bytes": encode_image(arr, fmt),
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": CAPTIONS[i % len(CAPTIONS)],
+                "phash": phash64(arr),
+            }
+        )
+    return rows
+
+
+HOST = "www.site-a.test"
+HOST_B = "cdn.site-a.test"       # same domain, different host
+HOST_X = "www.other-b.test"      # different domain (follow-mode drops)
+
+
+def make_webgraph(n_lists: int = 3, details_per_list: int = 4,
+                  images: list[dict] | None = None) -> list[dict]:
+    """Rows: url, host, status, content_type, redirect_to, body(bytes),
+    image_id, latency_ms. Deterministic HTML exercising all three
+    link-finder passes + pagination + redirects + dupes."""
+    images = images if images is not None else make_images(n_lists * details_per_list * 2)
+    pages: list[dict] = []
+
+    def page(url, body: bytes | str, status=200, ctype="text/html",
+             redirect_to=None, image_id=None, host=None):
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        pages.append(
+            {
+                "url": url,
+                "host": host or urlkit.split_url(url).host,
+                "status": status,
+                "content_type": ctype,
+                "redirect_to": redirect_to,
+                "body": body,
+                "image_id": image_id,
+                "latency_ms": 10 + (len(url) % 25),
+            }
+        )
+
+    root = f"http://{HOST}"
+    # seed root: links to list pages + a redirect + cross-host + deny-ext
+    root_html = ["<html><head><title>root</title></head><body>"]
+    for li in range(n_lists):
+        root_html.append(f'<a href="/list{li}/index_0.htm">List {li}</a>')
+    root_html.append('<a href="/moved/old.htm">old location</a>')
+    root_html.append(f'<a href="http://{HOST_X}/offsite.htm">offsite</a>')
+    root_html.append('<a href="/style/app.css">styles</a>')  # ext deny rule
+    root_html.append('<a href="javascript:void(0)">js</a>')
+    root_html.append('<a href="/list0/index_0.htm">duplicate raw</a>')
+    root_html.append("</body></html>")
+    page(root, "".join(root_html))
+
+    # redirect chain: /moved/old.htm -> 301 -> /moved/new.htm (content)
+    page(
+        f"http://{HOST}/moved/old.htm",
+        "",
+        status=301,
+        redirect_to=f"http://{HOST}/moved/new.htm",
+    )
+    page(f"http://{HOST}/moved/new.htm",
+         "<html><body>arrived <a href='/list0/index_0.htm'>back</a></body></html>")
+
+    img_i = 0
+    for li in range(n_lists):
+        ldir = f"http://{HOST}/list{li}/"
+        # pagination: page 0 advertises countPage=N via JS counter
+        n_pages = 2 + (li % 2)
+        for pi in range(n_pages):
+            body = [f"<html><body><script>var countPage = {n_pages}</script>"]
+            if pi == 0:
+                body.append(f"<script>var countPage = {n_pages}</script>")
+            for di in range(details_per_list):
+                body.append(
+                    f'<a href="detail_{pi}_{di}.htm">Detail {li}-{pi}-{di}</a>'
+                )
+            # second pass fodder + off-site image host (same domain)
+            body.append(f'<img src="http://{HOST_B}/banner{li}.png">')
+            body.append("</body></html>")
+            page(f"{ldir}index_{pi}.htm", "".join(body))
+            for di in range(details_per_list):
+                img = images[img_i % len(images)]
+                img_i += 1
+                detail = (
+                    "<html><head><meta name='keywords' content='fixture'>"
+                    f"</head><body><h1>Doc {li}-{pi}-{di}</h1>"
+                    f'<img src="/img/{img["image_id"]}.{img["fmt"]}">'
+                    f"<p>{img['caption']}</p>"
+                    f'<a href="index_{pi}.htm">back</a>'
+                    "</body></html>"
+                )
+                page(f"{ldir}detail_{pi}_{di}.htm", detail)
+
+    # image binaries (unique set — lists may reuse an image id)
+    seen_img = set()
+    for img in images:
+        url = f"http://{HOST}/img/{img['image_id']}.{img['fmt']}"
+        if url not in seen_img:
+            seen_img.add(url)
+            page(url, img["bytes"], ctype=f"image/{img['fmt']}",
+                 image_id=img["image_id"])
+
+    # banner images on HOST_B (host-mode filtering fodder)
+    for li in range(n_lists):
+        arr = make_image_array(1000 + li, 32, 16)
+        page(f"http://{HOST_B}/banner{li}.png", encode_image(arr, "png"),
+             ctype="image/png")
+
+    # deep branch for depth-overflow + robots-denied area
+    page(f"http://{HOST}/style/app.css", "body{}", ctype="text/css")
+    page(f"http://{HOST_X}/offsite.htm", "<a href='x.htm'>x</a>")
+    page(f"http://{HOST}/private/secret.htm", "<html><body>deny me</body></html>")
+    return pages
+
+
+ROBOTS_FIXTURE = [
+    (HOST, "User-agent: *\nDisallow: /private/\n"),
+    (HOST_B, "User-agent: specialbot\nDisallow: /\n"),  # not our UA
+]
+
+
+def default_spec(max_depth: int = 4, budget: int = 1, **kw) -> CrawlSpec:
+    return CrawlSpec(
+        seeds=[f"http://{HOST}"],
+        follow_mode=1,  # domain
+        max_depth=max_depth,
+        url_filter_rules=[r"#\.(css|js)$# i"],
+        obey_robots_txt=True,
+        crawl_delay_s=5.0,
+        round_duration_s=5.0 * budget,
+        **kw,
+    )
+
+
+def simulate_reference_crawl(
+    webgraph: list[dict],
+    spec: CrawlSpec,
+    robots: list[tuple[str, str]] | None = None,
+    max_pops: int = 10_000,
+) -> list[dict]:
+    """Single-claimant reference-semantics crawl → golden trace rows:
+    (seq, url, url_md5, depth, referer, priority_level, status,
+    final_seen). Pops strictly one URL at a time with frontier
+    re-ranking between pops — byte-identical to the reference's
+    number_of_process=1 behavior under the deterministic ordering
+    contract (priority DESC, insert_seq ASC).
+    """
+    import re as _re
+
+    from .config import php_regex_to_std
+
+    web = {p["url"]: p for p in webgraph}
+    robots = robots if robots is not None else []
+    deny_prefixes: list[str] = []
+    if spec.obey_robots_txt:
+        for host, body in robots:
+            deny_prefixes += parse_robots_body(body, spec.user_agent, f"http://{host}")
+
+    start_parts = urlkit.split_url(spec.seeds[0])
+    url_deny = [_re.compile(php_regex_to_std(r)) for r in spec.url_filter_rules]
+    lt_deny = [_re.compile(php_regex_to_std(r)) for r in spec.linktext_filter_rules]
+    url_allow = [_re.compile(php_regex_to_std(r)) for r in spec.url_follow_rules]
+    lt_allow = [_re.compile(php_regex_to_std(r)) for r in spec.linktext_follow_rules]
+    prio_rules = [
+        (_re.compile(php_regex_to_std(p)), lvl)
+        for p, lvl in sorted(spec.priority_rules, key=lambda r: -r[1])
+    ]
+
+    def priority(url: str) -> int:
+        for rx, lvl in prio_rules:
+            if rx.search(url):
+                return lvl
+        return 0
+
+    def admit(link: dict, depth: int, page_nofollow: bool) -> bool:
+        u = link["url"]
+        if not (u.startswith("http://") or u.startswith("https://")):
+            return False
+        if spec.max_depth is not None and depth > spec.max_depth:
+            return False
+        if spec.obey_nofollow and page_nofollow:
+            return False
+        parts = urlkit.split_url(u)
+        if spec.follow_mode >= 1 and parts.domain != start_parts.domain:
+            return False
+        if spec.follow_mode >= 2:
+            sh = _re.sub(r"^www\.", "", start_parts.host)
+            if _re.sub(r"^www\.", "", parts.host) != sh:
+                return False
+        if spec.follow_mode == 3:
+            if parts.protocol != start_parts.protocol:
+                return False
+            if not parts.path.startswith(start_parts.path):
+                return False
+        for rx in url_deny:
+            if rx.search(u):
+                return False
+        for rx in lt_deny:
+            if rx.search(link["linktext"] or ""):
+                return False
+        if url_allow or lt_allow:
+            ok = any(rx.search(u) for rx in url_allow) or any(
+                rx.search(link["linktext"] or "") for rx in lt_allow
+            )
+            if not ok:
+                return False
+        for p in deny_prefixes:
+            if u.startswith(p):
+                return False
+        return True
+
+    # frontier rows: dicts keyed by md5; state mirrors the urls table
+    frontier: list[dict] = []
+    seen: set[str] = set()
+    insert_seq = 0
+
+    def push(url, depth, referer):
+        nonlocal insert_seq
+        k = url_md5(url)
+        if k in seen:
+            return
+        seen.add(k)
+        frontier.append(
+            {
+                "url": url,
+                "url_md5": k,
+                "depth": depth,
+                "referer": referer,
+                "priority_level": priority(url),
+                "insert_seq": insert_seq,
+                "done": False,
+            }
+        )
+        insert_seq += 1
+
+    for i, s in enumerate(spec.seeds):
+        norm = urlkit.normalize_url(s)
+        push(norm, 0 if i == 0 else 1, None)
+
+    trace: list[dict] = []
+    seq = 0
+    while seq < max_pops:
+        if spec.request_limit and seq >= spec.request_limit:
+            break
+        pending = [f for f in frontier if not f["done"]]
+        if not pending:
+            break
+        nxt = min(pending, key=lambda f: (-f["priority_level"], f["insert_seq"]))
+        nxt["done"] = True
+        p = web.get(nxt["url"])
+        status = p["status"] if p else 404
+        trace.append(
+            {
+                "seq": seq,
+                "url": nxt["url"],
+                "url_md5": nxt["url_md5"],
+                "depth": nxt["depth"],
+                "referer": nxt["referer"],
+                "priority_level": nxt["priority_level"],
+                "status": status,
+            }
+        )
+        seq += 1
+        if p is None:
+            continue
+        is_html = "text/html" in (p["content_type"] or "")
+        body = p["body"].decode("utf-8", errors="replace") if is_html else None
+        redirect = p["redirect_to"] if 300 <= status < 400 else None
+        links = find_links(
+            body,
+            nxt["url"],
+            aggressive=spec.aggressive_link_search,
+            redirect_location=redirect,
+        )
+        page_nofollow = False
+        if spec.obey_nofollow and body:
+            page_nofollow = "nofollow" in extract_meta_tags(body).get("robots", "")
+        for link in links:
+            depth = nxt["depth"] + 1
+            if admit(link, depth, page_nofollow):
+                push(link["url"], depth, nxt["url"])
+
+    final_seen = {t["url_md5"] for t in trace}
+    for t in trace:
+        t["final_seen"] = t["url_md5"] in final_seen
+    return trace

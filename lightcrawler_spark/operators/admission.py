@@ -1,0 +1,206 @@
+"""URL admission pipeline (SURVEY.md §2.2 F1–F9).
+
+The reference applies these checks per-link, in a fixed order, before a
+URL may enter the frontier
+(/root/reference/vendor/PHPCrawl_083/libs/PHPCrawlerURLFilter.class.php:143-243):
+
+  protocol → depth → nofollow(meta) → nofollow(rel) → follow-mode →
+  url-deny-rules → linktext-deny-rules → (url-allow OR linktext-allow)
+
+Here the whole battery is ONE whole-stage-codegen'd predicate: every
+check is a JVM expression (startswith / rlike / string ops), folded with
+``&``. Catalyst pushes it below the explode/shuffle, so at 100 TB the
+filter runs where the links are born and nothing inadmissible is ever
+shuffled. Robots rules (F8) are a tiny per-host table broadcast to an
+anti-join. No Python executes per row anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import FOLLOW_MODE_ANY, CrawlSpec, php_regex_to_std
+from ..functions import urlkit
+
+__all__ = [
+    "host_expr",
+    "domain_expr",
+    "admission_predicate",
+    "admit_links",
+    "keep_redirects_only",
+    "robots_rules_df",
+    "apply_robots_filter",
+]
+
+# rel=nofollow on the linkcode (URLFilter:171-175); branch-reset emulated
+# by plain alternation (identical match set here).
+_NOFOLLOW_LINKCODE = (
+    "^<[^>]*rel\\s*=\\s*(\"\\s*nofollow\\s*\"|'\\s*nofollow\\s*'"
+    "|\\s*nofollow\\s*)[^>]*>"
+)
+
+
+def host_expr(url: Column) -> Column:
+    """Lowercased host, JVM-side (matches urlkit.split_url().host for
+    scheme-qualified URLs — the only kind that exists post-canonicalize)."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z0-9+.-]+://(?:[^/@?#]*@)?([^/:?#]*)", 1))
+
+
+def domain_expr(url: Column) -> Column:
+    """Reference domain rule (splitURL :62-75): host minus first label when
+    >2 labels and not an all-digit IP; else the host itself."""
+    h = host_expr(url)
+    no_dots = F.translate(h, ".", "")
+    return (
+        F.when(F.size(F.split(h, r"\.")) <= 2, h)
+        .when(no_dots.rlike(r"^[0-9]+$"), h)
+        .otherwise(F.regexp_replace(h, r"^[^.]*\.", ""))
+    )
+
+
+def _strip_www(c: Column) -> Column:
+    return F.regexp_replace(c, r"^www\.", "")
+
+
+def _deny_fold(col: Column, rules: list[str]) -> Column:
+    preds = [~col.rlike(php_regex_to_std(r)) for r in rules]
+    return reduce(lambda a, b: a & b, preds, F.lit(True))
+
+
+def _allow_fold(col: Column, rules: list[str]) -> Column:
+    preds = [col.rlike(php_regex_to_std(r)) for r in rules]
+    return reduce(lambda a, b: a | b, preds, F.lit(False))
+
+
+def admission_predicate(
+    spec: CrawlSpec,
+    start_url: str,
+    url: Column | None = None,
+    linktext: Column | None = None,
+    linkcode: Column | None = None,
+    depth: Column | None = None,
+    page_nofollow: Column | None = None,
+) -> Column:
+    """The F1–F7 battery as one Column predicate (reference order)."""
+    url = url if url is not None else F.col("url")
+    linktext = linktext if linktext is not None else F.col("linktext")
+    linkcode = linkcode if linkcode is not None else F.col("linkcode")
+    depth = depth if depth is not None else F.col("depth")
+
+    start = urlkit.split_url(start_url)
+
+    # F1 protocol — case-SENSITIVE like the reference's == "http://" check
+    pred = url.startswith("http://") | url.startswith("https://")
+
+    # F2 depth
+    if spec.max_depth is not None:
+        pred = pred & (depth <= F.lit(spec.max_depth))
+
+    # F3 nofollow (page meta + rel=nofollow linkcode)
+    if spec.obey_nofollow:
+        if page_nofollow is not None:
+            pred = pred & ~F.coalesce(page_nofollow, F.lit(False))
+        pred = pred & ~F.coalesce(linkcode, F.lit("")).rlike(_NOFOLLOW_LINKCODE)
+
+    # F4 follow mode
+    if spec.follow_mode >= 1 and spec.follow_mode != FOLLOW_MODE_ANY:
+        pred = pred & (domain_expr(url) == F.lit(start.domain))
+    if spec.follow_mode >= 2:
+        start_host = start.host[4:] if start.host.startswith("www.") else start.host
+        pred = pred & (_strip_www(host_expr(url)) == F.lit(start_host))
+    if spec.follow_mode == 3:
+        proto = F.regexp_extract(url, r"^([a-zA-Z0-9+.-]+://)", 1)
+        path = F.regexp_extract(url, r"^[a-zA-Z0-9+.-]+://[^/?#]*(/[^?#]*)?", 1)
+        pred = pred & (proto == F.lit(start.protocol)) & (
+            F.substring(path, 1, len(start.path)) == F.lit(start.path)
+        )
+
+    # F5 / F6 deny rules
+    pred = pred & _deny_fold(url, spec.url_filter_rules)
+    pred = pred & _deny_fold(F.coalesce(linktext, F.lit("")), spec.linktext_filter_rules)
+
+    # F7 allow rules (url OR linktext), only when any rule exists
+    if spec.url_follow_rules or spec.linktext_follow_rules:
+        pred = pred & (
+            _allow_fold(url, spec.url_follow_rules)
+            | _allow_fold(F.coalesce(linktext, F.lit("")), spec.linktext_follow_rules)
+        )
+    return pred
+
+
+def admit_links(links_df: DataFrame, spec: CrawlSpec, start_url: str) -> DataFrame:
+    """Filter exploded links through F1–F7 (single codegen'd predicate)."""
+    return links_df.filter(admission_predicate(spec, start_url))
+
+
+def keep_redirects_only(links_df: DataFrame, decrease_depth: bool = True) -> DataFrame:
+    """F9 bootstrap: before the first content page, only redirect targets
+    survive, with depth handed back (URLFilter:121-135)."""
+    out = links_df.filter(F.col("is_redirect"))
+    if decrease_depth:
+        out = out.withColumn("depth", F.col("depth") - F.lit(1))
+    return out
+
+
+# --- F8: robots.txt ------------------------------------------------------
+
+def parse_robots_body(body: str, user_agent: str, base_url: str) -> list[str]:
+    """Disallow lines applying to `user_agent` → absolute URL prefixes.
+
+    Reference semantics (PHPCrawlerRobotsTxtParser.class.php:63-151):
+    sections chosen when UA line is '*' or equals (case-insensitive) the
+    agent string; only Disallow is honored (no Allow, no Crawl-delay);
+    each path becomes the prefix normalize(base_url) + path.
+    """
+    base = urlkit.normalize_url(base_url)
+    if base is None or body is None:
+        return []
+    current_ua = None
+    prefixes: list[str] = []
+    for raw in body.split("\n"):
+        line = raw.strip()
+        if line == "":
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            current_ua = line[len("user-agent:"):].strip()
+            continue
+        if current_ua is not None and (
+            current_ua == "*" or current_ua.lower() == user_agent.lower()
+        ):
+            if low.startswith("disallow:"):
+                path = line[len("disallow:"):].strip()
+                if path:
+                    if not path.startswith("/"):
+                        path = "/" + path
+                    prefixes.append(base + path)
+    return prefixes
+
+
+def robots_rules_df(spark, robots_fixture: list[tuple[str, str]], user_agent: str) -> DataFrame:
+    """(host, robots_body) fixture → (host, deny_prefix) rule table.
+
+    Tiny by construction (hosts × rules): built driver-side, broadcast at
+    the join site by apply_robots_filter.
+    """
+    rows = []
+    for host, body in robots_fixture:
+        for p in parse_robots_body(body, user_agent, f"http://{host}"):
+            rows.append((host, p))
+    return spark.createDataFrame(rows or [("", "")], "host string, deny_prefix string")
+
+
+def apply_robots_filter(links_df: DataFrame, rules_df: DataFrame) -> DataFrame:
+    """Anchored-prefix deny (the reference builds ^-anchored regexes from
+    literal prefixes — equivalent to startswith). Broadcast anti-join:
+    rules are per-host and tiny, so this is shuffle-free on the big side."""
+    r = F.broadcast(rules_df.withColumnRenamed("host", "r_host"))
+    return links_df.join(
+        r,
+        (host_expr(F.col("url")) == F.col("r_host"))
+        & F.col("url").startswith(F.col("deny_prefix")),
+        "left_anti",
+    )

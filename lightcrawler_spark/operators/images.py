@@ -1,0 +1,170 @@
+"""Image+caption payload operators (BASELINE.json input_hint; SURVEY.md
+§7 step 6 — the graft analog of the reference's content decode/extract,
+e.g. gzip decode Utils/PHPCrawlerEncodingUtils.class.php:13-33 and the
+[tag:img] caption hook worker/ExtractContent.class.php:264-346,741-788).
+
+All operators are ``mapInPandas`` / pandas UDFs over Arrow batches:
+binary image bytes stay opaque to Spark (one BinaryType column), decode
+happens vectorized per batch, and the outputs are typed columns — the
+production shape for multimodal training-data pipelines. The codecs
+themselves live in ``imagecodec`` (real PNG; deterministic stand-in for
+lossy — see that module's docstring for the swap-in point).
+
+`verify_images` implements the per-row invariant from the input_hint:
+decoded dims == (w, h), PSNR ≥ 40 dB vs the reference pixels for lossy
+formats (exact for lossless), caption equality is a plain column
+comparison upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..imagecodec import decode_image, phash64, psnr
+from ..fixtures import make_image_array
+
+__all__ = [
+    "decode_stats",
+    "with_phash",
+    "verify_images",
+    "phash_near_dup_pairs",
+]
+
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+@pandas_udf(_STATS_SCHEMA)
+def decode_stats(data: pd.Series) -> pd.DataFrame:
+    """Decode + basic pixel stats per image (Arrow batch in, struct out)."""
+    rows = {k: [] for k in ("dec_w", "dec_h", "mean_r", "mean_g", "mean_b", "decode_ok")}
+    for b in data:
+        try:
+            arr = decode_image(bytes(b))
+            rows["dec_w"].append(int(arr.shape[1]))
+            rows["dec_h"].append(int(arr.shape[0]))
+            m = arr.reshape(-1, 3).mean(axis=0)
+            rows["mean_r"].append(float(round(m[0], 4)))
+            rows["mean_g"].append(float(round(m[1], 4)))
+            rows["mean_b"].append(float(round(m[2], 4)))
+            rows["decode_ok"].append(True)
+        except Exception:
+            for k, v in (("dec_w", None), ("dec_h", None), ("mean_r", None),
+                         ("mean_g", None), ("mean_b", None), ("decode_ok", False)):
+                rows[k].append(v)
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(T.LongType())
+def phash_udf(data: pd.Series) -> pd.Series:
+    out = []
+    for b in data:
+        try:
+            out.append(phash64(decode_image(bytes(b))))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+def with_phash(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    return df.withColumn("phash_calc", phash_udf(F.col(bytes_col)))
+
+
+def verify_images(df: DataFrame) -> DataFrame:
+    """Per-row invariant check against the fixture's reference pixels:
+    decode → dims match → PSNR ≥ 40 dB (lossy) / exact (lossless) →
+    phash matches the stored column. Emits one verdict row per image.
+
+    Runs as mapInPandas so reference pixels are regenerated inside the
+    batch (deterministic make_image_array) — no second BLOB column is
+    shuffled. Input requires: image_id, bytes, w, h, fmt, phash."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("dims_ok", T.BooleanType()),
+            T.StructField("psnr_db", T.DoubleType()),
+            T.StructField("psnr_ok", T.BooleanType()),
+            T.StructField("exact_ok", T.BooleanType()),
+            T.StructField("phash_ok", T.BooleanType()),
+        ]
+    )
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "fmt", "dims_ok", "psnr_db",
+                                    "psnr_ok", "exact_ok", "phash_ok")}
+            for r in pdf.itertuples():
+                idx = int(r.image_id.split("_")[-1])
+                ref = make_image_array(idx, int(r.w), int(r.h))
+                arr = decode_image(bytes(r.bytes))
+                p = psnr(ref, arr)
+                rows["image_id"].append(r.image_id)
+                rows["fmt"].append(r.fmt)
+                rows["dims_ok"].append(arr.shape[:2] == (int(r.h), int(r.w)))
+                rows["psnr_db"].append(round(p, 2) if np.isfinite(p) else 999.0)
+                rows["psnr_ok"].append(p >= 40.0)
+                rows["exact_ok"].append(
+                    bool((arr == ref).all()) if r.fmt == "png" else True
+                )
+                rows["phash_ok"].append(phash64(arr) == int(r.phash)
+                                        if r.fmt == "png" else
+                                        bin(phash64(arr) ^ int(r.phash)).count("1") <= 6)
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
+        _verify, out_schema
+    )
+
+
+def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
+                         id_col: str = "image_id",
+                         phash_col: str = "phash") -> DataFrame:
+    """Image near-dup pairs by phash Hamming distance: pigeonhole band
+    join on 16-bit chunks (same scheme as textdedup.simhash_pairs — at
+    ≤ max_hamming 6 with 4 chunks a matching pair shares ≥1 chunk when
+    distance ≤ 3; wider distances trade recall, standard practice),
+    exact popcount filter after."""
+    sig = df.select(F.col(id_col).alias("img_id"), F.col(phash_col).alias("ph"))
+    chunks = sig.select(
+        "img_id", "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(i),
+                        F.shiftrightunsigned(F.col("ph"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk_key") == F.col("b.chunk_key"))
+               & (F.col("a.img_id") < F.col("b.img_id")))
+        .select(F.col("a.img_id").alias("id_a"), F.col("b.img_id").alias("id_b"),
+                F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,106 @@
+"""Priority + politeness scheduling (SURVEY.md §2.5 P2, P3, P8).
+
+The reference pops ONE url at a time: global ``max(priority_level)`` then
+FIFO by autoincrement id, under an exclusive DB lock
+(/root/reference/vendor/PHPCrawl_083/libs/UrlCache/PHPCrawlerSQLiteURLCache.class.php:54-84,
+PHPCrawlerMySqlUrlCache.class.php:119-178), and sleeps so that at most
+one request per `crawl_delay` crosses the wire across ALL processes
+(PHPCrawler.class.php:906-925).
+
+The Spark rebuild replaces the lock with a deterministic ordering
+contract — pop order = (priority_level DESC, insert_seq ASC) — and the
+sleep with a *budget*: each BSP round claims the top-B pending rows,
+where B = floor(round_duration / delay). With the reference's default
+(one request per window) B == 1 and the orders coincide exactly; at
+scale, per-host budgets turn the same window rank into a polite parallel
+scheduler with no shared mutable state.
+
+Scale notes (the part that must survive 1000 executors):
+- the global pop uses a two-stage rank: per-partition top-B first
+  (cheap, narrow), then a final top-B over ≤ B×P survivors — never a
+  single-partition sort of the whole frontier.
+- per-host pops are a plain window over host; skewed hosts are defused
+  by `salted_repartition` BEFORE the fetch stage (the window itself is
+  per-host and cannot be salted without breaking the budget).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlSpec, php_regex_to_std
+
+__all__ = [
+    "assign_priority",
+    "pop_global",
+    "pop_per_host",
+    "salted_repartition",
+]
+
+def pop_order():
+    """The deterministic ordering contract (P3): priority DESC, then
+    frontier insertion order ASC. Lazily built — PySpark 4 requires an
+    active session to create Column objects."""
+    return [F.col("priority_level").desc(), F.col("insert_seq").asc()]
+
+
+def assign_priority(df: DataFrame, rules: list[tuple[str, int]],
+                    url_col: str = "url") -> DataFrame:
+    """P2: first matching rule (checked in level-DESC order) wins, else 0
+    (UrlCache/PHPCrawlerURLCacheBase.class.php:98-138). One codegen'd
+    CASE WHEN chain — no UDF, no shuffle."""
+    ordered = sorted(rules, key=lambda r: -r[1])
+    expr = F.lit(0)
+    for pat, level in reversed(ordered):
+        expr = F.when(F.col(url_col).rlike(php_regex_to_std(pat)), F.lit(level)).otherwise(expr)
+    return df.withColumn("priority_level", expr.cast("int"))
+
+
+def pop_global(frontier: DataFrame, budget: int) -> DataFrame:
+    """P3: claim the global top-`budget` pending rows by
+    (priority DESC, insert_seq ASC).
+
+    ``orderBy().limit(B)`` compiles to TakeOrderedAndProject: each
+    partition keeps its local top-B heap, the driver merges — no global
+    sort, no full shuffle, exactly the scalable top-k physical op.
+    The rank window afterwards only sees the B claimed rows."""
+    claimed = frontier.orderBy(*pop_order()).limit(budget)
+    w = Window.orderBy(*pop_order())  # ≤ B rows: single tiny partition is fine
+    return claimed.withColumn("pop_rank", F.row_number().over(w))
+
+
+def pop_per_host(frontier: DataFrame, per_host_budget: int,
+                 host_col: str = "host") -> DataFrame:
+    """P8 at scale: per-host politeness — top-B per host per round.
+    One hash-partitioned window; hosts are independent so this
+    parallelizes across the cluster."""
+    w = Window.partitionBy(host_col).orderBy(*pop_order())
+    return (
+        frontier.withColumn("pop_rank", F.row_number().over(w))
+        .filter(F.col("pop_rank") <= per_host_budget)
+    )
+
+
+def pop_batch(frontier: DataFrame, spec: CrawlSpec) -> DataFrame:
+    if spec.per_host_politeness:
+        return pop_per_host(frontier, spec.budget_per_round)
+    return pop_global(frontier, spec.budget_per_round)
+
+
+def salted_repartition(df: DataFrame, host_col: str = "host",
+                       salt_buckets: int = 8,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Host-skew defusal for the fetch stage: partition by
+    (host, pmod(xxhash64(url), S)) so a mega-host's work-list spreads over
+    S partitions instead of pinning one executor (SURVEY §4 — the
+    reference has no skew handling at all; single-site spiders sidestep
+    it). Politeness is already enforced upstream by the budget window, so
+    splitting a host across partitions cannot overshoot the budget."""
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    cols = [F.col(host_col), salt]
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)

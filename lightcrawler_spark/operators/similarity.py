@@ -1,0 +1,142 @@
+"""Embedding similarity search over the ``embeddings`` table
+(vec_id, embedding array<float>, label).
+
+- brute-force cosine top-k: the exactness baseline. The dot product is a
+  JVM ``aggregate(zip_with(...))`` over the array columns — no Python,
+  whole-stage codegen; top-k via window rank. Cross join is
+  query-side-broadcast: fine for a bounded query set, the usual shape
+  for "score K probes against the corpus".
+- LSH-bucketed ANN (sign random projection): hyperplane weights are
+  pseudo-random but DERIVED FROM md5 — both Spark and the ANSI-SQL
+  oracle compute the identical weight w(b, i) = ascii(substr(md5(b‖i),1,1)) - 79,
+  so bucket assignment is verifiable bit-for-bit. Candidates share all
+  `bits` bucket bits; exact cosine re-ranks candidates only. At 100 TB
+  scale the bucket join replaces the full cross product (cost ∝ bucket
+  occupancy, tunable via n_bits), and the corpus side is bucketed once
+  and reusable.
+
+Float determinism: cosine is computed in float64 with a fixed
+left-to-right summation (array order), rounded to 6 decimals so the
+DuckDB oracle (which may re-order its own sums) hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k per query vector. `queries` is small → broadcast;
+    the corpus is scanned once, scored JVM-side, ranked per query."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def srp_bucket_expr(vec_col, n_bits: int = 4, dim: int | None = None):
+    """Sign-random-projection bucket id as a string of n_bits sign bits.
+
+    w(b, i) = ascii(first hex char of md5('b_i')) - 79 — a deterministic
+    integer in [-31, 23] (hex chars are 0-9/a-f → ASCII 48..57, 97..102)
+    acting as a fixed pseudo-random hyperplane, identically computable in
+    any SQL dialect with md5/ascii. bit_b = (Σ_i vec[i] * w(b,i)) >= 0.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def bit(b: int):
+        prods = F.zip_with(
+            v,
+            F.transform(
+                F.sequence(F.lit(1), F.size(v)),
+                lambda i: F.ascii(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{b}_"), i.cast("string"))), 1, 1
+                    )
+                )
+                - F.lit(79),
+            ),
+            lambda x, w_: x.cast("double") * w_.cast("double"),
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(b) for b in range(n_bits)])
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_bits: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """ANN: candidates share the full SRP bucket; exact cosine re-rank
+    within bucket. Recall < 1 by design (verified against brute force in
+    tests with a recall floor, and against the SQL oracle exactly)."""
+    bucket = srp_bucket_expr(vec_col, n_bits)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket.alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            bucket.alias("bucket"),
+        )
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

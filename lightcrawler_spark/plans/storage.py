@@ -1,0 +1,159 @@
+"""Round-checkpointed table store (SURVEY.md §2.5 P4–P6, §3.4).
+
+Stands in for the Iceberg catalog of the production design (BASELINE.json
+north_rule): each crawl round appends a ``round=N`` partition per table
+and then commits a round watermark — the moral equivalent of an Iceberg
+snapshot. Resume reads the last COMPLETE round and discards in-flight
+partitions, reproducing the reference's crash-recovery purge
+(``UPDATE urls SET in_process=0`` —
+/root/reference/vendor/PHPCrawl_083/libs/UrlCache/PHPCrawlerSQLiteURLCache.class.php:219-223).
+
+Why not in-place updates: the reference mutates frontier rows
+(in_process/processed flags) under locks; at 10^10 rows that's the
+scalability wall. Append-only round lineage keeps every write a blind
+parquet append, makes resume a metadata read, and gives per-partition
+lineage (each row carries the round that produced it) for free.
+
+An in-memory mode backs unit tests: same API, DataFrames held with
+``localCheckpoint`` so iterative plans don't accrete lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["RoundStore", "MemoryRoundStore"]
+
+
+class RoundStore:
+    """Parquet-backed, watermark-committed round store."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- watermark ---------------------------------------------------------
+    def _wm_path(self) -> str:
+        return os.path.join(self.root, "_watermark.json")
+
+    def last_complete_round(self) -> int:
+        try:
+            with open(self._wm_path()) as f:
+                return json.load(f)["round"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            return -1
+
+    def commit_round(self, round_no: int) -> None:
+        tmp = self._wm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"round": round_no}, f)
+        os.replace(tmp, self._wm_path())  # atomic commit
+
+    # -- table io ----------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, table: str, round_no: int, df: DataFrame) -> None:
+        path = os.path.join(self._table_dir(table), f"round={round_no}")
+        df.write.mode("overwrite").parquet(path)
+
+    def read_upto(self, table: str, last_round: int) -> DataFrame | None:
+        """Union of all committed round partitions ≤ last_round (in-flight
+        rounds beyond the watermark are invisible — the purge)."""
+        base = self._table_dir(table)
+        if not os.path.isdir(base):
+            return None
+        paths = []
+        for d in sorted(os.listdir(base)):
+            if d.startswith("round="):
+                r = int(d.split("=", 1)[1])
+                if r <= last_round:
+                    paths.append(os.path.join(base, d))
+        if not paths:
+            return None
+        return self.spark.read.option("basePath", base).parquet(*paths)
+
+    def purge_inflight(self, last_round: int) -> None:
+        """Delete partitions past the watermark (P6 restart semantics)."""
+        for table in os.listdir(self.root):
+            base = self._table_dir(table)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("round=") and int(d.split("=", 1)[1]) > last_round:
+                    shutil.rmtree(os.path.join(base, d))
+
+
+class MemoryRoundStore:
+    """Same API, no disk. The iterative driver loop reads the cumulative
+    state every round, so reads maintain an incrementally-extended,
+    locally-checkpointed cumulative DataFrame per table — each round's
+    read is a union of TWO bounded plans (cached cum + new part), not an
+    O(rounds) union rebuild."""
+
+    COMPACT_EVERY = 8  # union-branch depth before re-materializing the cum
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self._tables: dict[str, dict[int, DataFrame]] = {}
+        self._cum: dict[str, tuple[int, DataFrame, int]] = {}  # (round, df, depth)
+        self._wm = -1
+
+    def last_complete_round(self) -> int:
+        return self._wm
+
+    def commit_round(self, round_no: int) -> None:
+        self._wm = round_no
+
+    def write(self, table: str, round_no: int, df: DataFrame) -> None:
+        # stored as-is: the engine eagerly checkpoints the two DataFrames
+        # that feed future rounds (fetch results, new frontier rows), so
+        # parts are either LogicalRDDs or flat selects over them —
+        # lazy-checkpoint CHAINS proved pathological (recomputation +
+        # re-analysis across rounds), so never checkpoint here
+        self._tables.setdefault(table, {})[round_no] = df
+
+    def _parts_upto(self, table: str, lo: int, hi: int) -> list[DataFrame]:
+        return [
+            df.withColumn("round", F.lit(r))
+            for r, df in sorted(self._tables.get(table, {}).items())
+            if lo <= r <= hi
+        ]
+
+    def read_upto(self, table: str, last_round: int) -> DataFrame | None:
+        cached = self._cum.get(table)
+        if cached is not None and cached[0] == last_round:
+            return cached[1]
+        if cached is not None and cached[0] < last_round:
+            base, depth = cached[1], cached[2]
+            parts = self._parts_upto(table, cached[0] + 1, last_round)
+        else:
+            base, depth = None, 0
+            parts = self._parts_upto(table, 0, last_round)
+        if base is None and not parts:
+            return None
+        out = base
+        for p in parts:
+            out = p if out is None else out.unionByName(p)
+            depth += 1
+        if depth >= self.COMPACT_EVERY:
+            # keep the cumulative plan flat: without this, round r unions
+            # r branches and the driver loop goes O(r²) in plan work
+            out = out.localCheckpoint(eager=True)
+            depth = 0
+        self._cum[table] = (last_round, out, depth)
+        return out
+
+    def purge_inflight(self, last_round: int) -> None:
+        for name, table in self._tables.items():
+            for r in [r for r in table if r > last_round]:
+                del table[r]
+            cached = self._cum.get(name)
+            if cached is not None and cached[0] > last_round:
+                del self._cum[name]
