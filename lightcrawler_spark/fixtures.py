@@ -25,7 +25,7 @@ import numpy as np
 from .config import CrawlSpec
 from .functions import urlkit
 from .functions.urlkit import url_md5
-from .imagecodec import encode_image, phash64
+from .imagecodec import decode_image, encode_image, phash64
 from .operators.extract import extract_meta_tags, find_links
 from .operators.admission import parse_robots_body
 
@@ -74,15 +74,18 @@ def make_images(n: int = 64) -> list[dict]:
         h = 24 + (i % 7) * 4
         fmt = "png" if i % 2 == 0 else "jpeg"
         arr = make_image_array(i, w, h)
+        data = encode_image(arr, fmt)
         rows.append(
             {
                 "image_id": f"img_{i:012d}",
-                "bytes": encode_image(arr, fmt),
+                "bytes": data,
                 "w": w,
                 "h": h,
                 "fmt": fmt,
                 "caption": CAPTIONS[i % len(CAPTIONS)],
-                "phash": phash64(arr),
+                # input_hint: phash is over DECODED pixels — i.e. the stored
+                # artifact's pixels (post-lossy), so verification is exact
+                "phash": phash64(decode_image(data)),
             }
         )
     return rows

@@ -153,22 +153,24 @@ def bloom_prefilter(new_links: DataFrame, shards: DataFrame,
     from pyspark.sql import types as T
 
     @pandas_udf(T.BooleanType())
-    def _might_contain(h: pd.Series, bitmap: pd.Series, num_bits: pd.Series,
-                       num_hashes: pd.Series) -> pd.Series:
+    def _might_contain(h: pd.Series, shard: pd.Series, bitmap: pd.Series,
+                       num_bits: pd.Series, num_hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(h), dtype=bool)
         if len(h) == 0:
             return pd.Series(out)
-        # group rows by shard params (few distinct per batch)
+        # group rows by SHARD id — each shard has its own bitmap (shards
+        # may share (m, k) sizes, so sizes are not a valid group key)
         df = pd.DataFrame({"h": h.to_numpy().astype(np.uint64),
-                           "m": num_bits, "k": num_hashes})
-        for (m, k), grp in df.groupby(["m", "k"], sort=False):
-            if pd.isna(m):
-                continue  # no shard → brand-new bucket → not seen
+                           "s": shard, "m": num_bits, "k": num_hashes})
+        for s, grp in df.groupby("s", sort=False, dropna=False):
             first = grp.index[0]
-            bloom = NumpyBloom.from_bytes(bitmap[first], int(m), int(k))
-            out[grp.index.to_numpy()] = bloom.might_contain(
-                grp["h"].to_numpy()
+            m = grp["m"].iloc[0]
+            if pd.isna(s) or pd.isna(m):
+                continue  # no shard → brand-new bucket → not seen
+            bloom = NumpyBloom.from_bytes(
+                bytes(bitmap[first]), int(m), int(grp["k"].iloc[0])
             )
+            out[grp.index.to_numpy()] = bloom.might_contain(grp["h"].to_numpy())
         return pd.Series(out)
 
     # num_shards must equal the build-time modulus (empty buckets produce
@@ -181,7 +183,7 @@ def bloom_prefilter(new_links: DataFrame, shards: DataFrame,
     return (
         joined.withColumn(
             "_maybe_seen",
-            _might_contain(F.col("_h"), F.col("bitmap"),
+            _might_contain(F.col("_h"), F.col("shard"), F.col("bitmap"),
                            F.col("num_bits"), F.col("num_hashes")),
         )
         .filter(~F.coalesce(F.col("_maybe_seen"), F.lit(False)))

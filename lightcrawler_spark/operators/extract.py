@@ -289,7 +289,8 @@ def synthesize_pagination(pages_df, body_col="body_text", url_col="url",
     JVM-only plan: regexp_extract → sequence → explode → format_string;
     no Python in the loop, stays inside whole-stage codegen.
     """
-    n = F.regexp_extract(F.col(body_col), pattern, 1).cast("int")
+    # try_cast: regexp_extract yields "" on no-match, which ANSI cast rejects
+    n = F.regexp_extract(F.col(body_col), pattern, 1).try_cast("int")
     base_dir = F.regexp_extract(F.col(url_col), r"^(.*/)[^/]*$", 1)
     tpl = template.replace("{i}", "%d")
     return (

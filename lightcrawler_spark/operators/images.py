@@ -123,9 +123,8 @@ def verify_images(df: DataFrame) -> DataFrame:
                 rows["exact_ok"].append(
                     bool((arr == ref).all()) if r.fmt == "png" else True
                 )
-                rows["phash_ok"].append(phash64(arr) == int(r.phash)
-                                        if r.fmt == "png" else
-                                        bin(phash64(arr) ^ int(r.phash)).count("1") <= 6)
+                # stored phash is over decoded pixels (input_hint) → exact
+                rows["phash_ok"].append(phash64(arr) == int(r.phash))
             yield pd.DataFrame(rows)
 
     return df.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(

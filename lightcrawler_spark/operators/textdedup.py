@@ -182,10 +182,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split the 64-bit signature into 4 × 16-bit
-    chunks; distance ≤ 3 guarantees at least one equal chunk, so
-    candidates are found by 4 equality bucket-joins (shuffle on 16-bit
-    keys), then the exact popcount filters."""
+    Pigeonhole banding: split the 64-bit signature into n equal chunks
+    with n > max_hamming (n ∈ {4, 8, 16}) — at distance ≤ max_hamming at
+    least one chunk is equal, so candidate recall is GUARANTEED; the
+    equality bucket-joins shuffle on small chunk keys and the exact
+    popcount filters false candidates. max_hamming > 15 degrades to
+    probabilistic recall with 16 chunks."""
+    n_chunks = 4 if max_hamming <= 3 else 8 if max_hamming <= 7 else 16
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     sig = df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
     )
@@ -198,10 +203,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                     F.concat_ws(
                         ":",
                         F.lit(i),
-                        (F.shiftrightunsigned(F.col("simhash"), i * 16)
-                         .bitwiseAND(F.lit(0xFFFF))),
+                        (F.shiftrightunsigned(F.col("simhash"), i * width)
+                         .bitwiseAND(F.lit(mask))),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("chunk_key"),

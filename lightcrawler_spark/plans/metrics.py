@@ -1,0 +1,51 @@
+"""Crawl status aggregation + process report (SURVEY.md §2.6 A1–A5).
+
+Reference: counters accumulated under a semaphore
+(/root/reference/vendor/PHPCrawl_083/libs/ProcessCommunication/PHPCrawlerStatusHandler.class.php:94-122)
+and derived report fields
+(vendor/PHPCrawl_083/libs/PHPCrawler.class.php:1001-1046). The Spark
+rebuild is a plain aggregation over the trace/pages tables — persisted
+per-round so the metrics table carries lineage (north_rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["round_metrics", "process_report"]
+
+
+def round_metrics(trace: DataFrame) -> DataFrame:
+    """A1: per-round counters — links followed, documents received,
+    bytes, latency sums."""
+    return trace.groupBy("round").agg(
+        F.count("*").alias("links_followed"),
+        F.count(F.when(F.col("status").between(200, 299), 1)).alias(
+            "documents_received"
+        ),
+        F.sum("bytes_received").alias("bytes_received"),
+        F.sum("latency_ms").alias("sum_latency_ms"),
+        F.avg("latency_ms").alias("avg_latency_ms"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+def process_report(trace: DataFrame, runtime_s: float | None = None) -> dict:
+    """A2: whole-run report. data_throughput = bytes/runtime (the
+    reference's headline metric, PHPCrawler.class.php:1014-1015)."""
+    row = trace.agg(
+        F.count("*").alias("links_followed"),
+        F.count(F.when(F.col("status").between(200, 299), 1)).alias(
+            "documents_received"
+        ),
+        F.sum("bytes_received").alias("bytes_received"),
+        F.sum("latency_ms").alias("sum_latency_ms"),
+        F.avg("latency_ms").alias("avg_latency_ms"),
+    ).collect()[0]
+    report = {k: row[k] for k in row.asDict()}
+    if runtime_s and runtime_s > 0:
+        report["process_runtime_s"] = runtime_s
+        report["data_throughput_bps"] = (row["bytes_received"] or 0) / runtime_s
+        report["pages_per_s"] = row["links_followed"] / runtime_s
+    return report

@@ -1,0 +1,130 @@
+"""Image payload tests (BASELINE.json input_hint per-row invariants):
+decode → dims, PSNR ≥ 40 dB for lossy, exact for PNG, phash stability,
+near-dup pairing. Codec unit tests + Spark mapInPandas plumbing."""
+
+import numpy as np
+import pytest
+
+from lightcrawler_spark.fixtures import make_image_array, make_images
+from lightcrawler_spark.imagecodec import (
+    decode_image,
+    encode_image,
+    phash64,
+    png_decode,
+    png_encode,
+    psnr,
+)
+
+
+class TestCodec:
+    def test_png_roundtrip_exact(self):
+        arr = make_image_array(7, 40, 28)
+        assert (png_decode(png_encode(arr)) == arr).all()
+
+    def test_png_magic(self):
+        assert png_encode(make_image_array(0, 8, 8))[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_lossy_psnr_above_40(self):
+        for i in (2, 5, 8):  # includes pure-noise images (worst case)
+            arr = make_image_array(i, 48, 36)
+            out = decode_image(encode_image(arr, "jpeg"))
+            assert psnr(arr, out) >= 40.0
+
+    def test_lossy_shape_preserved(self):
+        arr = make_image_array(2, 31, 17)
+        assert decode_image(encode_image(arr, "jpeg")).shape == arr.shape
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(NotImplementedError):
+            encode_image(make_image_array(0, 8, 8), "webp")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg header")
+
+    def test_phash_deterministic_and_robust(self):
+        arr = make_image_array(5, 64, 48)
+        h1 = phash64(arr)
+        assert h1 == phash64(arr.copy())
+        # light lossy distortion moves few bits
+        lossy = decode_image(encode_image(arr, "jpeg"))
+        assert bin(h1 ^ phash64(lossy)).count("1") <= 6
+        # a different image moves many bits
+        other = make_image_array(11, 64, 48)
+        assert bin(h1 ^ phash64(other)).count("1") > 10
+
+
+class TestFixtureInvariants:
+    def test_make_images_schema(self):
+        rows = make_images(12)
+        for r in rows:
+            assert set(r) == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+            arr = decode_image(r["bytes"])
+            assert arr.shape == (r["h"], r["w"], 3)
+
+    def test_deterministic(self):
+        a = make_images(6)
+        b = make_images(6)
+        assert all(x["bytes"] == y["bytes"] and x["phash"] == y["phash"]
+                   for x, y in zip(a, b))
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = make_images(24)
+    return spark.createDataFrame(
+        [
+            (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], r["fmt"],
+             r["caption"], r["phash"])
+            for r in rows
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    ).cache()
+
+
+class TestSparkImageOps:
+    def test_verify_images_all_pass(self, spark, images_df):
+        from lightcrawler_spark.operators.images import verify_images
+
+        v = verify_images(images_df).collect()
+        assert len(v) == 24
+        for r in v:
+            assert r["dims_ok"], r
+            assert r["psnr_ok"], r
+            assert r["exact_ok"], r
+            assert r["phash_ok"], r
+
+    def test_decode_stats(self, spark, images_df):
+        from pyspark.sql import functions as F
+
+        from lightcrawler_spark.operators.images import decode_stats
+
+        out = images_df.withColumn("s", decode_stats(F.col("bytes"))).select(
+            "image_id", "w", "h", "s.*"
+        )
+        rows = out.collect()
+        assert all(r["decode_ok"] for r in rows)
+        assert all(r["dec_w"] == r["w"] and r["dec_h"] == r["h"] for r in rows)
+
+    def test_with_phash_matches_stored(self, spark, images_df):
+        from lightcrawler_spark.operators.images import with_phash
+
+        rows = with_phash(images_df).select("image_id", "phash", "phash_calc").collect()
+        # stored phash is over decoded pixels → recomputation is exact
+        assert all(r["phash_calc"] == r["phash"] for r in rows)
+
+    def test_phash_near_dup_pairs(self, spark):
+        from lightcrawler_spark.operators.images import phash_near_dup_pairs
+
+        # same image encoded png + lossy = near-dup pair; distinct images not
+        a0 = make_image_array(3, 40, 40)
+        rows = [
+            ("dup_a_png", phash64(a0)),
+            ("dup_a_lossy", phash64(decode_image(encode_image(a0, "jpeg")))),
+            ("other_1", phash64(make_image_array(10, 40, 40))),
+            ("other_2", phash64(make_image_array(20, 40, 40))),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        pairs = phash_near_dup_pairs(df, max_hamming=6).collect()
+        ids = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert ("dup_a_lossy", "dup_a_png") in ids
+        assert all("other" not in a or "other" not in b for a, b in ids)

@@ -1,0 +1,178 @@
+"""Text-analysis + dedup-family operators over documents/embeddings
+(training-data pipeline ops; TESTDATA.md tables at sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestTextStats:
+    def test_token_counts(self, spark, docs):
+        from lightcrawler_spark.operators.text import with_token_counts
+
+        rows = with_token_counts(docs).select(
+            "doc_id", "text", "ws_tokens", "alnum_tokens", "n_chars_calc"
+        ).limit(50).collect()
+        for r in rows:
+            assert r["ws_tokens"] == len(r["text"].split()) or r["text"].strip() == ""
+            assert r["n_chars_calc"] == len(r["text"])
+
+    def test_lang_id_agrees_with_python(self, spark, docs):
+        from lightcrawler_spark.operators.text import (
+            EN_MARKERS, ES_MARKERS, ZH_MARKERS, with_lang_id,
+        )
+
+        rows = with_lang_id(docs).select("text", "lang_pred").limit(100).collect()
+
+        def pyscore(t, ms):
+            return sum(t.count(m) for m in ms)
+
+        for r in rows:
+            zh, en, es = (pyscore(r["text"], m) for m in (ZH_MARKERS, EN_MARKERS, ES_MARKERS))
+            if zh >= en and zh >= es and zh > 0:
+                want = "zh"
+            elif en >= es and en > 0:
+                want = "en"
+            elif es > 0:
+                want = "es"
+            else:
+                want = "und"
+            assert r["lang_pred"] == want
+
+    def test_quality_score_range(self, spark, docs):
+        from lightcrawler_spark.operators.text import with_quality_score
+
+        rows = with_quality_score(docs).select("quality_score").collect()
+        assert all(0.0 <= r["quality_score"] <= 100.0 for r in rows)
+
+    def test_fingerprint_stability_and_dedup_signal(self, spark, docs):
+        from lightcrawler_spark.operators.text import with_fingerprint
+
+        fp = with_fingerprint(docs).select("doc_id", "fingerprint")
+        a = {r["doc_id"]: r["fingerprint"] for r in fp.collect()}
+        b = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+        assert a == b  # deterministic
+        # identical texts share fingerprints
+        dup = spark.createDataFrame(
+            [(1, "the same text body here"), (2, "the same text body here"),
+             (3, "a completely different document")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(dup).collect()}
+        assert out[1] == out[2] != out[3]
+
+
+class TestDedupFamily:
+    def _dup_docs(self, spark):
+        base = "The quick brown fox jumps over the lazy dog near the river bank."
+        rows = [
+            (1, base, "s1"),
+            (2, base, "s1"),                       # exact dup of 1
+            (3, base.replace("quick", "quiet"), "s1"),  # near dup of 1
+            (4, "Stock prices fell sharply on Tuesday amid inflation fears.", "s2"),
+            (5, "Completely unrelated text about gardening and tulips in spring.", "s2"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_exact_dedup(self, spark):
+        from lightcrawler_spark.operators.textdedup import exact_dedup
+
+        out = exact_dedup(self._dup_docs(spark)).select("doc_id").collect()
+        kept = sorted(r["doc_id"] for r in out)
+        assert kept == [1, 3, 4, 5]  # doc 2 dropped, rep = lowest id
+
+    def test_ngram_jaccard(self, spark):
+        from lightcrawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(self._dup_docs(spark), threshold=0.7).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (1, 2) in got          # exact dup: jaccard 1.0
+        assert (1, 3) in got and (2, 3) in got  # near dup
+        assert all({a, b} <= {1, 2, 3} for a, b in got)
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        from lightcrawler_spark.operators.textdedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            self._dup_docs(spark), num_hashes=16, bands=8
+        ).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (1, 2) in got
+        assert (1, 3) in got
+        assert (4, 5) not in got
+
+    def test_simhash_pairs(self, spark):
+        from lightcrawler_spark.operators.textdedup import simhash_pairs
+
+        pairs = simhash_pairs(self._dup_docs(spark), max_hamming=7).collect()
+        got = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+        assert got[(1, 2)] == 0
+        assert (1, 3) in got
+        assert (4, 5) not in got
+
+    def test_exact_dedup_on_real_docs_idempotent(self, spark, docs):
+        from lightcrawler_spark.operators.textdedup import exact_dedup
+
+        once = exact_dedup(docs)
+        assert once.count() == exact_dedup(once.drop("dup_key")).count()
+
+
+class TestSimilarity:
+    def test_brute_force_topk_shape(self, spark, emb):
+        from lightcrawler_spark.operators.similarity import brute_force_topk
+
+        q = emb.filter(F.col("vec_id") < 5)
+        out = brute_force_topk(emb, q, k=3).collect()
+        assert len(out) == 15
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rows in by_q.values():
+            sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert sims == sorted(sims, reverse=True)
+            assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+    def test_self_similarity_is_top(self, spark, emb):
+        from lightcrawler_spark.operators.similarity import brute_force_topk
+
+        # duplicate vector planted: its clone must rank 1 with sim ≈ 1
+        base = emb.limit(1).collect()[0]
+        clone = spark.createDataFrame(
+            [(9999, base["embedding"], base["label"])],
+            "vec_id long, embedding array<float>, label int",
+        )
+        corpus = emb.unionByName(clone)
+        out = brute_force_topk(corpus, clone, k=1).collect()[0]
+        assert out["neighbor_id"] == base["vec_id"]
+        assert out["sim"] >= 0.999999
+
+    def test_lsh_recall_floor(self, spark, emb):
+        from lightcrawler_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = brute_force_topk(emb, q, k=3).collect()
+        approx = lsh_topk(emb, q, k=3, n_bits=2).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.2  # 2-bit buckets keep ~1/4 of the corpus per query
+        # every approx hit must carry the same sim the exact path computes
+        exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+        for r in approx:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_sims:
+                assert abs(r["sim"] - exact_sims[key]) < 1e-9
