@@ -196,11 +196,15 @@ def robots_rules_df(spark, robots_fixture: list[tuple[str, str]], user_agent: st
 def apply_robots_filter(links_df: DataFrame, rules_df: DataFrame) -> DataFrame:
     """Anchored-prefix deny (the reference builds ^-anchored regexes from
     literal prefixes — equivalent to startswith). Broadcast anti-join:
-    rules are per-host and tiny, so this is shuffle-free on the big side."""
-    r = F.broadcast(rules_df.withColumnRenamed("host", "r_host"))
-    return links_df.join(
+    rules are per-host and tiny, so this is shuffle-free on the big side.
+    The host is projected to a column FIRST so the join carries an
+    equality key (BroadcastHashJoin) instead of evaluating a regex inside
+    a nested-loop condition."""
+    r = F.broadcast(rules_df.withColumnRenamed("host", "_r_host"))
+    withhost = links_df.withColumn("_l_host", host_expr(F.col("url")))
+    return withhost.join(
         r,
-        (host_expr(F.col("url")) == F.col("r_host"))
+        (F.col("_l_host") == F.col("_r_host"))
         & F.col("url").startswith(F.col("deny_prefix")),
         "left_anti",
-    )
+    ).drop("_l_host")

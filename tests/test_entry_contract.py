@@ -1,0 +1,79 @@
+"""Driver-contract guard: every queries() entry runs, and a fast subset
+is hash-verified against its DuckDB oracle at sf0.001 (mirrors the
+driver's CORRECTNESS gate; the full sweep incl. slow queries lives in
+tools/verify_contract.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.verify_contract import TABLES, frame_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_ORACLE_QUERIES = [
+    "crawl_bfs",
+    "canonicalize_resolve",
+    "frontier_dedup_anti",
+    "priority_pop",
+    "admission_filter",
+    "robots_filter",
+    "politeness_rounds",
+    "pagination",
+    "status_report",
+    "events_hourly",
+    "sessionize",
+    "dedup_exact",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprint",
+    "embedding_topk",
+    "embedding_lsh",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["url", "node", "depth"]
+
+
+def test_every_query_has_callable_and_oracle_keys():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    # the intentional rows-only set
+    assert set(q) - set(o) == {"simhash_docs", "image_verify", "bloom_prefilter"}
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF_DIR)
+    n_s, h_s = frame_hash(df.columns, [tuple(r) for r in df.collect()])
+    res = duck.execute(entrymod.oracle_sql()[name])
+    o_cols = [d[0] for d in res.description]
+    n_o, h_o = frame_hash(o_cols, res.fetchall())
+    assert sorted(df.columns) == sorted(o_cols)
+    assert (n_s, h_s) == (n_o, h_o)
+
+
+def test_rows_only_queries_run(spark):
+    q = entrymod.queries()
+    assert q["image_verify"](spark, SF_DIR).count() == 64  # all verdicts pass
+    assert q["simhash_docs"](spark, SF_DIR).count() == 500
+    assert q["bloom_prefilter"](spark, SF_DIR).count() > 0

@@ -1,0 +1,134 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables, compare row count + column names + order-insensitive value hash.
+
+Usage: python tools/verify_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            if f == int(f):
+                return str(int(f))
+            return f"{f:.6f}"
+    except ImportError:
+        pass
+    return str(v)
+
+
+def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()[:16]
+    return len(rows), h
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from lightcrawler_spark.session import get_spark
+
+    spark = get_spark("verify-contract", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            n_s, h_s = frame_hash(cols, rows)
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {n_s} rows  cols={sorted(cols)} "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+            n_o, h_o = frame_hash(o_cols, o_rows)
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(cols) == sorted(o_cols)
+        ok = (n_s == n_o) and ok_cols and (h_s == h_o)
+        status = "OK   " if ok else "FAIL "
+        print(f"{status} {name}: spark {n_s} rows/{h_s}  duck {n_o} rows/{h_o} "
+              f"cols_match={ok_cols} ({time.time()-t0:.1f}s)")
+        if not ok:
+            failures.append(name)
+            if not ok_cols:
+                print(f"       spark cols: {sorted(cols)}")
+                print(f"       duck  cols: {sorted(o_cols)}")
+            else:
+                s_set = {tuple(norm_cell(v) for v in r) for r in rows}
+                key = sorted(range(len(cols)), key=lambda i: cols[i])
+                o_norm = {
+                    tuple(norm_cell(r[o_cols.index(cols[i])]) for i in key)
+                    for r in o_rows
+                }
+                s_norm = {
+                    tuple(norm_cell(r[i]) for i in key) for r in rows
+                }
+                only_s = list(s_norm - o_norm)[:3]
+                only_o = list(o_norm - s_norm)[:3]
+                print(f"       only-in-spark: {only_s}")
+                print(f"       only-in-duck:  {only_o}")
+    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
