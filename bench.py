@@ -1,0 +1,284 @@
+"""Headline benchmark harness (driver contract).
+
+Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {name: sec}, "sf": ...}
+
+The metric tracks BASELINE.md's target: pages fetched/sec through the
+full fetch→extract→admit→dedup pipeline, plus frontier-dedup ops/sec on
+a synthetic frontier (generated with spark.range — never materialized
+driver-side, the same construction that scales to the 10^10-URL target).
+Extra keys report those throughputs; tools/scaling_bench.py reruns the
+same jobs at two parallelism levels for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# sizes scale with sf so local iteration at sf0.01 stays fast
+try:
+    _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+except ValueError:
+    _SF = 0.1
+SCALE = max(_SF / 0.1, 0.01)
+N_SEEN = int(2_000_000 * SCALE)
+N_NEW = int(2_000_000 * SCALE)
+N_PAGES = int(60_000 * SCALE)
+N_IMAGES = int(20_000 * SCALE)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _url(col):
+    return F.concat(
+        F.lit("http://h"), F.pmod(F.xxhash64(col), F.lit(997)).cast("string"),
+        F.lit(".bench.test/p/"), col.cast("string"),
+    )
+
+
+def bench_frontier_dedup(spark: SparkSession) -> dict:
+    """North-rule metric 2: frontier-dedup ops/sec.
+
+    seen = N_SEEN URLs; new = N_NEW URLs with ~50% overlap. Pipeline is
+    the production one (operators/dedup.py): distributed sharded-Bloom
+    build → Arrow-batch probable-seen prune → exact left_anti on md5."""
+    from lightcrawler_spark.operators.dedup import (
+        anti_join_seen, bloom_prefilter, build_bloom_shards,
+    )
+
+    num_shards = 64
+    seen = spark.range(0, N_SEEN, 1, CPUS * 4).select(_url(F.col("id")).alias("url"))
+    new = (
+        spark.range(N_SEEN // 2, N_SEEN // 2 + N_NEW, 1, CPUS * 4)
+        .select(_url(F.col("id")).alias("url"))
+    )
+    t0 = time.time()
+    shards = build_bloom_shards(seen, num_shards=num_shards, fpp=0.01)
+    survivors = bloom_prefilter(new, shards, num_shards=num_shards)
+    survivors = survivors.withColumn("url_md5", F.md5("url"))
+    seen_keys = seen.select(F.md5("url").alias("url_md5"))
+    out = anti_join_seen(survivors, seen_keys).count()
+    dt = time.time() - t0
+    log(f"frontier_dedup: {N_NEW} new vs {N_SEEN} seen -> {out} unique "
+        f"in {dt:.1f}s = {N_NEW / dt:,.0f} ops/s")
+    return {"sec": dt, "ops_per_sec": N_NEW / dt, "unique": out}
+
+
+def bench_page_pipeline(spark: SparkSession) -> dict:
+    """North-rule metric 1: pages/sec through the per-round inner loop —
+    body decode → link extraction (Arrow UDF, 3 regex passes) → explode →
+    admission battery (F1–F9, JVM predicates) → first-wins dedup.
+    Synthetic HTML built JVM-side from spark.range (driver never sees it)."""
+    from lightcrawler_spark.config import CrawlSpec
+    from lightcrawler_spark.operators.admission import admission_predicate
+    from lightcrawler_spark.operators.dedup import first_wins_within_batch
+    from lightcrawler_spark.operators.extract import extract_links_udf
+
+    pages = spark.range(0, N_PAGES, 1, CPUS * 4).select(
+        _url(F.col("id")).alias("url"),
+        F.col("id").cast("long").alias("src_rank"),
+        F.lit(2).alias("depth"),
+        F.concat(
+            F.lit('<html><head><base href=""></head><body>'),
+            F.lit('<a href="/list/'), (F.col("id") % 5000).cast("string"),
+            F.lit('.htm">Next list</a>'),
+            F.lit('<a href="detail_'), F.col("id").cast("string"),
+            F.lit('.htm">Detail &amp; more</a>'),
+            F.lit('<img src="/userfiles/image/'), (F.col("id") % 1000).cast("string"),
+            F.lit('.jpg"/>'),
+            F.lit('<a href="http://www.other-b.test/x.htm">offsite</a>'),
+            F.lit('<a href="javascript:void(0)">js</a>'),
+            F.lit('<script>var countPage = 3</script></body></html>'),
+        ).alias("body_text"),
+    )
+    spec = CrawlSpec(
+        seeds=["http://h1.bench.test/"],
+        follow_mode=0,  # any
+        max_depth=8,
+        url_filter_rules=[r"#\.(jpg|gif|png|pdf|jpeg|css|js|mp3|mp4|flv|swf|svg|bmp)# i"],
+    )
+    t0 = time.time()
+    links = (
+        pages.withColumn(
+            "links",
+            extract_links_udf(F.col("body_text"), F.col("url"), F.lit(None).cast("string")),
+        )
+        .select(
+            F.col("url").alias("referer"), "src_rank",
+            (F.col("depth") + 1).alias("depth"),
+            F.posexplode_outer("links").alias("link_pos", "l"),
+        )
+        .filter(F.col("l").isNotNull())
+        .select(
+            "referer", "src_rank", "link_pos", "depth",
+            F.col("l.link_raw").alias("link_raw"),
+            F.col("l.linkcode").alias("linkcode"),
+            F.col("l.linktext").alias("linktext"),
+            F.col("l.url").alias("url"),
+            F.col("l.is_redirect").alias("is_redirect"),
+        )
+    )
+    admitted = links.filter(admission_predicate(spec, spec.seeds[0]))
+    admitted = admitted.withColumn("url_md5", F.md5("url")).withColumn(
+        "insert_seq",
+        F.col("src_rank") * F.lit(1 << 20) + F.col("link_pos"),
+    )
+    n_links = first_wins_within_batch(admitted, "url_md5", "insert_seq").count()
+    dt = time.time() - t0
+    log(f"page_pipeline: {N_PAGES} pages -> {n_links} unique admitted links "
+        f"in {dt:.1f}s = {N_PAGES / dt:,.0f} pages/s")
+    return {"sec": dt, "pages_per_sec": N_PAGES / dt, "links": n_links}
+
+
+def bench_image_decode(spark: SparkSession) -> dict:
+    """input_hint invariant pipeline at volume: decode + dims + PSNR +
+    phash over the image+caption schema via mapInPandas."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.operators.images import verify_images
+
+    base = make_images(256)
+    reps = max(1, N_IMAGES // 256)
+    df = spark.createDataFrame(
+        [
+            (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], r["fmt"],
+             r["caption"], r["phash"])
+            for r in base
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    big = df.crossJoin(
+        spark.range(reps).select(F.col("id").alias("rep"))
+    ).repartition(CPUS * 2)
+    t0 = time.time()
+    ok = verify_images(big).filter(
+        F.col("dims_ok") & F.col("psnr_ok") & F.col("exact_ok") & F.col("phash_ok")
+    ).count()
+    dt = time.time() - t0
+    n = 256 * reps
+    log(f"image_decode: {n} images verified ({ok} ok) in {dt:.1f}s = "
+        f"{n / dt:,.0f} imgs/s")
+    return {"sec": dt, "images_per_sec": n / dt, "ok": ok}
+
+
+def bench_crawl_engine(spark: SparkSession) -> dict:
+    """End-to-end BSP rounds on the fixture web (engine overhead incl.
+    scheduling, politeness, robots, round commits)."""
+    from lightcrawler_spark.fixtures import (
+        ROBOTS_FIXTURE, default_spec, make_images, make_webgraph,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    web = make_webgraph(n_lists=6, details_per_list=8, images=make_images(16))
+    web_df = spark.createDataFrame(
+        [
+            (p["url"], p["host"], p["status"], p["content_type"],
+             p["redirect_to"], bytearray(p["body"]), p["image_id"],
+             p["latency_ms"])
+            for p in web
+        ],
+        "url string, host string, status int, content_type string, "
+        "redirect_to string, body binary, image_id string, latency_ms int",
+    )
+    spec = default_spec(budget=64)
+    engine = CrawlEngine(spark, spec, SyntheticFetcher(web_df, spec),
+                         robots_fixture=ROBOTS_FIXTURE)
+    t0 = time.time()
+    result = engine.run(max_rounds=12)
+    dt = time.time() - t0
+    log(f"crawl_engine: {result.pages_fetched} pages / {result.rounds_run} "
+        f"rounds in {dt:.1f}s = {result.pages_fetched / dt:,.1f} pages/s")
+    return {"sec": dt, "pages_per_sec": result.pages_fetched / dt,
+            "pages": result.pages_fetched, "rounds": result.rounds_run}
+
+
+def bench_sf_queries(spark: SparkSession) -> dict:
+    """Representative driver-contract queries at the bench sf."""
+    import __spark_entry__ as entrymod
+
+    names = [
+        "crawl_bfs", "frontier_dedup_anti", "priority_pop",
+        "admission_filter", "sessionize", "events_hourly",
+        "dedup_exact", "token_counts", "quality_score", "lang_id",
+        "doc_fingerprint", "embedding_topk", "embedding_lsh",
+        "minhash_signatures",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        dt = time.time() - t0
+        out[name] = dt
+        log(f"q:{name}: {n} rows in {dt:.2f}s")
+    return out
+
+
+def run(spark: SparkSession) -> dict:
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    r = bench_frontier_dedup(spark)
+    queries["frontier_dedup_synthetic"] = round(r["sec"], 3)
+    extra["frontier_dedup_ops_per_sec"] = round(r["ops_per_sec"])
+
+    r = bench_page_pipeline(spark)
+    queries["page_pipeline_synthetic"] = round(r["sec"], 3)
+    extra["pages_per_sec"] = round(r["pages_per_sec"])
+
+    r = bench_image_decode(spark)
+    queries["image_decode_verify"] = round(r["sec"], 3)
+    extra["images_per_sec"] = round(r["images_per_sec"])
+
+    r = bench_crawl_engine(spark)
+    queries["crawl_engine_rounds"] = round(r["sec"], 3)
+    extra["engine_pages_per_sec"] = round(r["pages_per_sec"], 1)
+
+    for name, sec in bench_sf_queries(spark).items():
+        queries[name] = round(sec, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline crawl+training-data suite wall time "
+                  "(pages/s + dedup ops/s in extra keys)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _SF,
+        **extra,
+    }
+
+
+def main():
+    from lightcrawler_spark.session import get_spark
+
+    spark = get_spark(
+        "lightcrawler-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    try:
+        result = run(spark)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

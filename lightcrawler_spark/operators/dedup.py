@@ -14,12 +14,14 @@ Spark rebuild:
 2. cross-round: ``left_anti`` join against the seen set — exact, and the
    correctness anchor.
 3. scale pre-filter: a SHARDED Bloom filter over xxhash64(url). The seen
-   set at 10^10 URLs is ~2.4 TB of md5s; the bloom shards are ~1.5 GB
-   total at 1% FPR and are built *distributedly* (one shard per hash
-   bucket via applyInPandas, each shard sized for its bucket) and joined
-   (broadcast) to the new-links side, so ~99% of already-seen URLs never
-   reach the anti-join shuffle. False positives are harmless: the exact
-   anti-join only sees fewer rows; false negatives cannot occur.
+   set at 10^10 URLs is ~2.4 TB of md5s; the bloom shards total ~12 GB
+   at 1% FPR (~9.6 bits/key) and are built *distributedly* (one shard
+   per hash bucket via applyInPandas, each shard sized for its bucket).
+   Probing uses a shard-aligned COGROUP, so each task receives its
+   bucket's links plus that ONE bitmap — no node ever holds all shards,
+   and no bitmap is ever duplicated per row. ~99% of already-seen URLs
+   never reach the anti-join shuffle. False positives are harmless: the
+   exact anti-join only sees fewer rows; false negatives cannot occur.
 """
 
 from __future__ import annotations
@@ -90,10 +92,17 @@ class NumpyBloom:
         return m, k
 
     def _indexes(self, keys: np.ndarray) -> np.ndarray:
+        # splitmix64-finalize before indexing: callers bucket keys by
+        # `key mod num_shards`, so raw keys within one filter are
+        # congruent — without remixing, `mod m` indexing inherits that
+        # structure and the realized FPR blows past the budget.
         h = keys.astype(np.uint64)
-        h2 = (h ^ (h >> np.uint64(33))) * _MIX
+        h1 = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h1 = (h1 ^ (h1 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 ^= h1 >> np.uint64(31)
+        h2 = ((h1 ^ (h1 >> np.uint64(33))) * _MIX) | np.uint64(1)  # odd stride
         i = np.arange(self.k, dtype=np.uint64)[:, None]
-        return ((h[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
 
     def add(self, keys: np.ndarray) -> None:
         idx = self._indexes(np.asarray(keys))
@@ -145,48 +154,44 @@ def build_bloom_shards(seen: DataFrame, num_shards: int = 32,
 
 def bloom_prefilter(new_links: DataFrame, shards: DataFrame,
                     num_shards: int = 32, url_col: str = "url") -> DataFrame:
-    """Drop new links that are PROBABLY seen: join each link to its shard
-    (broadcast — shards are small) and test membership in one Arrow batch
-    per partition. Survivors still pass the exact anti-join; this only
-    thins the shuffle."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql import types as T
+    """Drop new links that are PROBABLY seen.
 
-    @pandas_udf(T.BooleanType())
-    def _might_contain(h: pd.Series, shard: pd.Series, bitmap: pd.Series,
-                       num_bits: pd.Series, num_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(h), dtype=bool)
-        if len(h) == 0:
-            return pd.Series(out)
-        # group rows by SHARD id — each shard has its own bitmap (shards
-        # may share (m, k) sizes, so sizes are not a valid group key)
-        df = pd.DataFrame({"h": h.to_numpy().astype(np.uint64),
-                           "s": shard, "m": num_bits, "k": num_hashes})
-        for s, grp in df.groupby("s", sort=False, dropna=False):
-            first = grp.index[0]
-            m = grp["m"].iloc[0]
-            if pd.isna(s) or pd.isna(m):
-                continue  # no shard → brand-new bucket → not seen
-            bloom = NumpyBloom.from_bytes(
-                bytes(bitmap[first]), int(m), int(grp["k"].iloc[0])
-            )
-            out[grp.index.to_numpy()] = bloom.might_contain(grp["h"].to_numpy())
-        return pd.Series(out)
+    Shard-aligned cogroup: links are bucketed by the SAME
+    ``pmod(xxhash64(url), num_shards)`` used at build time, then each
+    (links-bucket, bitmap) pair meets in one Arrow task. The bitmap
+    crosses the wire once per bucket — never once per row — so probe
+    cost is O(links + shard_bytes), independent of fan-out. A bucket
+    with no shard row (empty at build time) passes everything through:
+    nothing in that bucket was ever seen. Survivors still pass the
+    exact anti-join; this only thins that shuffle.
 
-    # num_shards must equal the build-time modulus (empty buckets produce
-    # no shard row, so counting the shard table would under-report it).
-    linked = new_links.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(
-        "_shard", F.pmod(F.col("_h"), F.lit(max(1, num_shards)))
-    )
-    joined = linked.join(F.broadcast(shards),
-                         linked["_shard"] == shards["shard"], "left")
-    return (
-        joined.withColumn(
-            "_maybe_seen",
-            _might_contain(F.col("_h"), F.col("shard"), F.col("bitmap"),
-                           F.col("num_bits"), F.col("num_hashes")),
+    ``num_shards`` must equal the build-time modulus (empty buckets
+    produce no shard row, so counting the shard table under-reports it).
+    """
+    out_fields = new_links.schema.fieldNames()
+    out_schema = new_links.schema
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return left[out_fields]
+        bloom = NumpyBloom.from_bytes(
+            bytes(right["bitmap"].iloc[0]),
+            int(right["num_bits"].iloc[0]),
+            int(right["num_hashes"].iloc[0]),
         )
-        .filter(~F.coalesce(F.col("_maybe_seen"), F.lit(False)))
-        .drop("_h", "_shard", "shard", "num_bits", "num_hashes", "bitmap",
-              "_maybe_seen")
+        mask = bloom.might_contain(left["_h"].to_numpy().astype(np.uint64))
+        return left.loc[~mask, out_fields]
+
+    linked = new_links.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(
+        "_shard",
+        F.pmod(F.col("_h"), F.lit(max(1, num_shards))).cast("int"),
+    )
+    keyed_shards = shards.select(
+        F.col("shard").cast("int").alias("_shard"),
+        "num_bits", "num_hashes", "bitmap",
+    )
+    return (
+        linked.groupBy("_shard")
+        .cogroup(keyed_shards.groupBy("_shard"))
+        .applyInPandas(_probe, out_schema)
     )
