@@ -356,8 +356,341 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# content-extraction queries (SURVEY.md §2.4 E11–E19, §2.3 C7/C8/C11,
+# §2.5 P7/P12, §2.1 S9)
+# ---------------------------------------------------------------------------
+
+def q_publish_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: Chinese/dash date strings → DATE via the UnifyPublishtime
+    regex."""
+    from lightcrawler_spark.operators.content import unify_publish_time
+
+    o = _t(spark, sf_dir, "orders")
+    y, m, d = F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+    s = (
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(y.cast("string"), F.lit("年"), m.cast("string"),
+                        F.lit("月"), d.cast("string"), F.lit("日发布")))
+        .when(F.col("o_orderkey") % 3 == 1,
+              F.concat(y.cast("string"), F.lit("-"), m.cast("string"),
+                       F.lit("-"), d.cast("string")))
+        .otherwise(F.lit("未注明日期"))
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        unify_publish_time(s).alias("pub_date"),
+    )
+
+
+_ORGS = ["国务院", "财政部", "中国证监会", "北京市人民政府"]
+
+
+def q_doc_no_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: bracket-style variants → canonical `org(year)no号`."""
+    from lightcrawler_spark.operators.content import unify_doc_ori_no
+
+    p = _t(spark, sf_dir, "part")
+    org = F.element_at(F.array(*[F.lit(o) for o in _ORGS]),
+                       (F.col("p_partkey") % 4 + 1).cast("int"))
+    yr = (F.lit(1990) + F.col("p_partkey") % 30).cast("string")
+    no = (F.col("p_partkey") % 500).cast("string")
+    raw = (
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(org, F.lit("〔"), yr, F.lit("〕第"), no, F.lit("号")))
+        .when(F.col("p_partkey") % 3 == 1,
+              F.concat(org, F.lit("（"), yr, F.lit("）"), no, F.lit("号")))
+        .otherwise(F.concat(org, F.lit("["), yr, F.lit("]第"), no, F.lit("号")))
+    )
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        raw.alias("raw_no"),
+        unify_doc_ori_no(raw).alias("doc_no"),
+    )
+
+
+def q_title_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: <title> split on _/- , first segment."""
+    from lightcrawler_spark.operators.content import title_guess
+
+    p = _t(spark, sf_dir, "part")
+    t = (
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.col("p_name"), F.lit("_政策文件_政府网")))
+        .when(F.col("p_partkey") % 3 == 1,
+              F.concat(F.col("p_name"), F.lit(" - Site Name")))
+        .otherwise(F.col("p_name"))
+    )
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        title_guess(t).alias("title"),
+    )
+
+
+def q_t_valid_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: 自YYYY年M月D日起施行 → DATE."""
+    from lightcrawler_spark.operators.content import t_valid_date
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 < 2)
+    y, m, d = F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+    line = (
+        F.when(F.col("o_orderkey") % 5 == 0,
+               F.concat(F.lit("本办法自"), y.cast("string"), F.lit("年"),
+                        m.cast("string"), F.lit("月"), d.cast("string"),
+                        F.lit("日起施行。")))
+        .otherwise(F.lit("本条不含生效日期。"))
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        t_valid_date(line).alias("t_valid"),
+    )
+
+
+def q_negs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: 《…》 named entities, distinct, exploded to rows."""
+    from lightcrawler_spark.operators.content import negs_list
+
+    p = _t(spark, sf_dir, "part")
+    text = F.concat(
+        F.lit("依据《"), F.col("p_type"), F.lit("》与《"), F.col("p_brand"),
+        F.lit("》以及《"), F.col("p_type"), F.lit("》。"),
+    )
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.explode(negs_list(text)).alias("neg"),
+    )
+
+
+def q_attachment_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: doc-extension links + CMS image urls from page bodies."""
+    from lightcrawler_spark.operators.content import harvest_attachments
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
+    body = F.concat(
+        F.lit('<a href="/files/f'), F.col("p_partkey").cast("string"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(".pdf"))
+        .otherwise(F.lit(".html")),
+        F.lit('">att</a><img src="/userfiles/image/'),
+        (F.col("p_partkey") % 100).cast("string"),
+        F.when(F.col("p_partkey") % 8 == 0, F.lit(".jpg"))
+        .otherwise(F.lit(".gif")),
+        F.lit('"/>'),
+    )
+    pages = p.select(
+        F.concat(F.lit("http://x.test/p"), F.col("p_partkey").cast("string")).alias("url"),
+        body.alias("body_text"),
+    )
+    return harvest_attachments(pages).select("referer", "att_url", "kind")
+
+
+def q_attachment_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: extension → type code enum."""
+    from lightcrawler_spark.operators.content import attachment_type_code
+
+    p = _t(spark, sf_dir, "part")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in
+                  ("htm", "pdf", "doc", "docx", "xls", "xlsx", "txt", "json", "bin")]),
+        (F.col("p_partkey") % 9 + 1).cast("int"),
+    )
+    url = F.concat(F.lit("http://x.test/f"), F.col("p_partkey").cast("string"),
+                   F.lit("."), ext)
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        url.alias("url"),
+        attachment_type_code(url).alias("type_code"),
+    )
+
+
+def q_index_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: metadata key/value line filter."""
+    from lightcrawler_spark.operators.content import index_block_filter
+
+    n = _t(spark, sf_dir, "nation")
+    lines = n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.when(F.col("n_nationkey") % 3 == 0,
+               F.concat(F.lit("索引号：GOV-"), F.col("n_nationkey").cast("string")))
+        .when(F.col("n_nationkey") % 3 == 1,
+              F.concat(F.lit("这是一行比较长的正文内容不是元数据行"),
+                       F.col("n_name")))
+        .otherwise(F.concat(F.lit(" 标 题："), F.col("n_name"))).alias("line"),
+    )
+    return index_block_filter(lines).select("n_nationkey", "line")
+
+
+def q_title_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: normalized Levenshtein similarity between title variants."""
+    from lightcrawler_spark.operators.products import title_similarity
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    a = F.col("p_name")
+    b = F.concat(F.col("p_name"), F.lit(" (2024)"))
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        title_similarity(a, b).alias("sim"),
+        title_similarity(a, F.col("p_type")).alias("sim_mfgr"),
+    )
+
+
+def q_product_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: 4-key any-match product-sink dedup."""
+    from lightcrawler_spark.operators.products import dedup_products_against
+
+    p = _t(spark, sf_dir, "part")
+    new = p.select(
+        F.md5(F.concat(F.lit("u"), F.col("p_partkey").cast("string"))).alias("url_md5"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("国发("), (F.col("p_partkey") % 40 + 1980).cast("string"),
+                            F.lit(")"), (F.col("p_partkey") % 300).cast("string"),
+                            F.lit("号"))).alias("doc_ori_no"),
+        F.concat(F.lit("d"), (F.col("p_partkey") % 900).cast("string")).alias("doc_id"),
+        ((F.col("p_partkey") * 37 + 11) % 10000).cast("long").alias("simhash"),
+    )
+    existing = _t(spark, sf_dir, "supplier").select(
+        F.md5(F.concat(F.lit("u"), (F.col("s_suppkey") * 3).cast("string"))).alias("url_md5"),
+        F.concat(F.lit("国发("), (F.col("s_suppkey") % 40 + 1980).cast("string"),
+                 F.lit(")"), (F.col("s_suppkey") % 300).cast("string"),
+                 F.lit("号")).alias("doc_ori_no"),
+        F.concat(F.lit("d"), (F.col("s_suppkey") % 11).cast("string")).alias("doc_id"),
+        ((F.col("s_suppkey") * 41 + 11) % 10000).cast("long").alias("simhash"),
+    )
+    return dedup_products_against(new, existing).select(
+        "url_md5", "doc_ori_no", "doc_id", "simhash"
+    )
+
+
+def q_cookie_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: cookie jar upsert + per-request lookup (tail-match domain,
+    prefix-match path, last-stored-wins per name)."""
+    from lightcrawler_spark.operators.cookies import (
+        cookies_for_requests, upsert_cookies,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    k2 = F.col("n_nationkey") % 20
+    jar = n.select(
+        F.col("n_nationkey").cast("long").alias("seq"),
+        F.concat(F.lit("n"), k2.cast("string"), F.lit(".test")).alias("source_domain"),
+        F.concat(F.lit("n"), k2.cast("string"), F.lit(".test")).alias("domain"),
+        F.concat(F.lit("/p"), (k2 % 3).cast("string")).alias("path"),
+        F.concat(F.lit("c"), (k2 % 5).cast("string")).alias("name"),
+        F.concat(F.lit("v"), F.col("n_nationkey").cast("string")).alias("value"),
+    )
+    jar = upsert_cookies(None, jar)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    reqs = c.select(
+        F.concat(F.lit("http://"),
+                 F.when(F.col("c_custkey") % 2 == 0, F.lit("")).otherwise(F.lit("sub.")),
+                 F.lit("n"), (F.col("c_custkey") % 20).cast("string"),
+                 F.lit(".test/p"), (F.col("c_custkey") % 4).cast("string"),
+                 F.lit("/page")).alias("url"),
+        F.concat(F.lit("n"), (F.col("c_custkey") % 20).cast("string"),
+                 F.lit(".test")).alias("domain"),
+        F.concat(F.when(F.col("c_custkey") % 2 == 0, F.lit("")).otherwise(F.lit("sub.")),
+                 F.lit("n"), (F.col("c_custkey") % 20).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("/p"), (F.col("c_custkey") % 4).cast("string"),
+                 F.lit("/page")).alias("path"),
+    )
+    return cookies_for_requests(reqs, jar).select("url", "name", "value")
+
+
+def q_send_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: regex-matched POST/auth rules attached to the work-list."""
+    from lightcrawler_spark.operators.senddata import attach_send_data
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    work = p.select(
+        F.concat(
+            F.lit("http://forms.test/"),
+            F.when(F.col("p_partkey") % 3 == 0, F.lit("search"))
+            .when(F.col("p_partkey") % 3 == 1, F.lit("login"))
+            .otherwise(F.lit("page")),
+            F.lit("/"), F.col("p_partkey").cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, "/search/", "post", "q=laws"),
+            (2, "/search/", "post", "lang=zh"),
+            (3, "/(search|login)/", "auth", "user:pass1"),
+            (4, "/login/", "auth", "user:pass2"),
+        ],
+        "rule_order long, url_regex string, kind string, payload string",
+    )
+    return attach_send_data(work, rules).select("url", "post_data", "auth")
+
+
+def q_requeue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: deterministic selective re-queue of processed list pages."""
+    from lightcrawler_spark.operators.products import requeue_list_pages
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.col("event_id").cast("long").alias("insert_seq"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("list"))
+        .otherwise(F.lit("detail")).alias("route"),
+    )
+    return requeue_list_pages(frontier, max_pages=50).select(
+        "insert_seq", "route", "state"
+    )
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
+
+def q_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/E8/E10: HTML→text kernel over synthesized pages (Arrow UDF —
+    rows-only)."""
+    from lightcrawler_spark.operators.content import html_to_text_udf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    body = F.concat(
+        F.lit("<html><head><title>Doc_"), F.col("doc_id").cast("string"),
+        F.lit("</title><script>var junk=1;</script></head><body><h1>Head "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p>'), F.col("text").substr(1, 200),
+        F.lit('</p><p><img src="/userfiles/image/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.jpg"/></p><table><tr><td>索引号</td><td>GOV-'),
+        F.col("doc_id").cast("string"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    out = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        html_to_text_udf(body).alias("s"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("s.page_title").alias("page_title"),
+        F.col("s.content").alias("content"),
+        F.size("s.images").cast("int").alias("n_images"),
+        F.size("s.text_p").cast("int").alias("n_paragraphs"),
+    )
+
+
+def q_summary_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: Chinese label→value summary extraction (Arrow UDF —
+    rows-only)."""
+    from lightcrawler_spark.operators.content import extract_summary_udf
+
+    n = _t(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("索引号：GOV-"), F.col("n_nationkey").cast("string"),
+        F.lit("\n发文机关:机关"), (F.col("n_nationkey") % 5).cast("string"),
+        F.lit("\n发布日期：20"), (F.col("n_nationkey") % 10 + 10).cast("string"),
+        F.lit("年1月2日\n正文从这里开始。"),
+    )
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        extract_summary_udf(text).alias("s"),
+    ).select(
+        "n_nationkey",
+        F.col("s.index_ori_no").alias("index_ori_no"),
+        F.col("s.author").alias("author"),
+        F.col("s.publish_time").alias("publish_time"),
+    )
 
 def q_crawl_golden_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BSP crawl engine end-to-end on the deterministic fixture web,
@@ -499,10 +832,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
+        "publish_time_normalize": q_publish_time,
+        "doc_no_normalize": q_doc_no_normalize,
+        "title_guess": q_title_guess,
+        "t_valid_rule": q_t_valid_rule,
+        "negs_extract": q_negs_extract,
+        "attachment_harvest": q_attachment_harvest,
+        "attachment_type": q_attachment_type,
+        "index_block": q_index_block,
+        "title_similarity": q_title_similarity,
+        "product_dedup": q_product_dedup,
+        "cookie_lookup": q_cookie_lookup,
+        "send_data": q_send_data,
+        "requeue_list": q_requeue_list,
         "crawl_golden_fixture": q_crawl_golden_fixture,
         "simhash_docs": q_simhash_docs,
         "image_verify": q_image_verify,
         "bloom_prefilter": q_bloom_prefilter,
+        "content_extract": q_content_extract,
+        "summary_fields": q_summary_fields,
     }
 
 
@@ -824,7 +1172,263 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        sim, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
 """,
+        "publish_time_normalize": """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN
+                year(o_orderdate) || '年' || month(o_orderdate) || '月'
+                || day(o_orderdate) || '日发布'
+              WHEN o_orderkey % 3 = 1 THEN
+                year(o_orderdate) || '-' || month(o_orderdate) || '-'
+                || day(o_orderdate)
+              ELSE '未注明日期' END AS raw
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE WHEN regexp_matches(raw, '([0-9]{4})[年-]([0-9]{1,2})[月-]([0-9]{1,2})日?')
+            THEN make_date(
+              CAST(regexp_extract(raw, '([0-9]{4})[年-]([0-9]{1,2})[月-]([0-9]{1,2})日?', 1) AS INT),
+              CAST(regexp_extract(raw, '([0-9]{4})[年-]([0-9]{1,2})[月-]([0-9]{1,2})日?', 2) AS INT),
+              CAST(regexp_extract(raw, '([0-9]{4})[年-]([0-9]{1,2})[月-]([0-9]{1,2})日?', 3) AS INT))
+            ELSE NULL END AS pub_date
+FROM s
+""",
+        "doc_no_normalize": """
+WITH r AS (
+  SELECT p_partkey,
+         (['国务院','财政部','中国证监会','北京市人民政府'])[p_partkey % 4 + 1] AS org,
+         CAST(1990 + p_partkey % 30 AS VARCHAR) AS yr,
+         CAST(p_partkey % 500 AS VARCHAR) AS no
+  FROM part
+),
+raws AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN org || '〔' || yr || '〕第' || no || '号'
+              WHEN p_partkey % 3 = 1 THEN org || '（' || yr || '）' || no || '号'
+              ELSE org || '[' || yr || ']第' || no || '号' END AS raw_no,
+         org, yr, no
+  FROM r
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, raw_no,
+       org || '(' || yr || ')' || no || '号' AS doc_no
+FROM raws
+""",
+        "title_guess": """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN p_name || '_政策文件_政府网'
+              WHEN p_partkey % 3 = 1 THEN p_name || ' - Site Name'
+              ELSE p_name END AS raw
+  FROM part
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       trim(split_part(replace(raw, '-', '_'), '_', 1)) AS title
+FROM t
+""",
+        "t_valid_rule": """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey % 5 < 2),
+s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN
+                '本办法自' || year(o_orderdate) || '年' || month(o_orderdate)
+                || '月' || day(o_orderdate) || '日起施行。'
+              ELSE '本条不含生效日期。' END AS line
+  FROM o
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE WHEN regexp_matches(line, '自([0-9]{4})年([0-9]+)月([0-9]+)日起施行')
+            THEN make_date(
+              CAST(regexp_extract(line, '自([0-9]{4})年([0-9]+)月([0-9]+)日起施行', 1) AS INT),
+              CAST(regexp_extract(line, '自([0-9]{4})年([0-9]+)月([0-9]+)日起施行', 2) AS INT),
+              CAST(regexp_extract(line, '自([0-9]{4})年([0-9]+)月([0-9]+)日起施行', 3) AS INT))
+            ELSE NULL END AS t_valid
+FROM s
+""",
+        "negs_extract": """
+WITH t AS (
+  SELECT p_partkey,
+         '依据《' || p_type || '》与《' || p_brand || '》以及《' || p_type || '》。' AS text
+  FROM part
+)
+SELECT DISTINCT CAST(p_partkey AS BIGINT) AS p_partkey,
+       unnest(regexp_extract_all(text, '《(.*?)》', 1)) AS neg
+FROM t
+""",
+        "attachment_harvest": """
+WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0),
+pages AS (
+  SELECT 'http://x.test/p' || p_partkey AS referer,
+         '<a href="/files/f' || p_partkey
+           || CASE WHEN p_partkey % 4 = 0 THEN '.pdf' ELSE '.html' END
+           || '">att</a><img src="/userfiles/image/' || (p_partkey % 100)
+           || CASE WHEN p_partkey % 8 = 0 THEN '.jpg' ELSE '.gif' END
+           || '"/>' AS body
+  FROM p
+)
+SELECT referer, unnest(regexp_extract_all(body,
+         'href\\s*=\\s*"([^"]+\\.(?:doc|docx|pdf|txt|xls|ceb))"', 1)) AS att_url,
+       'attachment' AS kind
+FROM pages
+UNION ALL
+SELECT referer, unnest(regexp_extract_all(body,
+         'src\\s*=\\s*"([^"]*/userfiles/image/[0-9]+\\.(?:png|jpg))"', 1)) AS att_url,
+       'image' AS kind
+FROM pages
+""",
+        "attachment_type": """
+WITH u AS (
+  SELECT p_partkey,
+         'http://x.test/f' || p_partkey || '.' ||
+           (['htm','pdf','doc','docx','xls','xlsx','txt','json','bin'])[p_partkey % 9 + 1]
+           AS url
+  FROM part
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, url,
+       CAST(CASE lower(regexp_extract(url, '\\.([A-Za-z0-9]+)$', 1))
+         WHEN 'html' THEN 1 WHEN 'htm' THEN 1 WHEN 'shtml' THEN 1
+         WHEN 'json' THEN 2 WHEN 'txt' THEN 3 WHEN 'doc' THEN 4
+         WHEN 'docx' THEN 5 WHEN 'xls' THEN 6 WHEN 'xlsx' THEN 7
+         WHEN 'pdf' THEN 8 ELSE 1 END AS INT) AS type_code
+FROM u
+""",
+        "index_block": """
+WITH l AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 3 = 0 THEN '索引号：GOV-' || n_nationkey
+              WHEN n_nationkey % 3 = 1 THEN '这是一行比较长的正文内容不是元数据行' || n_name
+              ELSE ' 标 题：' || n_name END AS line
+  FROM nation
+),
+cleaned AS (
+  SELECT n_nationkey,
+         regexp_replace(trim(line), '[\\s　【]+', '', 'g') AS line
+  FROM l
+)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, line
+FROM cleaned
+WHERE length(line) > 0
+  AND regexp_matches(line, '^([\\[一-龥 ]{2,8})[：】:|\\]].*')
+""",
+        "title_similarity": """
+WITH p AS (SELECT * FROM part WHERE p_partkey < 500)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       round(1.0 - levenshtein(p_name, p_name || ' (2024)')
+             / greatest(length(p_name), length(p_name || ' (2024)'), 1), 6) AS sim,
+       round(1.0 - levenshtein(p_name, p_type)
+             / greatest(length(p_name), length(p_type), 1), 6) AS sim_mfgr
+FROM p
+""",
+        "product_dedup": """
+WITH new_p AS (
+  SELECT md5('u' || p_partkey) AS url_md5,
+         CASE WHEN p_partkey % 7 = 0 THEN ''
+              ELSE '国发(' || (p_partkey % 40 + 1980) || ')'
+                   || (p_partkey % 300) || '号' END AS doc_ori_no,
+         'd' || (p_partkey % 900) AS doc_id,
+         CAST((p_partkey * 37 + 11) % 10000 AS BIGINT) AS simhash
+  FROM part
+),
+existing AS (
+  SELECT md5('u' || (s_suppkey * 3)) AS url_md5,
+         '国发(' || (s_suppkey % 40 + 1980) || ')' || (s_suppkey % 300) || '号' AS doc_ori_no,
+         'd' || (s_suppkey % 11) AS doc_id,
+         CAST((s_suppkey * 41 + 11) % 10000 AS BIGINT) AS simhash
+  FROM supplier
+)
+SELECT url_md5, doc_ori_no, doc_id, simhash
+FROM new_p n
+WHERE n.url_md5 NOT IN (SELECT url_md5 FROM existing)
+  AND (n.doc_ori_no = '' OR n.doc_ori_no NOT IN
+        (SELECT doc_ori_no FROM existing WHERE doc_ori_no <> ''))
+  AND n.doc_id NOT IN (SELECT doc_id FROM existing)
+  AND n.simhash NOT IN (SELECT simhash FROM existing)
+""",
+        "cookie_lookup": """
+WITH jar0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS seq,
+         'n' || (n_nationkey % 20) || '.test' AS source_domain,
+         'n' || (n_nationkey % 20) || '.test' AS domain,
+         '/p' || ((n_nationkey % 20) % 3) AS path,
+         'c' || ((n_nationkey % 20) % 5) AS name,
+         'v' || n_nationkey AS value
+  FROM nation
+),
+jar AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY domain, path, name
+                                 ORDER BY seq DESC) AS rn
+    FROM jar0
+  ) WHERE rn = 1
+),
+reqs AS (
+  SELECT 'http://' || CASE WHEN c_custkey % 2 = 0 THEN '' ELSE 'sub.' END
+           || 'n' || (c_custkey % 20) || '.test/p' || (c_custkey % 4)
+           || '/page' AS url,
+         'n' || (c_custkey % 20) || '.test' AS domain,
+         CASE WHEN c_custkey % 2 = 0 THEN '' ELSE 'sub.' END
+           || 'n' || (c_custkey % 20) || '.test' AS host,
+         '/p' || (c_custkey % 4) || '/page' AS path
+  FROM customer WHERE c_custkey < 200
+),
+cand AS (
+  SELECT r.url, j.name, j.value, j.seq
+  FROM reqs r JOIN jar j ON r.domain = j.source_domain
+  WHERE (r.host = j.domain OR r.host LIKE '%' || j.domain)
+    AND r.path LIKE j.path || '%'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url, name ORDER BY seq DESC) AS rn
+  FROM cand
+)
+SELECT url, name, value FROM ranked WHERE rn = 1
+""",
+        "send_data": """
+WITH work AS (
+  SELECT 'http://forms.test/' ||
+           CASE WHEN p_partkey % 3 = 0 THEN 'search'
+                WHEN p_partkey % 3 = 1 THEN 'login' ELSE 'page' END
+           || '/' || p_partkey AS url
+  FROM part WHERE p_partkey < 400
+),
+rules AS (
+  SELECT * FROM (VALUES
+    (1, '/search/', 'post', 'q=laws'),
+    (2, '/search/', 'post', 'lang=zh'),
+    (3, '/(search|login)/', 'auth', 'user:pass1'),
+    (4, '/login/', 'auth', 'user:pass2')
+  ) AS t(rule_order, url_regex, kind, payload)
+),
+m AS (
+  SELECT w.url, r.rule_order, r.kind, r.payload
+  FROM work w JOIN rules r ON regexp_matches(w.url, r.url_regex)
+),
+post AS (
+  SELECT url, string_agg(payload, '&' ORDER BY rule_order) AS post_data
+  FROM m WHERE kind = 'post' GROUP BY url
+),
+auth AS (
+  SELECT url, arg_min(payload, rule_order) AS auth
+  FROM m WHERE kind = 'auth' GROUP BY url
+)
+SELECT w.url, p.post_data, a.auth
+FROM work w
+LEFT JOIN post p ON p.url = w.url
+LEFT JOIN auth a ON a.url = w.url
+""",
+        "requeue_list": """
+WITH f AS (
+  SELECT CAST(event_id AS BIGINT) AS insert_seq,
+         CASE WHEN event_id % 4 = 0 THEN 'list' ELSE 'detail' END AS route
+  FROM events
+)
+SELECT insert_seq, route, 'pending' AS state
+FROM f
+WHERE route = 'list' AND insert_seq % 3 = 0
+ORDER BY insert_seq ASC
+LIMIT 50
+""",
         "crawl_golden_fixture": _golden_fixture_values_sql(),
-        # simhash_docs / image_verify / bloom_prefilter: Arrow-UDF kernels
-        # with no ANSI-SQL equivalent → rows-only checks (intentional).
+        # simhash_docs / image_verify / bloom_prefilter / content_extract /
+        # summary_fields: Arrow-UDF kernels with no ANSI-SQL equivalent →
+        # rows-only checks (intentional).
     }

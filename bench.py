@@ -34,10 +34,15 @@ try:
 except ValueError:
     _SF = 0.1
 SCALE = max(_SF / 0.1, 0.01)
-N_SEEN = int(2_000_000 * SCALE)
-N_NEW = int(2_000_000 * SCALE)
-N_PAGES = int(60_000 * SCALE)
-N_IMAGES = int(20_000 * SCALE)
+def _env_n(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+N_SEEN = _env_n("SPARK_GRAFT_DEDUP_N", int(2_000_000 * SCALE))
+N_NEW = N_SEEN
+N_PAGES = _env_n("SPARK_GRAFT_PAGES_N", int(60_000 * SCALE))
+N_IMAGES = _env_n("SPARK_GRAFT_IMAGES_N", int(20_000 * SCALE))
 
 
 def log(msg: str) -> None:

@@ -32,6 +32,19 @@ FAST_ORACLE_QUERIES = [
     "doc_fingerprint",
     "embedding_topk",
     "embedding_lsh",
+    "publish_time_normalize",
+    "doc_no_normalize",
+    "title_guess",
+    "t_valid_rule",
+    "negs_extract",
+    "attachment_harvest",
+    "attachment_type",
+    "index_block",
+    "title_similarity",
+    "product_dedup",
+    "cookie_lookup",
+    "send_data",
+    "requeue_list",
 ]
 
 
@@ -57,7 +70,10 @@ def test_every_query_has_callable_and_oracle_keys():
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     # the intentional rows-only set
-    assert set(q) - set(o) == {"simhash_docs", "image_verify", "bloom_prefilter"}
+    assert set(q) - set(o) == {
+        "simhash_docs", "image_verify", "bloom_prefilter",
+        "content_extract", "summary_fields",
+    }
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
@@ -77,3 +93,6 @@ def test_rows_only_queries_run(spark):
     assert q["image_verify"](spark, SF_DIR).count() == 64  # all verdicts pass
     assert q["simhash_docs"](spark, SF_DIR).count() == 500
     assert q["bloom_prefilter"](spark, SF_DIR).count() > 0
+    assert q["content_extract"](spark, SF_DIR).filter("n_images = 1").count() == 100
+    assert q["summary_fields"](spark, SF_DIR).filter(
+        "index_ori_no is not null").count() == 25

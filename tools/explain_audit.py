@@ -1,0 +1,80 @@
+"""Physical-plan audit: `.explain("formatted")` for the headline queries
+with automated checks that the plans have the shape a 100 TB deployment
+needs — filters pushed to the parquet scan, pruned read schemas, joins
+broadcast where a side is tiny, whole-stage codegen on the hot JVM path.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Prints PASS/WARN per check and the full plan on WARN.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# query -> list of (check_name, regex that must appear in the plan)
+CHECKS: dict[str, list[tuple[str, str]]] = {
+    # doc_id < N filter must reach the scan; only needed columns read
+    "minhash_signatures": [
+        ("filter pushed to scan", r"PushedFilters: \[.*LessThan\(doc_id"),
+        ("column pruning", r"ReadSchema: [^\n]*doc_id[^\n]*text"),
+        ("codegen", r"WholeStageCodegen"),
+    ],
+    "token_counts": [
+        ("column pruning (no unneeded cols)", r"ReadSchema: [^\n]*text"),
+        ("codegen", r"WholeStageCodegen"),
+    ],
+    "embedding_topk": [
+        ("query side filtered at scan", r"PushedFilters: \[.*LessThan\(vec_id"),
+        ("broadcast of small query side", r"Broadcast"),
+    ],
+    "frontier_dedup_anti": [
+        ("anti join present", r"LeftAnti"),
+        ("seen side filter pushed", r"PushedFilters: \[.*GreaterThan\(p_size"),
+    ],
+    "sessionize": [
+        ("single shuffle for window+agg", r"Exchange hashpartitioning\(user_id"),
+        ("codegen", r"WholeStageCodegen"),
+    ],
+    "admission_filter": [
+        ("admission predicates in scan/filter", r"PushedFilters"),
+        ("codegen", r"WholeStageCodegen"),
+    ],
+}
+
+
+def main() -> int:
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+    from lightcrawler_spark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=8)
+    queries = entrymod.queries()
+    warned = 0
+    for name, checks in CHECKS.items():
+        if only and name not in only:
+            continue
+        df = queries[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        fails = [c for c, rx in checks if not re.search(rx, plan)]
+        if fails:
+            warned += 1
+            print(f"WARN {name}: missing {fails}")
+            print(plan)
+        else:
+            print(f"PASS {name}: " + ", ".join(c for c, _ in checks))
+    spark.stop()
+    return 1 if warned else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

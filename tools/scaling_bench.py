@@ -6,13 +6,21 @@ sanctioned evidence is: run the SAME job on the SAME input at two
 parallelism levels (local[8] vs local[32]) and report throughput at both
 plus efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
 
-Each level gets a fresh SparkSession (fresh JVM would be even cleaner,
-so each level runs in a subprocess) with shuffle partitions sized to its
-core count — the same knob a spark-submit deployment would set.
+Measurement design — this Firecracker VM suffers multi-minute host CPU
+steal bursts (the same job swings 4-6x back-to-back), so:
+
+1. one PERSISTENT worker process per level (warm JVM, warm python
+   workers — cold first-runs are 2-4x slower and would be attributed to
+   whichever level ran first);
+2. the orchestrator alternates single ~5-20 s workload iterations
+   between the two levels (A B A B …, REPS each) so both levels sample
+   the same noise windows at a grain finer than the bursts;
+3. per (level, workload) the BEST iteration is kept — the only
+   defensible estimate of quiet-machine capacity under stolen CPU.
 
 Usage:
-  python tools/scaling_bench.py            # orchestrate both levels
-  python tools/scaling_bench.py --worker 8 # run one level, print JSON
+  python tools/scaling_bench.py              # full run, prints JSON report
+  SCALING_REPS=6 python tools/scaling_bench.py
 """
 
 from __future__ import annotations
@@ -21,66 +29,107 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = (8, 32)
+REPS = int(os.environ.get("SCALING_REPS", "8"))
+WORKLOADS = ("dedup", "pages", "images")
 
 
-def run_level(cpus: int) -> dict:
+def serve(cpus: int) -> None:
+    """Persistent worker: one Spark session, runs one workload iteration
+    per stdin command, prints one JSON line per result."""
     import bench
     from lightcrawler_spark.session import get_spark
 
     bench.CPUS = cpus
     spark = get_spark(
-        f"scaling-bench-{cpus}",
+        f"scaling-worker-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    try:
-        # warm the JVM/Arrow paths so the measured runs compare codegen'd
-        # steady state, not first-query classloading
-        spark.range(100000).selectExpr("xxhash64(id) h").groupBy().sum("h").collect()
-        t0 = time.time()
-        dedup = bench.bench_frontier_dedup(spark)
-        pages = bench.bench_page_pipeline(spark)
-        imgs = bench.bench_image_decode(spark)
-        total = time.time() - t0
-    finally:
-        spark.stop()
-    return {
-        "cpus": cpus,
-        "total_sec": round(total, 2),
-        "dedup_ops_per_sec": round(dedup["ops_per_sec"]),
-        "pages_per_sec": round(pages["pages_per_sec"]),
-        "images_per_sec": round(imgs["images_per_sec"]),
+    fns = {
+        "dedup": lambda: bench.bench_frontier_dedup(spark)["ops_per_sec"],
+        "pages": lambda: bench.bench_page_pipeline(spark)["pages_per_sec"],
+        "images": lambda: bench.bench_image_decode(spark)["images_per_sec"],
     }
+    print(json.dumps({"ready": cpus}), flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd in ("quit", ""):
+            break
+        print(json.dumps({"workload": cmd, "value": fns[cmd]()}), flush=True)
+    spark.stop()
 
 
-def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        print(json.dumps(run_level(int(sys.argv[2]))))
+def _spawn(cpus: int) -> subprocess.Popen:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--serve", str(cpus)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, env=env, cwd="/root/repo",
+    )
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise RuntimeError(f"worker local[{cpus}] died during startup")
+        try:
+            if json.loads(line).get("ready") == cpus:
+                return p
+        except json.JSONDecodeError:
+            continue
+
+
+def _ask(p: subprocess.Popen, workload: str) -> float:
+    p.stdin.write(workload + "\n")
+    p.stdin.flush()
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise RuntimeError("worker died mid-command")
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("workload") == workload:
+            return float(d["value"])
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--serve":
+        serve(int(sys.argv[2]))
         return
 
-    results = {}
-    for cpus in LEVELS:
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True, text=True, env=env, cwd="/root/repo",
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    workers = {c: _spawn(c) for c in LEVELS}
+    best = {c: {w: 0.0 for w in WORKLOADS} for c in LEVELS}
+    # warm both levels once per workload (not recorded)
+    for w in WORKLOADS:
+        for c in LEVELS:
+            _ask(workers[c], w)
+    for w in WORKLOADS:
+        for rep in range(REPS):
+            for c in LEVELS:
+                v = _ask(workers[c], w)
+                best[c][w] = max(best[c][w], v)
+                print(f"{w} rep {rep} local[{c}]: {v:,.0f}", file=sys.stderr)
+    for p in workers.values():
+        try:
+            p.stdin.write("quit\n")
+            p.stdin.flush()
+        except BrokenPipeError:
+            pass
 
     lo, hi = LEVELS
-    report = {"sf_dir": SF_DIR, "levels": results}
-    for key in ("dedup_ops_per_sec", "pages_per_sec", "images_per_sec"):
-        speedup = results[hi][key] / max(results[lo][key], 1)
-        report[f"{key}_speedup_{lo}to{hi}"] = round(speedup, 3)
-        report[f"{key}_efficiency"] = round(speedup / (hi / lo), 3)
+    report = {"sf_dir": SF_DIR, "reps": REPS, "method":
+              "persistent warm workers, tight A/B interleave, best-of",
+              "levels": {c: {"cpus": c, **best[c]} for c in LEVELS}}
+    for w in WORKLOADS:
+        speedup = best[hi][w] / max(best[lo][w], 1e-9)
+        report[f"{w}_speedup_{lo}to{hi}"] = round(speedup, 3)
+        report[f"{w}_efficiency"] = round(speedup / (hi / lo), 3)
     print(json.dumps(report, indent=2))
 
 
