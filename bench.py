@@ -75,8 +75,10 @@ def bench_frontier_dedup(spark: SparkSession) -> dict:
     t0 = time.time()
     shards = build_bloom_shards(seen, num_shards=num_shards, fpp=0.01)
     survivors = bloom_prefilter(new, shards, num_shards=num_shards)
-    survivors = survivors.withColumn("url_md5", F.md5("url"))
-    seen_keys = seen.select(F.md5("url").alias("url_md5"))
+    # binary(16) md5 keys: same identity as the reference's char(32) hex
+    # but half the shuffle bytes — the form a 10^10-row seen table stores
+    survivors = survivors.withColumn("url_md5", F.unhex(F.md5("url")))
+    seen_keys = seen.select(F.unhex(F.md5("url")).alias("url_md5"))
     out = anti_join_seen(survivors, seen_keys).count()
     dt = time.time() - t0
     log(f"frontier_dedup: {N_NEW} new vs {N_SEEN} seen -> {out} unique "

@@ -24,11 +24,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "minhash_signatures": [
         ("filter pushed to scan", r"PushedFilters: \[.*LessThan\(doc_id"),
         ("column pruning", r"ReadSchema: [^\n]*doc_id[^\n]*text"),
-        ("codegen", r"WholeStageCodegen"),
+        ("codegen", r"\*\(\d+\)"),
     ],
     "token_counts": [
         ("column pruning (no unneeded cols)", r"ReadSchema: [^\n]*text"),
-        ("codegen", r"WholeStageCodegen"),
+        ("codegen", r"\*\(\d+\)"),
     ],
     "embedding_topk": [
         ("query side filtered at scan", r"PushedFilters: \[.*LessThan\(vec_id"),
@@ -39,12 +39,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("seen side filter pushed", r"PushedFilters: \[.*GreaterThan\(p_size"),
     ],
     "sessionize": [
-        ("single shuffle for window+agg", r"Exchange hashpartitioning\(user_id"),
-        ("codegen", r"WholeStageCodegen"),
+        ("single shuffle for window+agg", r"hashpartitioning\(user_id"),
+        ("codegen", r"\*\(\d+\)"),
     ],
     "admission_filter": [
         ("admission predicates in scan/filter", r"PushedFilters"),
-        ("codegen", r"WholeStageCodegen"),
+        ("codegen", r"\*\(\d+\)"),
     ],
 }
 
@@ -54,7 +54,10 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from lightcrawler_spark.session import get_spark
 
-    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=8)
+    # AQE off: with AQE on, pre-execution plans print isFinalPlan=false
+    # without codegen-stage markers, so the codegen check can't see them.
+    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=8,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
     queries = entrymod.queries()
     warned = 0
     for name, checks in CHECKS.items():
@@ -64,6 +67,7 @@ def main() -> int:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
+            df.explain("simple")  # has the *(n) codegen-stage markers
         plan = buf.getvalue()
         fails = [c for c, rx in checks if not re.search(rx, plan)]
         if fails:

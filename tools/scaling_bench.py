@@ -33,7 +33,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = (8, 32)
+LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(","))
 REPS = int(os.environ.get("SCALING_REPS", "8"))
 WORKLOADS = ("dedup", "pages", "images")
 
