@@ -344,6 +344,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline) over a slice."""
+    from lightcrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return cosine_near_dup_pairs(emb, threshold=0.35).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "sim",
+    )
+
+
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -831,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh": q_embedding_lsh,
         "publish_time_normalize": q_publish_time,
         "doc_no_normalize": q_doc_no_normalize,
@@ -1128,6 +1141,16 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
        sim, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
+""",
+        "embedding_near_dup": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """,
         "embedding_lsh": """
 WITH w AS (

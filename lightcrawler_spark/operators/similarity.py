@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk"]
+__all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk",
+           "cosine_near_dup_pairs"]
 
 
 def _dot(a, b):
@@ -139,4 +140,42 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
+                          block_bits: int | None = None,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member for
+    vector payloads): all (id_a < id_b) pairs with rounded cosine >=
+    threshold.
+
+    block_bits=None → exact all-pairs self-join: the verifiable baseline,
+    O(n²) scores but JVM-only (zip_with/aggregate inside codegen) — right
+    for a candidate set that fits one shuffle (e.g. per-bucket refinement
+    or small corpora). At 10^9-vector scale pass block_bits=k: candidates
+    must share the k-bit SRP bucket (srp_bucket_expr), turning the join
+    into an equi-join on bucket — recall < 1 by design, like the LSH
+    top-k path."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        *([srp_bucket_expr(vec_col, block_bits).alias("bucket")]
+          if block_bits else []),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        *([srp_bucket_expr(vec_col, block_bits).alias("bucket")]
+          if block_bits else []),
+    )
+    if block_bits:
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "sim", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
     )

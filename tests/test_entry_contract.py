@@ -31,6 +31,7 @@ FAST_ORACLE_QUERIES = [
     "token_counts",
     "doc_fingerprint",
     "embedding_topk",
+    "embedding_near_dup",
     "embedding_lsh",
     "publish_time_normalize",
     "doc_no_normalize",
