@@ -803,6 +803,70 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    from lightcrawler_spark.fixtures import make_images
+
+    rows = make_images(n)
+    return spark.createDataFrame(
+        [
+            (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], r["fmt"],
+             r["caption"], r["phash"])
+            for r in rows
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode → nearest-neighbor resize → re-encode
+    (mapInPandas kernel — rows-only)."""
+    from lightcrawler_spark.operators.images import resize_images
+
+    out = resize_images(_image_df(spark), out_w=16, out_h=12)
+    return out.select(
+        "image_id", "fmt", "resized_w", "resized_h",
+        F.length("bytes_resized").cast("long").alias("resized_bytes"),
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: per-image feature extraction (phash, channel stats,
+    edge density) — Arrow UDF, rows-only."""
+    from lightcrawler_spark.operators.images import image_features_udf
+
+    df = _image_df(spark)
+    return df.select(
+        "image_id", "phash", image_features_udf(F.col("bytes")).alias("f")
+    ).select(
+        "image_id",
+        (F.col("f.feat_phash") == F.col("phash")).alias("phash_match"),
+        F.col("f.feat_edge_density").alias("edge_density"),
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: every-Nth frame sampling over a length-prefixed frame
+    container (decoder stubbed — no codec lib in sandbox; plumbing real).
+    Rows-only."""
+    import struct
+
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.operators.images import sample_video_frames
+
+    frames = [r["bytes"] for r in make_images(30)]
+    blob = b"".join(struct.pack(">I", len(f)) + f for f in frames)
+    df = spark.createDataFrame(
+        [(f"vid{i}", bytearray(blob)) for i in range(4)],
+        "video_id string, bytes binary",
+    )
+    out = sample_video_frames(df, every_nth=10)
+    return out.select(
+        "video_id", "frame_idx",
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
+
+
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-Bloom seen-filter prefilter (Arrow UDF — rows-only):
     survivors of probable-seen pruning before the exact anti-join."""
@@ -864,6 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "content_extract": q_content_extract,
         "summary_fields": q_summary_fields,
+        "image_resize": q_image_resize,
+        "image_features": q_image_features,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 

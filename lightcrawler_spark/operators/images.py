@@ -35,6 +35,9 @@ __all__ = [
     "with_phash",
     "verify_images",
     "phash_near_dup_pairs",
+    "resize_images",
+    "image_features_udf",
+    "sample_video_frames",
 ]
 
 _STATS_SCHEMA = T.StructType(
@@ -167,3 +170,134 @@ def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# --- multimodal transforms -------------------------------------------------
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, batch-vectorized.
+
+    Nearest-neighbor is implemented directly in numpy (no imaging lib in
+    the container); swap the index-sampling line for a PIL/opencv call
+    in production — the Spark plumbing (schema, mapInPandas batch shape,
+    re-encode) is the real, tested part. Output column `bytes_resized`
+    plus the actual (w, h)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes_resized", T.BinaryType()),
+            T.StructField("resized_w", T.IntegerType()),
+            T.StructField("resized_h", T.IntegerType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imagecodec import encode_image
+
+        for pdf in batches:
+            outs, ws, hs = [], [], []
+            for b, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    arr = decode_image(bytes(b))
+                    ys = (np.arange(out_h) * arr.shape[0] // out_h)
+                    xs = (np.arange(out_w) * arr.shape[1] // out_w)
+                    resized = arr[ys[:, None], xs[None, :]]
+                    outs.append(encode_image(resized, fmt))
+                    ws.append(out_w)
+                    hs.append(out_h)
+                except Exception:
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            pdf = pdf[in_cols].copy()
+            pdf["bytes_resized"] = outs
+            pdf["resized_w"] = pd.array(ws, dtype="Int32")
+            pdf["resized_h"] = pd.array(hs, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_resize, out_schema)
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("feat_phash", T.LongType()),
+        T.StructField("feat_mean", T.ArrayType(T.DoubleType())),
+        T.StructField("feat_std", T.ArrayType(T.DoubleType())),
+        T.StructField("feat_edge_density", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_FEATURE_SCHEMA)
+def image_features_udf(data: pd.Series) -> pd.DataFrame:
+    """Feature extraction per image: phash64, per-channel mean/std,
+    gradient-magnitude edge density — numpy only, the embedding-model
+    stand-in for downstream similarity / quality filters."""
+    rows = {k: [] for k in ("feat_phash", "feat_mean", "feat_std",
+                            "feat_edge_density")}
+    for b in data:
+        try:
+            arr = decode_image(bytes(b)).astype(np.float64)
+            gray = arr.mean(axis=2)
+            gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+            gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+            rows["feat_phash"].append(phash64(arr.astype(np.uint8)))
+            rows["feat_mean"].append([round(float(x), 4) for x in arr.reshape(-1, 3).mean(axis=0)])
+            rows["feat_std"].append([round(float(x), 4) for x in arr.reshape(-1, 3).std(axis=0)])
+            rows["feat_edge_density"].append(round(float(gx + gy), 4))
+        except Exception:
+            rows["feat_phash"].append(None)
+            rows["feat_mean"].append(None)
+            rows["feat_std"].append(None)
+            rows["feat_edge_density"].append(None)
+    return pd.DataFrame(rows)
+
+
+def sample_video_frames(df: DataFrame, every_nth: int = 10,
+                        bytes_col: str = "bytes") -> DataFrame:
+    """Video frame sampling — Spark-side plumbing is real (schema,
+    posexplode of frames, partitioning); the DECODER IS A STUB because
+    no video codec library exists in this container.
+
+    The stub treats the payload as a deterministic fake container: a
+    concatenation of PNG frames length-prefixed with 4-byte big-endian
+    sizes (what `tests` build). A real deployment swaps `_iter_frames`
+    for pyav/ffmpeg; everything downstream (one row per sampled frame,
+    frame_idx, frame bytes) is unchanged."""
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def _iter_frames(blob: bytes):
+        import struct as _struct
+
+        pos = 0
+        while pos + 4 <= len(blob):
+            (n,) = _struct.unpack(">I", blob[pos: pos + 4])
+            pos += 4
+            if pos + n > len(blob):
+                raise NotImplementedError(
+                    "real video containers need a codec library "
+                    "(pyav/ffmpeg) — not available in this sandbox"
+                )
+            yield blob[pos: pos + n]
+            pos += n
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"video_id": [], "frame_idx": [], "frame_bytes": []}
+            for vid, blob in zip(pdf["video_id"], pdf[bytes_col]):
+                for i, frame in enumerate(_iter_frames(bytes(blob))):
+                    if i % every_nth == 0:
+                        rows["video_id"].append(vid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_bytes"].append(frame)
+            yield pd.DataFrame(rows)
+
+    return df.select("video_id", bytes_col).mapInPandas(_sample, out_schema)

@@ -128,3 +128,64 @@ class TestSparkImageOps:
         ids = {(p["id_a"], p["id_b"]) for p in pairs}
         assert ("dup_a_lossy", "dup_a_png") in ids
         assert all("other" not in a or "other" not in b for a, b in ids)
+
+
+class TestMultimodalTransforms:
+    def test_resize_roundtrip(self, spark):
+        from lightcrawler_spark.fixtures import make_images
+        from lightcrawler_spark.imagecodec import decode_image
+        from lightcrawler_spark.operators.images import resize_images
+
+        rows = make_images(8)
+        df = spark.createDataFrame(
+            [(r["image_id"], bytearray(r["bytes"]), r["fmt"]) for r in rows],
+            "image_id string, bytes binary, fmt string",
+        )
+        out = resize_images(df, out_w=16, out_h=12).collect()
+        assert len(out) == 8
+        for r in out:
+            assert (r["resized_w"], r["resized_h"]) == (16, 12)
+            arr = decode_image(bytes(r["bytes_resized"]))
+            assert arr.shape == (12, 16, 3)
+
+    def test_image_features(self, spark):
+        from lightcrawler_spark.fixtures import make_images
+        from lightcrawler_spark.operators.images import image_features_udf
+        from pyspark.sql import functions as F
+
+        rows = make_images(6)
+        df = spark.createDataFrame(
+            [(r["image_id"], bytearray(r["bytes"]), r["phash"]) for r in rows],
+            "image_id string, bytes binary, phash long",
+        )
+        got = df.select(
+            "image_id", "phash", image_features_udf(F.col("bytes")).alias("f")
+        ).collect()
+        for r in got:
+            assert r["f"]["feat_phash"] == r["phash"]  # same pixels → same hash
+            assert len(r["f"]["feat_mean"]) == 3
+            assert r["f"]["feat_edge_density"] is not None
+        # solid image (idx 0) has zero edges; gradient (idx 1) does not
+        by_id = {r["image_id"]: r["f"] for r in got}
+        assert by_id["img_000000000000"]["feat_edge_density"] == 0.0
+        assert by_id["img_000000000001"]["feat_edge_density"] > 0.0
+
+    def test_video_frame_sampling(self, spark):
+        import struct
+        from lightcrawler_spark.fixtures import make_images
+        from lightcrawler_spark.imagecodec import decode_image
+        from lightcrawler_spark.operators.images import sample_video_frames
+
+        frames = [r["bytes"] for r in make_images(25)]
+        blob = b"".join(struct.pack(">I", len(f)) + f for f in frames)
+        df = spark.createDataFrame(
+            [("vid0", bytearray(blob))], "video_id string, bytes binary"
+        )
+        out = sample_video_frames(df, every_nth=10).collect()
+        assert [(r["video_id"], r["frame_idx"]) for r in out] == [
+            ("vid0", 0), ("vid0", 10), ("vid0", 20)
+        ]
+        # sampled frames decode to the original pixels
+        a = decode_image(bytes(out[1]["frame_bytes"]))
+        b = decode_image(frames[10])
+        assert (a == b).all()
