@@ -652,6 +652,25 @@ def q_requeue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-SQL-expressible (rows-only checks)
 # ---------------------------------------------------------------------------
 
+def q_cuckoo_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-cuckoo seen-filter prefilter (deletable variant of the
+    Bloom path — Arrow UDF, rows-only)."""
+    from lightcrawler_spark.operators.dedup import (
+        build_cuckoo_shards, cuckoo_prefilter,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    seen = part.select(
+        F.concat(F.lit("http://b.test/p/"), F.col("p_partkey").cast("string")).alias("url")
+    )
+    new = li.select(
+        F.concat(F.lit("http://b.test/p/"), (F.col("l_partkey") * 3).cast("string")).alias("url")
+    ).distinct()
+    shards = build_cuckoo_shards(seen, num_shards=16)
+    return cuckoo_prefilter(new, shards, num_shards=16).select("url")
+
+
 def q_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7/E8/E10: HTML→text kernel over synthesized pages (Arrow UDF —
     rows-only)."""
@@ -926,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "image_verify": q_image_verify,
         "bloom_prefilter": q_bloom_prefilter,
+        "cuckoo_prefilter": q_cuckoo_prefilter,
         "content_extract": q_content_extract,
         "summary_fields": q_summary_fields,
         "image_resize": q_image_resize,

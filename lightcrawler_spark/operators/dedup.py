@@ -38,6 +38,9 @@ __all__ = [
     "NumpyBloom",
     "build_bloom_shards",
     "bloom_prefilter",
+    "NumpyCuckoo",
+    "build_cuckoo_shards",
+    "cuckoo_prefilter",
 ]
 
 
@@ -193,5 +196,174 @@ def bloom_prefilter(new_links: DataFrame, shards: DataFrame,
     return (
         linked.groupBy("_shard")
         .cogroup(keyed_shards.groupBy("_shard"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+# --- cuckoo filter (deletable seen-set variant) ---------------------------
+
+_FP_MUL = np.uint64(0x5BD1E995)
+
+
+class NumpyCuckoo:
+    """Partial-key cuckoo filter over uint64 keys: m (power-of-2) buckets
+    x 4 slots of 16-bit fingerprints (0 = empty). Vs the Bloom shards it
+    supports DELETE — needed when P7 re-queues processed URLs for
+    recrawl (the reference flips processed back to 0:
+    /root/reference/worker/DaoUrlCache.class.php:122-137) so the seen
+    filter must un-see them; a Bloom cannot.
+
+    Membership tests are fully numpy-vectorized (two gathers + compare);
+    inserts loop per key with bounded eviction kicks (build-time only,
+    ~31k keys/shard at 10^10/2^15 shards)."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, num_buckets: int, table: np.ndarray | None = None):
+        assert num_buckets & (num_buckets - 1) == 0, "power of 2"
+        self.m = int(num_buckets)
+        self.table = (table if table is not None
+                      else np.zeros((self.m, self.SLOTS), dtype=np.uint16))
+
+    @staticmethod
+    def size_for(n_items: int, load: float = 0.84) -> int:
+        need = max(1, int(np.ceil(n_items / (4 * load))))
+        return 1 << int(np.ceil(np.log2(need)))
+
+    def _fp_i1_i2(self, keys: np.ndarray):
+        h = keys.astype(np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        fp = ((h >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        mask = np.uint64(self.m - 1)
+        i1 = (h & mask).astype(np.int64)
+        i2 = (i1 ^ ((fp.astype(np.uint64) * _FP_MUL) & mask).astype(np.int64))
+        return fp, i1, i2
+
+    def insert(self, keys: np.ndarray) -> int:
+        """Insert all keys; returns how many were inserted (raises on a
+        full filter). Idempotent-ish: duplicates occupy extra slots, so
+        callers dedup keys first (the frontier pipeline already does)."""
+        fp, i1, i2 = self._fp_i1_i2(np.asarray(keys))
+        rng = np.random.default_rng(0x5EED)  # deterministic evictions
+        n = 0
+        for f, a, b in zip(fp, i1, i2):
+            f = np.uint16(f)
+            placed = False
+            for idx in (a, b):
+                row = self.table[idx]
+                empty = np.where(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = f
+                    placed = True
+                    break
+            if not placed:
+                idx = a if rng.integers(2) else b
+                cur = f
+                for _ in range(self.MAX_KICKS):
+                    slot = int(rng.integers(self.SLOTS))
+                    cur, self.table[idx][slot] = self.table[idx][slot], cur
+                    idx = int(
+                        np.int64(idx)
+                        ^ np.int64((np.uint64(cur) * _FP_MUL)
+                                   & np.uint64(self.m - 1))
+                    )
+                    row = self.table[idx]
+                    empty = np.where(row == 0)[0]
+                    if len(empty):
+                        row[empty[0]] = cur
+                        placed = True
+                        break
+                if not placed:
+                    raise RuntimeError("cuckoo filter full — grow num_buckets")
+            n += 1
+        return n
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._fp_i1_i2(np.asarray(keys))
+        t1 = self.table[i1]                    # (n, SLOTS) gather
+        t2 = self.table[i2]
+        f = fp[:, None]
+        return ((t1 == f).any(axis=1)) | ((t2 == f).any(axis=1))
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        """Remove one stored fingerprint per present key; returns a bool
+        array of which keys were found (false negatives impossible for
+        inserted keys)."""
+        fp, i1, i2 = self._fp_i1_i2(np.asarray(keys))
+        out = np.zeros(len(fp), dtype=bool)
+        for k, (f, a, b) in enumerate(zip(fp, i1, i2)):
+            for idx in (a, b):
+                row = self.table[idx]
+                hit = np.where(row == f)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    out[k] = True
+                    break
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, num_buckets: int) -> "NumpyCuckoo":
+        t = np.frombuffer(data, dtype=np.uint16).reshape(
+            num_buckets, cls.SLOTS).copy()
+        return cls(num_buckets, t)
+
+
+def build_cuckoo_shards(seen: DataFrame, num_shards: int = 32,
+                        url_col: str = "url") -> DataFrame:
+    """Distributed build, same sharding contract as build_bloom_shards:
+    (shard int, num_buckets long, table binary)."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        keys = np.unique(pdf["h"].to_numpy().astype(np.uint64))
+        m = NumpyCuckoo.size_for(len(keys))
+        ck = NumpyCuckoo(m)
+        ck.insert(keys)
+        return pd.DataFrame(
+            {"shard": [shard], "num_buckets": [m], "table": [ck.to_bytes()]}
+        )
+
+    hashed = seen.select(
+        F.xxhash64(F.col(url_col)).alias("h"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)).alias("shard"),
+    )
+    return hashed.groupBy("shard").applyInPandas(
+        _build, "shard int, num_buckets long, table binary"
+    )
+
+
+def cuckoo_prefilter(new_links: DataFrame, shards: DataFrame,
+                     num_shards: int = 32, url_col: str = "url") -> DataFrame:
+    """Probable-seen prune via the cuckoo shards — shard-aligned cogroup,
+    identical plan shape to bloom_prefilter."""
+    out_fields = new_links.schema.fieldNames()
+    out_schema = new_links.schema
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return left[out_fields]
+        ck = NumpyCuckoo.from_bytes(
+            bytes(right["table"].iloc[0]), int(right["num_buckets"].iloc[0])
+        )
+        mask = ck.might_contain(left["_h"].to_numpy().astype(np.uint64))
+        return left.loc[~mask, out_fields]
+
+    linked = new_links.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(
+        "_shard",
+        F.pmod(F.col("_h"), F.lit(max(1, num_shards))).cast("int"),
+    )
+    keyed = shards.select(
+        F.col("shard").cast("int").alias("_shard"), "num_buckets", "table",
+    )
+    return (
+        linked.groupBy("_shard")
+        .cogroup(keyed.groupBy("_shard"))
         .applyInPandas(_probe, out_schema)
     )

@@ -72,7 +72,7 @@ def test_every_query_has_callable_and_oracle_keys():
     assert set(o) <= set(q)
     # the intentional rows-only set
     assert set(q) - set(o) == {
-        "simhash_docs", "image_verify", "bloom_prefilter",
+        "simhash_docs", "image_verify", "bloom_prefilter", "cuckoo_prefilter",
         "content_extract", "summary_fields",
         "image_resize", "image_features", "video_frame_sample",
     }

@@ -274,3 +274,54 @@ class TestMetrics:
         rep = process_report(trace, runtime_s=10.0)
         assert rep["bytes_received"] == 3000
         assert rep["data_throughput_bps"] == 300.0
+
+
+class TestCuckooFilter:
+    def test_membership_and_fpr(self):
+        import numpy as np
+        from lightcrawler_spark.operators.dedup import NumpyCuckoo
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 2**63, size=50_000, dtype=np.uint64)
+        keys = np.unique(keys)
+        ck = NumpyCuckoo(NumpyCuckoo.size_for(len(keys)))
+        ck.insert(keys)
+        # no false negatives
+        assert ck.might_contain(keys).all()
+        # FPR of 16-bit fingerprints in 2x4 slots: ~ 8/2^16 ≈ 0.012%
+        probe = rng.integers(2**63, 2**64 - 1, size=50_000, dtype=np.uint64)
+        fpr = ck.might_contain(probe).mean()
+        assert fpr < 0.005
+
+    def test_delete_unsees(self):
+        import numpy as np
+        from lightcrawler_spark.operators.dedup import NumpyCuckoo
+
+        keys = np.arange(1000, dtype=np.uint64) * 64 + 3  # congruent keys
+        ck = NumpyCuckoo(NumpyCuckoo.size_for(len(keys)))
+        ck.insert(keys)
+        victims = keys[::10]
+        assert ck.delete(victims).all()
+        assert not ck.might_contain(victims).any()
+        survivors = np.setdiff1d(keys, victims)
+        assert ck.might_contain(survivors).all()
+
+    def test_sharded_cuckoo_prefilter(self, spark):
+        from pyspark.sql import functions as F
+        from lightcrawler_spark.operators.dedup import (
+            build_cuckoo_shards, cuckoo_prefilter,
+        )
+
+        seen = spark.range(0, 3000).select(
+            F.concat(F.lit("http://c.test/p/"), F.col("id").cast("string")).alias("url")
+        )
+        new = spark.range(1500, 4500).select(
+            F.concat(F.lit("http://c.test/p/"), F.col("id").cast("string")).alias("url")
+        )
+        shards = build_cuckoo_shards(seen, num_shards=8).cache()
+        shards.count()
+        got = {r["url"] for r in cuckoo_prefilter(new, shards, num_shards=8).collect()}
+        fresh = {f"http://c.test/p/{i}" for i in range(3000, 4500)}
+        # survivors ⊆ fresh (no false negatives on seen), nearly all fresh kept
+        assert got <= fresh
+        assert len(got) >= len(fresh) - 2
