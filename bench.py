@@ -206,9 +206,16 @@ def bench_crawl_engine(spark: SparkSession) -> dict:
     spec = default_spec(budget=64)
     engine = CrawlEngine(spark, spec, SyntheticFetcher(web_df, spec),
                          robots_fixture=ROBOTS_FIXTURE)
+    # micro-rounds: AQE's per-stage replanning dominates at fixture scale
+    # (same setting as the golden-fixture contract query)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
-    result = engine.run(max_rounds=12)
-    dt = time.time() - t0
+    try:
+        result = engine.run(max_rounds=12)
+        dt = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     log(f"crawl_engine: {result.pages_fetched} pages / {result.rounds_run} "
         f"rounds in {dt:.1f}s = {result.pages_fetched / dt:,.1f} pages/s")
     return {"sec": dt, "pages_per_sec": result.pages_fetched / dt,

@@ -146,10 +146,26 @@ class HttpFetcher:
         )
 
         def _fetch_batches(batches):
+            import socket
             import time
             import urllib.request
 
             compiled = [re.compile(r, re.I) for r in recv_rules]
+
+            # P11: per-partition DNS memoization (the reference caches
+            # host→IP per process, PHPCrawlerDNSCache.class.php:26-41).
+            # Monkey-patching getaddrinfo inside the worker scopes the
+            # cache to this partition's python process.
+            dns_cache: dict = {}
+            real_getaddrinfo = socket.getaddrinfo
+
+            def cached_getaddrinfo(host, *args, **kw):
+                key = (host, args[0] if args else None)
+                if key not in dns_cache:
+                    dns_cache[key] = real_getaddrinfo(host, *args, **kw)
+                return dns_cache[key]
+
+            socket.getaddrinfo = cached_getaddrinfo
             for pdf in batches:
                 rows = {
                     "status": [], "content_type": [], "redirect_to": [],
