@@ -67,6 +67,11 @@ class CrawlSpec:
     crawl_delay_s: float = 5.0         # libs/CrawlerSettings.class.php:43
     round_duration_s: float = 5.0      # BSP round = one politeness window
     per_host_politeness: bool = False  # scale generalization of the global budget
+    # cross-round host cooldown: a host fetched in round r is ineligible
+    # until round r + host_delay_rounds (0 = off). The stateful
+    # "last-fetch-per-host carries over" politeness (SURVEY §7) — state
+    # lives in the round store's host_state table, so it survives resume.
+    host_delay_rounds: int = 0
     retry_limit: int = 3               # libs/CrawlerSettings.class.php:37
     request_limit: int = 0             # 0 = unlimited (P10)
     traffic_limit_bytes: int = 0

@@ -125,6 +125,23 @@ class CrawlEngine:
             pending = pending.join(
                 claimed.select("url_md5"), "url_md5", "left_anti"
             )
+        pending_before_cooldown = pending
+        if spec.host_delay_rounds > 0:
+            # P8 cross-round cooldown: hosts fetched within the last
+            # host_delay_rounds rounds are ineligible this round. The
+            # host_state rows carry their round via the store's lineage
+            # column, so "last fetch round per host" is a groupBy max —
+            # resume-safe (uncommitted rounds are purged with the rest).
+            host_state = self.store.read_upto("host_state", r - 1)
+            if host_state is not None:
+                cooling = (
+                    host_state.groupBy("host")
+                    .agg(F.max("round").alias("_last_round"))
+                    .filter(F.lit(r) - F.col("_last_round")
+                            < F.lit(spec.host_delay_rounds))
+                    .select("host")
+                )
+                pending = pending.join(F.broadcast(cooling), "host", "left_anti")
         if spec.request_limit:
             remaining = spec.request_limit - base_seq
             if remaining <= 0:
@@ -156,6 +173,13 @@ class CrawlEngine:
         results = self.fetcher.fetch(work).localCheckpoint(eager=True)
         n_fetched = results.count()
         if n_fetched == 0:
+            if (
+                spec.host_delay_rounds > 0
+                and pending_before_cooldown.limit(1).count() > 0
+            ):
+                # every eligible host is cooling down but work remains:
+                # an idle politeness round — commit it so cooldowns age
+                return 0, True
             return 0, False
 
         trace = results.select(
@@ -167,6 +191,8 @@ class CrawlEngine:
         )
         self.store.write("trace", r, trace)
         self.store.write("claimed", r, results.select("url_md5"))
+        if spec.host_delay_rounds > 0:
+            self.store.write("host_state", r, results.select("host").distinct())
         self.store.write(
             "pages", r,
             results.select(
@@ -257,8 +283,8 @@ class CrawlEngine:
         rounds_run = 0
         r = start_round
         while r < start_round + max_rounds:
-            fetched, _ = self._run_round(r, base_seq)
-            if fetched == 0:
+            fetched, keep_going = self._run_round(r, base_seq)
+            if fetched == 0 and not keep_going:
                 break
             self.store.commit_round(r)
             base_seq += fetched
