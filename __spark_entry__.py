@@ -621,10 +621,12 @@ def q_send_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/"), F.col("p_partkey").cast("string"),
         ).alias("url")
     )
+    # rule 2 collides on `q` — later rule must overwrite while the key
+    # keeps its first-occurrence position (PHP $post_data_array[k]=v)
     rules = spark.createDataFrame(
         [
-            (1, "/search/", "post", "q=laws"),
-            (2, "/search/", "post", "lang=zh"),
+            (1, "/search/", "post", "q=laws&page=1"),
+            (2, "/search/", "post", "lang=zh&q=override"),
             (3, "/(search|login)/", "auth", "user:pass1"),
             (4, "/login/", "auth", "user:pass2"),
         ],
@@ -1502,8 +1504,8 @@ WITH work AS (
 ),
 rules AS (
   SELECT * FROM (VALUES
-    (1, '/search/', 'post', 'q=laws'),
-    (2, '/search/', 'post', 'lang=zh'),
+    (1, '/search/', 'post', 'q=laws&page=1'),
+    (2, '/search/', 'post', 'lang=zh&q=override'),
     (3, '/(search|login)/', 'auth', 'user:pass1'),
     (4, '/login/', 'auth', 'user:pass2')
   ) AS t(rule_order, url_regex, kind, payload)
@@ -1512,9 +1514,22 @@ m AS (
   SELECT w.url, r.rule_order, r.kind, r.payload
   FROM work w JOIN rules r ON regexp_matches(w.url, r.url_regex)
 ),
+kv AS (
+  SELECT url, rule_order * 1000 + pos AS ord,
+         split_part(entry, '=', 1) AS k,
+         regexp_replace(entry, '^[^=]*=', '') AS v
+  FROM (SELECT url, rule_order,
+               unnest(string_split(payload, '&')) AS entry,
+               generate_subscripts(string_split(payload, '&'), 1) AS pos
+        FROM m WHERE kind = 'post')
+),
+merged AS (
+  SELECT url, k, min(ord) AS first_ord, arg_max(v, ord) AS v
+  FROM kv GROUP BY url, k
+),
 post AS (
-  SELECT url, string_agg(payload, '&' ORDER BY rule_order) AS post_data
-  FROM m WHERE kind = 'post' GROUP BY url
+  SELECT url, string_agg(k || '=' || v, '&' ORDER BY first_ord) AS post_data
+  FROM merged GROUP BY url
 ),
 auth AS (
   SELECT url, arg_min(payload, rule_order) AS auth

@@ -175,10 +175,14 @@ class CrawlEngine:
         if n_fetched == 0:
             if (
                 spec.host_delay_rounds > 0
+                and pending.limit(1).count() == 0
                 and pending_before_cooldown.limit(1).count() > 0
             ):
-                # every eligible host is cooling down but work remains:
-                # an idle politeness round — commit it so cooldowns age
+                # the cooldown filter removed EVERY pending row: an idle
+                # politeness round — commit it so cooldowns age. If
+                # pending survived the cooldown yet nothing was fetched,
+                # the work is unfetchable: terminate instead of spinning
+                # empty rounds until max_rounds.
                 return 0, True
             return 0, False
 

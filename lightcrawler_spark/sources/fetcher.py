@@ -1,29 +1,37 @@
-"""Fetch stage (SURVEY.md §2.1 S5, §2.2 F10/F11, §2.3 C6).
+"""Fetch stage (SURVEY.md §2.1 S5, §2.2 F10/F11, §2.3 C6/C9/C10, §2.5
+P9/P11/P12/P13).
 
 Two implementations behind one interface:
 
 - ``SyntheticFetcher`` — the deterministic test double mandated by
   FIXTURES.md §2: a relational join of the round's work-list against the
   ``webgraph`` fixture table. Replaces the socket layer 1:1 (status,
-  content-type, redirect Location, body bytes, latency) so crawl-order
-  goldens are exact and CI needs no network.
+  content-type, redirect Location, body bytes, latency, per-attempt
+  failures) so crawl-order goldens are exact and CI needs no network.
 - ``HttpFetcher`` — the real path: Arrow-batched ``mapInPandas`` with
-  per-partition connection/DNS caching and the reference's retry budget
-  (3 tries on error or status >400/<100 —
-  /root/reference/vendor/PHPCrawl_083/libs/PHPCrawler.class.php:735-751).
-  It is exercised nowhere in tests (sandbox has no egress) but keeps the
-  production shape visible: the work-list arrives host-salted
-  (operators/scheduler.salted_repartition) so one partition fetches a
-  bounded slice of any single host.
+  per-partition connection/DNS caching, raw (non-followed) redirects,
+  cookie/POST/basic-auth injection, and the reference's inline retry
+  budget. Exercised against a localhost ``http.server`` in
+  tests/test_http_fetcher.py (no egress needed).
+
+Retry semantics (P9): the reference retries INLINE within one frontier
+pop — up to ``tries_limit`` attempts with a politeness delay between,
+then marks the URL followed regardless of outcome
+(/root/reference/vendor/PHPCrawl_083/libs/PHPCrawler.class.php:735-762,
+markUrlAsFollowed :836 runs unconditionally — exhausted URLs are NOT
+re-queued). An attempt is retried when an error occurred or the status
+is > 400 or < 100 (:743-747). Both fetchers reproduce exactly that, and
+surface ``n_attempts`` for the golden trace.
 
 Both return the work-list columns plus: status, content_type,
-redirect_to, body, body_text (decoded per F10/F11 + charset sniff C6),
-received, bytes_received, latency_ms.
+redirect_to, body, body_text (decoded per F10/F11 + gzip C10 + charset
+sniff C6), received, bytes_received, latency_ms, n_attempts.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from functools import reduce
 
 import pandas as pd
@@ -34,35 +42,89 @@ from pyspark.sql.functions import pandas_udf
 
 from ..config import CrawlSpec, php_regex_to_std
 
-__all__ = ["SyntheticFetcher", "HttpFetcher", "decode_body_udf"]
+__all__ = [
+    "SyntheticFetcher",
+    "HttpFetcher",
+    "decode_body_udf",
+    "prepare_http_request_query",
+    "is_gzip_encoded",
+    "decode_gzip_content",
+]
 
 _CHARSET_RE = re.compile(
     r"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_-]+)", re.I
 )
 
+# Utils/PHPCrawlerUtils.class.php:593-597 — NOTE the `%-_` inside the
+# class is a RANGE (ASCII 37..95: covers &'()*+,-./0-9:;<=>?@A-Z[\]^_),
+# preserved verbatim as a reference quirk.
+_VALID_URL_STRING_RE = re.compile(r"^[a-z0-9/.&=?%-_.!~*'()]+$", re.I)
+
+
+def prepare_http_request_query(query: str) -> str:
+    """C9: re-encode the request path+query like the reference
+    (PHPCrawlerHTTPRequest.class.php:1063-1092): already-valid strings
+    pass through; otherwise rawurldecode → ensure UTF-8 bytes (PHP
+    utf8_encode == latin-1→utf-8 when not already valid UTF-8) →
+    rawurlencode → restore the URL-structural characters ``/?=&``."""
+    from urllib.parse import quote, unquote_to_bytes
+
+    if _VALID_URL_STRING_RE.match(query):
+        return query
+    raw = unquote_to_bytes(query)
+    try:
+        raw.decode("utf-8")
+    except UnicodeDecodeError:
+        raw = raw.decode("latin-1").encode("utf-8")
+    # PHP rawurlencode leaves A-Za-z0-9-_.~ — quote(safe="") matches
+    out = quote(raw, safe="")
+    for enc, ch in (("%2F", "/"), ("%3F", "?"), ("%3D", "="), ("%26", "&")):
+        out = out.replace(enc, ch)
+    return out
+
+
+def is_gzip_encoded(content: bytes | None) -> bool:
+    """C10 magic check (PHPCrawlerEncodingUtils.class.php:23-32)."""
+    return content is not None and bytes(content[:3]) == b"\x1f\x8b\x08"
+
+
+def decode_gzip_content(content: bytes) -> bytes:
+    """C10: gzinflate(substr(content, 10, -8)) — raw-deflate the member
+    body, skipping the 10-byte gzip header and 8-byte trailer
+    (PHPCrawlerEncodingUtils.class.php:13-16). On corrupt input PHP's
+    gzinflate returns false; we return the input unchanged."""
+    try:
+        return zlib.decompress(bytes(content[10:-8]), -zlib.MAX_WBITS)
+    except zlib.error:
+        return bytes(content)
+
 
 @pandas_udf(T.StringType())
 def decode_body_udf(body: pd.Series, content_type: pd.Series) -> pd.Series:
-    """bytes → text with the reference's charset handling (C6): header/meta
-    charset sniff, GBK→UTF-8 conversion, UTF-8 with replacement otherwise
+    """bytes → text: gzip decode when magic matches (C10), then the
+    reference's charset handling (C6): header/meta charset sniff,
+    GBK→UTF-8 conversion, UTF-8 with replacement otherwise
     (/root/reference/libs/CharsetHelper.class.php:19-35)."""
 
     def _decode(b, ct):
         if b is None:
             return None
+        b = bytes(b)
+        if is_gzip_encoded(b):
+            b = decode_gzip_content(b)
         ct = ct or ""
         charset = None
         m = re.search(r"charset\s*=\s*([a-zA-Z0-9_-]+)", ct, re.I)
         if m:
             charset = m.group(1).lower()
         if charset is None:
-            head = bytes(b[:2048]).decode("latin-1", errors="replace")
+            head = b[:2048].decode("latin-1", errors="replace")
             m = _CHARSET_RE.search(head)
             if m:
                 charset = m.group(1).lower()
         if charset in ("gbk", "gb2312", "gb18030"):
-            return bytes(b).decode("gb18030", errors="replace")
-        return bytes(b).decode("utf-8", errors="replace")
+            return b.decode("gb18030", errors="replace")
+        return b.decode("utf-8", errors="replace")
 
     return pd.Series([_decode(b, c) for b, c in zip(body, content_type)])
 
@@ -72,15 +134,62 @@ def _rlike_any(col, rules: list[str]):
     return reduce(lambda a, b: a | b, preds, F.lit(False))
 
 
+def _with_decoded_columns(df: DataFrame, spec: CrawlSpec) -> DataFrame:
+    """Shared post-fetch projection: F10 receive gate, F11 link-search
+    gate, C6/C10 decode, E5 redirect surfacing."""
+    ct = F.coalesce(F.col("content_type"), F.lit(""))
+    received = (
+        F.col("status").between(200, 299)
+        & _rlike_any(ct, spec.content_type_receive_rules)
+    )
+    return (
+        df.withColumn("received", received)
+        .withColumn(
+            "bytes_received",
+            F.when(received, F.length("body")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "body_text",
+            F.when(
+                received & _rlike_any(ct, spec.link_search_content_types),
+                decode_body_udf(F.col("body"), F.col("content_type")),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "redirect_to",
+            F.when(F.col("status").between(300, 399), F.col("redirect_to")),
+        )
+    )
+
+
 class SyntheticFetcher:
-    """Deterministic fetch = join against the fixture web (no sockets)."""
+    """Deterministic fetch = join against the fixture web (no sockets).
+
+    The webgraph may carry ``fail_times`` per URL: the first N attempts
+    "fail" (connection error), later ones return the page. The inline
+    retry loop (P9) is folded into closed-form columns:
+
+      final_status = 0                if fail_times >= retry_limit
+                   = page status      otherwise (404 for unknown URLs)
+      n_attempts   = retry_limit      if final invalid (<100 or >400)
+                   = fail_times + 1   otherwise
+
+    which is exactly what the reference's attempt loop converges to.
+    """
 
     def __init__(self, webgraph_df: DataFrame, spec: CrawlSpec):
         # keep only the fetcher-owned columns; url is the join key
-        self.web = webgraph_df.select(
+        cols = [
             F.col("url").alias("_w_url"),
             "status", "content_type", "redirect_to", "body", "latency_ms",
-        )
+        ]
+        if "fail_times" in webgraph_df.columns:
+            cols.append("fail_times")
+        else:
+            cols.append(F.lit(0).alias("fail_times"))
+        # fixture webs are small by construction — broadcast so each
+        # round's fetch is shuffle-free on the work side
+        self.web = F.broadcast(webgraph_df.select(*cols))
         self.spec = spec
 
     def fetch(self, work: DataFrame) -> DataFrame:
@@ -89,42 +198,42 @@ class SyntheticFetcher:
             self.web, work["url"] == self.web["_w_url"], "left"
         ).drop("_w_url")
         # unresolvable URL = connection error → status 0, like a dead socket
-        joined = joined.withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
-
-        # F10: receive body only when status 200-299 AND content-type
-        # matches a receive rule (PHPCrawlerHTTPRequest:1150-1174, gate :1167)
-        ct = F.coalesce(F.col("content_type"), F.lit(""))
-        received = (
-            F.col("status").between(200, 299)
-            & _rlike_any(ct, spec.content_type_receive_rules)
+        raw_status = F.coalesce(F.col("status"), F.lit(0))
+        fail_times = F.coalesce(F.col("fail_times"), F.lit(0))
+        exhausted = fail_times >= F.lit(spec.retry_limit)
+        status = F.when(exhausted, F.lit(0)).otherwise(raw_status)
+        invalid = (status < 100) | (status > 400)
+        joined = (
+            joined.withColumn("_final_status", status)
+            .withColumn(
+                "n_attempts",
+                F.when(invalid, F.lit(spec.retry_limit))
+                .otherwise(fail_times + 1)
+                .cast("int"),
+            )
+            .withColumn(
+                "content_type",
+                F.when(~exhausted, F.col("content_type")),
+            )
+            .withColumn("body", F.when(~exhausted, F.col("body")))
+            .withColumn(
+                "redirect_to", F.when(~exhausted, F.col("redirect_to"))
+            )
+            .drop("status", "fail_times")
+            .withColumnRenamed("_final_status", "status")
         )
-        joined = joined.withColumn("received", received)
-        joined = joined.withColumn(
-            "bytes_received",
-            F.when(F.col("received"), F.length(F.col("body"))).otherwise(F.lit(0)),
-        )
-        # F11: only parse links out of link-search content types
-        searchable = _rlike_any(ct, spec.link_search_content_types)
-        joined = joined.withColumn(
-            "body_text",
-            F.when(
-                F.col("received") & searchable,
-                decode_body_udf(F.col("body"), F.col("content_type")),
-            ).otherwise(F.lit(None).cast("string")),
-        )
-        # redirect target only surfaces for 3xx (E5)
-        joined = joined.withColumn(
-            "redirect_to",
-            F.when(F.col("status").between(300, 399), F.col("redirect_to")),
-        )
-        return joined
+        return _with_decoded_columns(joined, spec)
 
 
 class HttpFetcher:
-    """Real HTTP fetch via mapInPandas (S5). NOT exercised in the sandbox
-    (no egress); written to the production shape: iterator-of-batches,
-    per-partition DNS/session reuse (P11), retry budget (P9), content-type
-    receive gate before body read (F10)."""
+    """Real HTTP fetch via mapInPandas (S5). Tested in-sandbox against a
+    localhost http.server (tests/test_http_fetcher.py). Production
+    shape: iterator-of-batches, per-process guarded DNS memoization
+    (P11), inline retry budget (P9), content-type receive gate before
+    body read (F10), RAW redirect statuses (E5 — the opener does NOT
+    follow 3xx; status/Location surface as received), C9 query
+    re-encoding, cookie header injection (P12) and POST/basic-auth
+    injection (P13) from optional work-list columns."""
 
     def __init__(self, spec: CrawlSpec, timeout_s: float = 10.0):
         self.spec = spec
@@ -133,6 +242,9 @@ class HttpFetcher:
     def fetch(self, work: DataFrame) -> DataFrame:
         spec, timeout = self.spec, self.timeout_s
         recv_rules = [php_regex_to_std(r) for r in spec.content_type_receive_rules]
+        has_cookies = "cookie_header" in work.columns
+        has_post = "post_data" in work.columns
+        has_auth = "auth" in work.columns
 
         out_schema = T.StructType(
             work.schema.fields
@@ -142,53 +254,114 @@ class HttpFetcher:
                 T.StructField("redirect_to", T.StringType()),
                 T.StructField("body", T.BinaryType()),
                 T.StructField("latency_ms", T.IntegerType()),
+                T.StructField("n_attempts", T.IntegerType()),
             ]
         )
 
-        def _fetch_batches(batches):
+        def _install_dns_memo():
+            """P11: per-process DNS memoization (the reference caches
+            host→IP per process, PHPCrawlerDNSCache.class.php:26-41).
+            Guarded by a sentinel so reused Python workers
+            (spark.python.worker.reuse) never stack wrappers, and the
+            cache is bounded."""
             import socket
-            import time
-            import urllib.request
 
-            compiled = [re.compile(r, re.I) for r in recv_rules]
-
-            # P11: per-partition DNS memoization (the reference caches
-            # host→IP per process, PHPCrawlerDNSCache.class.php:26-41).
-            # Monkey-patching getaddrinfo inside the worker scopes the
-            # cache to this partition's python process.
-            dns_cache: dict = {}
+            if getattr(socket.getaddrinfo, "_lc_dns_memo", False):
+                return
             real_getaddrinfo = socket.getaddrinfo
+            dns_cache: dict = {}
 
             def cached_getaddrinfo(host, *args, **kw):
                 key = (host, args[0] if args else None)
                 if key not in dns_cache:
+                    if len(dns_cache) >= 4096:
+                        dns_cache.clear()
                     dns_cache[key] = real_getaddrinfo(host, *args, **kw)
                 return dns_cache[key]
 
+            cached_getaddrinfo._lc_dns_memo = True
             socket.getaddrinfo = cached_getaddrinfo
+
+        def _fetch_batches(batches):
+            import base64
+            import time
+            import urllib.error
+            import urllib.request
+
+            compiled = [re.compile(r, re.I) for r in recv_rules]
+
+            class _NoRedirect(urllib.request.HTTPRedirectHandler):
+                # E5: surface 3xx raw — returning None makes urlopen
+                # raise HTTPError, which IS the response object
+                def redirect_request(self, req, fp, code, msg, headers, newurl):
+                    return None
+
+            opener = urllib.request.build_opener(_NoRedirect)
+            _install_dns_memo()
+
+            def _prepare_url(url: str) -> str:
+                # C9: re-encode only the path+query request part
+                m = re.match(r"^([a-zA-Z0-9+.-]+://[^/]*)(/.*)?$", url)
+                if not m or not m.group(2):
+                    return url
+                return m.group(1) + prepare_http_request_query(m.group(2))
+
+            def _attempt(url, cookie, post_data, auth):
+                headers = {"User-Agent": spec.user_agent}
+                if cookie:
+                    headers["Cookie"] = cookie  # P12 (PHPCrawler:718-719)
+                if auth:
+                    # P13 basic auth (PHPCrawler:722-727)
+                    headers["Authorization"] = "Basic " + base64.b64encode(
+                        auth.encode("utf-8")
+                    ).decode("ascii")
+                data = None
+                if post_data:
+                    # P13 post-data (PHPCrawler:730-733)
+                    data = post_data.encode("utf-8")
+                    headers["Content-Type"] = "application/x-www-form-urlencoded"
+                req = urllib.request.Request(
+                    _prepare_url(url), data=data, headers=headers
+                )
+                try:
+                    resp = opener.open(req, timeout=timeout)
+                except urllib.error.HTTPError as e:
+                    resp = e  # 3xx/4xx/5xx: the error IS the response
+                except Exception:
+                    return 0, None, None, None  # connection error
+                with resp:
+                    status = resp.status if resp.status is not None else 0
+                    ctype = resp.headers.get("Content-Type")
+                    redirect = resp.headers.get("Location")
+                    body = None
+                    if ctype and any(rx.search(ctype) for rx in compiled):
+                        # F10: only receive gated bodies
+                        body = resp.read()
+                return status, ctype, redirect, body
+
             for pdf in batches:
                 rows = {
                     "status": [], "content_type": [], "redirect_to": [],
-                    "body": [], "latency_ms": [],
+                    "body": [], "latency_ms": [], "n_attempts": [],
                 }
-                for url in pdf["url"]:
-                    status, ctype, redirect, body = 0, None, None, None
+                cookies = pdf["cookie_header"] if has_cookies else [None] * len(pdf)
+                posts = pdf["post_data"] if has_post else [None] * len(pdf)
+                auths = pdf["auth"] if has_auth else [None] * len(pdf)
+                for url, cookie, post_data, auth in zip(
+                    pdf["url"], cookies, posts, auths
+                ):
                     t0 = time.perf_counter()
-                    for _attempt in range(spec.retry_limit):
-                        try:
-                            req = urllib.request.Request(
-                                url, headers={"User-Agent": spec.user_agent}
-                            )
-                            with urllib.request.urlopen(req, timeout=timeout) as resp:
-                                status = resp.status
-                                ctype = resp.headers.get("Content-Type")
-                                redirect = resp.headers.get("Location")
-                                if ctype and any(rx.search(ctype) for rx in compiled):
-                                    body = resp.read()
-                            if 100 <= status <= 400:
-                                break
-                        except Exception:
-                            status = 0
+                    status, ctype, redirect, body = 0, None, None, None
+                    attempts = 0
+                    # P9 inline retry (PHPCrawler.class.php:735-751):
+                    # retry on error or status >400 / <100
+                    for _ in range(spec.retry_limit):
+                        attempts += 1
+                        status, ctype, redirect, body = _attempt(
+                            url, cookie, post_data, auth
+                        )
+                        if 100 <= status <= 400:
+                            break
                     rows["status"].append(status)
                     rows["content_type"].append(ctype)
                     rows["redirect_to"].append(redirect)
@@ -196,30 +369,10 @@ class HttpFetcher:
                     rows["latency_ms"].append(
                         int((time.perf_counter() - t0) * 1000)
                     )
+                    rows["n_attempts"].append(attempts)
                 yield pd.concat(
                     [pdf.reset_index(drop=True), pd.DataFrame(rows)], axis=1
                 )
 
         fetched = work.mapInPandas(_fetch_batches, out_schema)
-        ct = F.coalesce(F.col("content_type"), F.lit(""))
-        received = F.col("status").between(200, 299) & _rlike_any(
-            ct, spec.content_type_receive_rules
-        )
-        return (
-            fetched.withColumn("received", received)
-            .withColumn(
-                "bytes_received",
-                F.when(received, F.length("body")).otherwise(F.lit(0)),
-            )
-            .withColumn(
-                "body_text",
-                F.when(
-                    received & _rlike_any(ct, spec.link_search_content_types),
-                    decode_body_udf(F.col("body"), F.col("content_type")),
-                ),
-            )
-            .withColumn(
-                "redirect_to",
-                F.when(F.col("status").between(300, 399), F.col("redirect_to")),
-            )
-        )
+        return _with_decoded_columns(fetched, self.spec)

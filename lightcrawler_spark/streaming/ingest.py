@@ -17,8 +17,11 @@ byte sums per host with late-data tolerance via watermark.
 
 Scale notes: the stream-static anti-join broadcasts nothing — Spark
 re-plans the static side per micro-batch, so the seen set can be a big
-bucketed table; within-stream dedup state is bounded by the watermark
-horizon. All admission predicates are the same whole-stage-codegen
+bucketed table. Within-stream dedup uses dropDuplicatesWithinWatermark,
+the only dedup variant whose state store is actually evicted at the
+watermark horizon (plain dropDuplicates(subset) keeps keys forever
+unless the event-time column is part of the subset — unbounded state on
+an always-on stream). All admission predicates are the same whole-stage-codegen
 expressions the batch engine uses (operators/admission.py) — one
 implementation, two execution modes.
 """
@@ -44,8 +47,12 @@ def admit_link_stream(links: DataFrame, spec: CrawlSpec, start_url: str,
     out = out.withColumn("url_md5", F.md5("url")).withColumn(
         "host", host_expr(F.col("url"))
     )
-    # within-stream first-wins (P1's in-batch half): watermark bounds state
-    out = out.withWatermark(ts_col, watermark).dropDuplicates(["url_md5"])
+    # within-stream first-wins (P1's in-batch half). Must be the
+    # WithinWatermark variant: it is the one that expires url_md5 state
+    # once the key's event time falls behind the watermark.
+    out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["url_md5"]
+    )
     if seen is not None:
         # stream-static anti-join (P1's cross-round half)
         out = out.join(seen.select("url_md5"), "url_md5", "left_anti")

@@ -1,0 +1,176 @@
+"""HttpFetcher integration tests against a localhost http.server — no
+egress needed. Covers: raw (non-followed) redirects (E5), inline retry
+budget (P9), gzip body decode (C10), query re-encoding (C9), cookie
+header injection (P12), POST/basic-auth injection (P13), and the
+connection-error path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from lightcrawler_spark.config import CrawlSpec
+from lightcrawler_spark.sources.fetcher import (
+    HttpFetcher,
+    decode_gzip_content,
+    is_gzip_encoded,
+    prepare_http_request_query,
+)
+
+_FLAKY_HITS = {"n": 0}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _respond(self, status, body=b"", ctype="text/html", location=None):
+        self.send_response(status)
+        if location:
+            self.send_header("Location", location)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/redirect":
+            # no body, non-receivable ctype: raw 302 must surface
+            self._respond(302, b"", ctype="text/plain", location="/content")
+        elif self.path == "/content":
+            self._respond(200, b"<html><body>arrived</body></html>")
+        elif self.path == "/flaky":
+            _FLAKY_HITS["n"] += 1
+            if _FLAKY_HITS["n"] == 1:
+                self._respond(500, b"boom")
+            else:
+                self._respond(200, b"<html><body>ok now</body></html>")
+        elif self.path == "/gzip":
+            payload = gzip.compress(
+                "<html><body>压缩内容 gzip body</body></html>".encode("utf-8")
+            )
+            self._respond(200, payload)
+        elif self.path.startswith("/echo"):
+            body = (
+                f"<html><body>path={self.path}"
+                f"|cookie={self.headers.get('Cookie')}"
+                f"|auth={self.headers.get('Authorization')}</body></html>"
+            ).encode("utf-8")
+            self._respond(200, body)
+        else:
+            self._respond(404, b"nope")
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        posted = self.rfile.read(n).decode("utf-8")
+        body = (
+            f"<html><body>posted={posted}"
+            f"|auth={self.headers.get('Authorization')}</body></html>"
+        ).encode("utf-8")
+        self._respond(200, body)
+
+
+@pytest.fixture(scope="module")
+def server():
+    _FLAKY_HITS["n"] = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _fetch(spark, base, rows, schema="url string"):
+    spec = CrawlSpec(seeds=[base], retry_limit=3)
+    work = spark.createDataFrame(rows, schema).coalesce(1)
+    out = HttpFetcher(spec, timeout_s=5.0).fetch(work)
+    return {r["url"]: r.asDict() for r in out.collect()}
+
+
+def test_raw_redirect_and_retry_and_gzip(spark, server):
+    rows = [
+        (f"{server}/redirect",),
+        (f"{server}/flaky",),
+        (f"{server}/gzip",),
+        (f"{server}/missing",),
+        ("http://127.0.0.1:1/dead",),  # connection refused
+    ]
+    got = _fetch(spark, server, rows)
+
+    r = got[f"{server}/redirect"]
+    assert r["status"] == 302                       # NOT silently followed
+    assert r["redirect_to"] == "/content"           # raw Location header
+    assert r["received"] is False and r["body_text"] is None
+    assert r["n_attempts"] == 1                     # 302 is a valid status
+
+    fl = got[f"{server}/flaky"]
+    assert fl["status"] == 200 and fl["n_attempts"] == 2   # P9: 500 then 200
+    assert "ok now" in fl["body_text"]
+
+    gz = got[f"{server}/gzip"]
+    assert gz["status"] == 200
+    assert "压缩内容" in gz["body_text"]              # C10 through C6
+
+    miss = got[f"{server}/missing"]
+    assert miss["status"] == 404 and miss["n_attempts"] == 3  # >400 → retried
+
+    dead = got["http://127.0.0.1:1/dead"]
+    assert dead["status"] == 0 and dead["n_attempts"] == 3
+    assert dead["body"] is None
+
+
+def test_cookie_auth_post_injection(spark, server):
+    rows = [
+        (f"{server}/echo?c=1", "sid=abc; lang=zh", None, "bob:secret"),
+        (f"{server}/echo?p=1", None, "q=laws&page=2", None),
+    ]
+    got = _fetch(
+        spark, server, rows,
+        "url string, cookie_header string, post_data string, auth string",
+    )
+    c = got[f"{server}/echo?c=1"]["body_text"]
+    assert "cookie=sid=abc; lang=zh" in c            # P12
+    assert "auth=Basic Ym9iOnNlY3JldA==" in c        # P13 basic auth
+    p = got[f"{server}/echo?p=1"]["body_text"]
+    assert "posted=q=laws&page=2" in p               # P13 post body
+
+
+def test_query_reencoding_c9(spark, server):
+    # non-ASCII query: must reach the wire rawurlencoded (C9)
+    got = _fetch(spark, server, [(f"{server}/echo?q=tatütata",)])
+    body = got[f"{server}/echo?q=tatütata"]["body_text"]
+    assert "path=/echo?q=tat%C3%BCtata" in body
+
+
+def test_prepare_http_request_query_vectors():
+    # valid URL strings pass through untouched
+    assert prepare_http_request_query("/path/file?a=1&b=2") == "/path/file?a=1&b=2"
+    # non-ASCII → utf-8 + rawurlencode, structural chars restored
+    assert (
+        prepare_http_request_query("/path/file?test=tatütata")
+        == "/path/file?test=tat%C3%BCtata"
+    )
+    # partly-encoded input is decoded first (no double-encoding)
+    assert (
+        prepare_http_request_query("/p?x=tat%C3%BCtata")
+        == "/p?x=tat%C3%BCtata"
+    )
+    # %FC alone stays untouched: every char is in isValidUrlString's
+    # class (the reference's `%-_` range quirk) → pass-through
+    assert prepare_http_request_query("/p?x=tat%FCtata") == "/p?x=tat%FCtata"
+    # a space forces the re-encode path; %FC decodes to invalid UTF-8 →
+    # latin-1→utf-8 first (PHP utf8_encode path)
+    assert prepare_http_request_query("/p?x=a b%FC") == "/p?x=a%20b%C3%BC"
+
+
+def test_gzip_vectors():
+    payload = gzip.compress(b"hello world")
+    assert is_gzip_encoded(payload)
+    assert not is_gzip_encoded(b"hello")
+    assert decode_gzip_content(payload) == b"hello world"
+    # corrupt input returns input unchanged (PHP gzinflate → false path)
+    assert decode_gzip_content(b"\x1f\x8b\x08 garbage") == b"\x1f\x8b\x08 garbage"
