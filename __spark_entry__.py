@@ -674,14 +674,21 @@ def q_cuckoo_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E7/E8/E10: HTML→text kernel over synthesized pages (Arrow UDF —
-    rows-only)."""
+    """E7/E8/E9/E10: HTML→text kernel over synthesized pages (Arrow UDF)
+    — the nav menu block must be pruned (E9) and the paragraph path must
+    win (E10); verified value-exact against a DuckDB oracle that builds
+    the expected text from the same template."""
     from lightcrawler_spark.operators.content import html_to_text_udf
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     body = F.concat(
         F.lit("<html><head><title>Doc_"), F.col("doc_id").cast("string"),
-        F.lit("</title><script>var junk=1;</script></head><body><h1>Head "),
+        F.lit("</title><script>var junk=1;</script></head><body>"),
+        # E9 fodder: anchor-dense nav block (ratio 1.0, avg len 2)
+        F.lit('<div><ul><li><a href="/1">首页</a></li>'
+              '<li><a href="/2">新闻中心</a></li>'
+              '<li><a href="/3">政策</a></li></ul></div>'),
+        F.lit("<h1>Head "),
         F.col("doc_id").cast("string"),
         F.lit('</h1><p>'), F.col("text").substr(1, 200),
         F.lit('</p><p><img src="/userfiles/image/'),
@@ -754,6 +761,10 @@ def q_crawl_golden_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, spec, SyntheticFetcher(web_df, spec),
         robots_fixture=ROBOTS_FIXTURE,
     )
+    return _run_engine_trace(spark, engine)
+
+
+def _run_engine_trace(spark: SparkSession, engine) -> DataFrame:
     # micro-rounds: AQE's per-stage replanning dominates at fixture scale
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -763,11 +774,49 @@ def q_crawl_golden_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq").cast("long").alias("seq"),
             "url", "url_md5",
             F.col("depth").cast("int").alias("depth"),
+            F.col("status").cast("int").alias("status"),
+            F.col("n_attempts").cast("int").alias("n_attempts"),
         ).orderBy("seq")
         out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return out
+
+
+def q_crawl_golden_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F3/P9 end-to-end: redirect-only bootstrap across domains with
+    filter re-basing, meta/rel nofollow, inline retries — engine trace
+    vs the reference-semantics simulator (VALUES-literal oracle)."""
+    from lightcrawler_spark.fixtures import (
+        make_redirect_webgraph,
+        redirect_spec,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = redirect_spec(budget=1)
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_redirect_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_values_sql(golden: list[dict]) -> str:
+    rows = ",\n".join(
+        f"({t['seq']}, '{t['url']}', '{t['url_md5']}', {t['depth']}, "
+        f"{t['status']}, {t['n_attempts']})"
+        for t in golden
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, url, url_md5, "
+        "CAST(depth AS INT) AS depth, CAST(status AS INT) AS status, "
+        "CAST(n_attempts AS INT) AS n_attempts FROM (VALUES\n"
+        + rows
+        + "\n) AS t(seq, url, url_md5, depth, status, n_attempts) ORDER BY seq"
+    )
 
 
 def _golden_fixture_values_sql() -> str:
@@ -781,16 +830,79 @@ def _golden_fixture_values_sql() -> str:
 
     web = make_webgraph(n_lists=1, details_per_list=2, images=make_images(4))
     golden = simulate_reference_crawl(web, default_spec(budget=1), ROBOTS_FIXTURE)
+    return _golden_values_sql(golden)
+
+
+def _image_verify_values_sql() -> str:
+    """Every fixture image must pass every invariant — the VALUES oracle
+    pins the full verdict set (ids × fmts, all four flags true)."""
+    from lightcrawler_spark.fixtures import make_images
+
     rows = ",\n".join(
-        f"({t['seq']}, '{t['url']}', '{t['url_md5']}', {t['depth']})"
-        for t in golden
+        f"('{r['image_id']}', '{r['fmt']}', true, true, true, true)"
+        for r in make_images(64)
     )
     return (
-        "SELECT CAST(seq AS BIGINT) AS seq, url, url_md5, "
-        "CAST(depth AS INT) AS depth FROM (VALUES\n"
-        + rows
-        + "\n) AS t(seq, url, url_md5, depth) ORDER BY seq"
+        "SELECT image_id, fmt, dims_ok, psnr_ok, exact_ok, phash_ok "
+        "FROM (VALUES\n" + rows +
+        "\n) AS t(image_id, fmt, dims_ok, psnr_ok, exact_ok, phash_ok)"
     )
+
+
+def _image_resize_values_sql() -> str:
+    """Expected resize output computed driver-side with the same
+    deterministic numpy codec (no Spark): decode → 16×12 nearest
+    neighbor → re-encode → byte length."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, encode_image
+
+    import numpy as np
+
+    rows = []
+    for r in make_images(64):
+        arr = decode_image(r["bytes"])
+        yi = (np.arange(12) * arr.shape[0] // 12).astype(int)
+        xi = (np.arange(16) * arr.shape[1] // 16).astype(int)
+        resized = arr[yi][:, xi]
+        n = len(encode_image(resized, r["fmt"]))
+        rows.append(f"('{r['image_id']}', '{r['fmt']}', 16, 12, {n})")
+    return (
+        "SELECT image_id, fmt, CAST(resized_w AS INT) AS resized_w, "
+        "CAST(resized_h AS INT) AS resized_h, "
+        "CAST(resized_bytes AS BIGINT) AS resized_bytes FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(image_id, fmt, resized_w, resized_h, resized_bytes)"
+    )
+
+
+def _video_frames_values_sql() -> str:
+    """Frame lengths follow directly from the fixture container layout
+    (length-prefixed make_images bytes) — independent of the sampling
+    kernel."""
+    from lightcrawler_spark.fixtures import make_images
+
+    frames = [len(r["bytes"]) for r in make_images(30)]
+    rows = ",\n".join(
+        f"('vid{v}', {i}, {frames[i]})"
+        for v in range(4)
+        for i in range(0, 30, 10)
+    )
+    return (
+        "SELECT video_id, CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(frame_len AS BIGINT) AS frame_len FROM (VALUES\n" + rows +
+        "\n) AS t(video_id, frame_idx, frame_len)"
+    )
+
+
+def _golden_redirects_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        make_redirect_webgraph,
+        redirect_spec,
+        simulate_reference_crawl,
+    )
+
+    golden = simulate_reference_crawl(make_redirect_webgraph(), redirect_spec(budget=1))
+    return _golden_values_sql(golden)
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,7 +933,7 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verify_images(df).filter(
         F.col("dims_ok") & F.col("psnr_ok") & F.col("exact_ok") & F.col("phash_ok")
-    )
+    ).select("image_id", "fmt", "dims_ok", "psnr_ok", "exact_ok", "phash_ok")
 
 
 def _image_df(spark: SparkSession, n: int = 64) -> DataFrame:
@@ -944,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "send_data": q_send_data,
         "requeue_list": q_requeue_list,
         "crawl_golden_fixture": q_crawl_golden_fixture,
+        "crawl_golden_redirects": q_crawl_golden_redirects,
         "simhash_docs": q_simhash_docs,
         "image_verify": q_image_verify,
         "bloom_prefilter": q_bloom_prefilter,
@@ -1553,7 +1666,73 @@ ORDER BY insert_seq ASC
 LIMIT 50
 """,
         "crawl_golden_fixture": _golden_fixture_values_sql(),
-        # simhash_docs / image_verify / bloom_prefilter / content_extract /
-        # summary_fields: Arrow-UDF kernels with no ANSI-SQL equivalent →
-        # rows-only checks (intentional).
+        "crawl_golden_redirects": _golden_redirects_values_sql(),
+        # content_extract: the body is templated, so the kernel's exact
+        # output (post E9 pruning, E10 paragraph path, img marker) is
+        # reconstructible in SQL
+        "content_extract": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'Doc_' || doc_id AS page_title,
+       substr(text, 1, 200) || chr(10) || '[tag:img:/userfiles/image/'
+         || doc_id || '.jpg]' || chr(10) || chr(10) AS content,
+       CAST(1 AS INT) AS n_images,
+       CAST(3 AS INT) AS n_paragraphs
+FROM documents WHERE doc_id < 100
+""",
+        # summary_fields: label table semantics over the templated text
+        "summary_fields": """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       'GOV-' || n_nationkey AS index_ori_no,
+       '机关' || (n_nationkey % 5) AS author,
+       '20' || (n_nationkey % 10 + 10) || '年1月2日' AS publish_time
+FROM nation
+""",
+        # simhash_docs: the full Charikar pipeline in SQL — token hash =
+        # little-endian uint64 of md5('0'‖US‖tok) (hashing.stable_hash64),
+        # per-bit ±1 majority vote, two's-complement to BIGINT
+        "simhash_docs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, md5('0' || chr(31) || tok) AS h FROM toks
+),
+th AS (
+  SELECT doc_id,
+    list_sum(
+      list_transform(range(0, 8), i ->
+        (
+          (16 * (strpos('0123456789abcdef', substr(h, (2*i+1)::INT, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(h, (2*i+2)::INT, 1)) - 1)
+          )::UBIGINT << (8*i)::INT
+        )
+      )
+    )::UBIGINT AS th
+  FROM hx
+),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (th >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bl
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::UBIGINT << b::INT)::HUGEINT ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN s.v >= 9223372036854775808::HUGEINT
+                 THEN s.v - 18446744073709551616::HUGEINT
+                 ELSE coalesce(s.v, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh s USING (doc_id)
+""",
+        # deterministic-fixture VALUES oracles (goldens technique): the
+        # expected rows are computed driver-side WITHOUT Spark
+        "image_verify": _image_verify_values_sql(),
+        "image_resize": _image_resize_values_sql(),
+        "video_frame_sample": _video_frames_values_sql(),
+        # bloom_prefilter / cuckoo_prefilter (probabilistic survivor sets)
+        # and image_features (raw float features): no ANSI-SQL equivalent
+        # → rows-only checks (intentional).
     }

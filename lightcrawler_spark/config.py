@@ -63,6 +63,10 @@ class CrawlSpec:
     priority_rules: list[tuple[str, int]] = field(default_factory=list)  # P2
     obey_nofollow: bool = False
     obey_robots_txt: bool = False
+    # F9: before the first 200-with-content page, keep only redirect
+    # links (depth handed back) and re-base the URL filter to that first
+    # content page. Reference default TRUE (PHPCrawler.class.php:198).
+    follow_redirects_till_content: bool = True
     user_agent: str = "PHPCrawl"
     crawl_delay_s: float = 5.0         # libs/CrawlerSettings.class.php:43
     round_duration_s: float = 5.0      # BSP round = one politeness window

@@ -27,14 +27,18 @@ from .functions import urlkit
 from .functions.urlkit import url_md5
 from .imagecodec import decode_image, encode_image, phash64
 from .operators.extract import extract_meta_tags, find_links
+from .operators.admission import _NOFOLLOW_LINKCODE as _NOFOLLOW_LINKCODE_PY
 from .operators.admission import parse_robots_body
 
 __all__ = [
     "make_images",
     "make_webgraph",
+    "make_redirect_webgraph",
     "default_spec",
+    "redirect_spec",
     "ROBOTS_FIXTURE",
     "simulate_reference_crawl",
+    "webgraph_df",
 ]
 
 CAPTIONS = [
@@ -94,6 +98,40 @@ def make_images(n: int = 64) -> list[dict]:
 HOST = "www.site-a.test"
 HOST_B = "cdn.site-a.test"       # same domain, different host
 HOST_X = "www.other-b.test"      # different domain (follow-mode drops)
+HOST_R = "www.site-r.test"       # redirect-bootstrap seed host (F9)
+HOST_S = "www.site-s.test"       # first-content host after redirects
+
+
+def _page_row(url, body: bytes | str, status=200, ctype="text/html",
+              redirect_to=None, image_id=None, host=None, fail_times=0):
+    if isinstance(body, str):
+        body = body.encode("utf-8")
+    return {
+        "url": url,
+        "host": host or urlkit.split_url(url).host,
+        "status": status,
+        "content_type": ctype,
+        "redirect_to": redirect_to,
+        "body": body,
+        "image_id": image_id,
+        "latency_ms": 10 + (len(url) % 25),
+        "fail_times": fail_times,
+    }
+
+
+def webgraph_df(spark, pages: list[dict]):
+    """Fixture web rows → the SyntheticFetcher's webgraph DataFrame."""
+    return spark.createDataFrame(
+        [
+            (p["url"], p["host"], p["status"], p["content_type"],
+             p["redirect_to"], bytearray(p["body"]), p["image_id"],
+             p["latency_ms"], p.get("fail_times", 0))
+            for p in pages
+        ],
+        "url string, host string, status int, content_type string, "
+        "redirect_to string, body binary, image_id string, latency_ms int, "
+        "fail_times int",
+    )
 
 
 def make_webgraph(n_lists: int = 3, details_per_list: int = 4,
@@ -106,20 +144,8 @@ def make_webgraph(n_lists: int = 3, details_per_list: int = 4,
 
     def page(url, body: bytes | str, status=200, ctype="text/html",
              redirect_to=None, image_id=None, host=None):
-        if isinstance(body, str):
-            body = body.encode("utf-8")
-        pages.append(
-            {
-                "url": url,
-                "host": host or urlkit.split_url(url).host,
-                "status": status,
-                "content_type": ctype,
-                "redirect_to": redirect_to,
-                "body": body,
-                "image_id": image_id,
-                "latency_ms": 10 + (len(url) % 25),
-            }
-        )
+        pages.append(_page_row(url, body, status, ctype, redirect_to,
+                               image_id, host))
 
     root = f"http://{HOST}"
     # seed root: links to list pages + a redirect + cross-host + deny-ext
@@ -215,6 +241,73 @@ def default_spec(max_depth: int = 4, budget: int = 1, **kw) -> CrawlSpec:
     )
 
 
+def make_redirect_webgraph() -> list[dict]:
+    """F9/F3/P9 fixture web: the seed 301→302-chains ACROSS DOMAINS to
+    the first content page (bootstrap must bypass follow-mode and re-base
+    the filter there — PHPCrawler.class.php:800-823), which then links to
+    a meta-nofollow page (page-level F3), a rel=nofollow link (link-level
+    F3), a flaky page (1 failed attempt → n_attempts=2), a dead page
+    (exhausts the retry budget → status 0), a post-bootstrap redirect,
+    and a link back to the SEED's domain that the re-based follow-mode
+    must now drop."""
+    P = _page_row
+    landing = f"http://{HOST_S}/landing.htm"
+    return [
+        # bootstrap chain (no 200 until landing)
+        P(f"http://{HOST_R}", "", status=301, ctype="text/plain",
+          redirect_to=f"http://{HOST_R}/hop1.htm"),
+        P(f"http://{HOST_R}/hop1.htm", "", status=302, ctype="text/plain",
+          redirect_to=landing),
+        P(
+            landing,
+            "<html><head><title>Landing</title></head><body>"
+            '<a href="/a.htm">A page</a>'
+            f'<a href="http://{HOST_R}/b.htm">back to seed domain</a>'
+            '<a href="/nf.htm">nofollow page</a>'
+            '<a href="/flaky.htm">flaky</a>'
+            '<a href="/dead.htm">dead</a>'
+            '<a href="/moved2.htm">moved</a>'
+            "</body></html>",
+        ),
+        P(
+            f"http://{HOST_S}/a.htm",
+            "<html><body>"
+            '<a rel="nofollow" href="/skipme.htm">skip</a>'
+            '<a href="/c.htm">C</a>'
+            "</body></html>",
+        ),
+        P(
+            f"http://{HOST_S}/nf.htm",
+            "<html><head><meta name='robots' content='nofollow'></head>"
+            '<body><a href="/from-nf.htm">never followed</a></body></html>',
+        ),
+        P(f"http://{HOST_S}/flaky.htm",
+          "<html><body>flaky ok</body></html>", fail_times=1),
+        P(f"http://{HOST_S}/dead.htm",
+          "<html><body>unreachable</body></html>", fail_times=99),
+        P(f"http://{HOST_S}/moved2.htm", "", status=302, ctype="text/plain",
+          redirect_to=f"http://{HOST_S}/target.htm"),
+        P(f"http://{HOST_S}/target.htm", "<html><body>end</body></html>"),
+        P(f"http://{HOST_S}/c.htm", "<html><body>leaf</body></html>"),
+        # exist but must never be fetched
+        P(f"http://{HOST_R}/b.htm", "<html><body>seed domain</body></html>"),
+        P(f"http://{HOST_S}/skipme.htm", "<html><body>x</body></html>"),
+        P(f"http://{HOST_S}/from-nf.htm", "<html><body>x</body></html>"),
+    ]
+
+
+def redirect_spec(budget: int = 1) -> CrawlSpec:
+    return CrawlSpec(
+        seeds=[f"http://{HOST_R}"],
+        follow_mode=1,
+        max_depth=6,
+        obey_nofollow=True,
+        retry_limit=3,
+        crawl_delay_s=5.0,
+        round_duration_s=5.0 * budget,
+    )
+
+
 def simulate_reference_crawl(
     webgraph: list[dict],
     spec: CrawlSpec,
@@ -223,10 +316,17 @@ def simulate_reference_crawl(
 ) -> list[dict]:
     """Single-claimant reference-semantics crawl → golden trace rows:
     (seq, url, url_md5, depth, referer, priority_level, status,
-    final_seen). Pops strictly one URL at a time with frontier
-    re-ranking between pops — byte-identical to the reference's
+    n_attempts, final_seen). Pops strictly one URL at a time with
+    frontier re-ranking between pops — byte-identical to the reference's
     number_of_process=1 behavior under the deterministic ordering
     contract (priority DESC, insert_seq ASC).
+
+    Models, like the engine: the inline retry loop P9 (fail_times
+    failures then success; retry on error or status >400/<100 —
+    PHPCrawler.class.php:735-751), and the F9 redirect-only bootstrap
+    with filter re-basing (keepRedirectUrls bypasses ALL admission
+    checks; the first 200 page becomes the follow-mode base —
+    PHPCrawler.class.php:800-823).
     """
     import re as _re
 
@@ -239,7 +339,8 @@ def simulate_reference_crawl(
         for host, body in robots:
             deny_prefixes += parse_robots_body(body, spec.user_agent, f"http://{host}")
 
-    start_parts = urlkit.split_url(spec.seeds[0])
+    state = {"base_parts": urlkit.split_url(spec.seeds[0]),
+             "first_content_url": None}
     url_deny = [_re.compile(php_regex_to_std(r)) for r in spec.url_filter_rules]
     lt_deny = [_re.compile(php_regex_to_std(r)) for r in spec.linktext_filter_rules]
     url_allow = [_re.compile(php_regex_to_std(r)) for r in spec.url_follow_rules]
@@ -257,11 +358,16 @@ def simulate_reference_crawl(
 
     def admit(link: dict, depth: int, page_nofollow: bool) -> bool:
         u = link["url"]
+        start_parts = state["base_parts"]
         if not (u.startswith("http://") or u.startswith("https://")):
             return False
         if spec.max_depth is not None and depth > spec.max_depth:
             return False
         if spec.obey_nofollow and page_nofollow:
+            return False
+        if spec.obey_nofollow and _re.match(
+            _NOFOLLOW_LINKCODE_PY, link.get("linkcode") or ""
+        ):
             return False
         parts = urlkit.split_url(u)
         if spec.follow_mode >= 1 and parts.domain != start_parts.domain:
@@ -331,7 +437,15 @@ def simulate_reference_crawl(
         nxt = min(pending, key=lambda f: (-f["priority_level"], f["insert_seq"]))
         nxt["done"] = True
         p = web.get(nxt["url"])
-        status = p["status"] if p else 404
+        # P9 inline retry, closed form (mirrors SyntheticFetcher): the
+        # first fail_times attempts error out; retry also on status
+        # >400/<100; unknown URL == connection error (status 0)
+        raw_status = p["status"] if p else 0
+        fail_times = (p.get("fail_times", 0) if p else 0) or 0
+        exhausted = fail_times >= spec.retry_limit
+        status = 0 if exhausted else raw_status
+        invalid = status < 100 or status > 400
+        n_attempts = spec.retry_limit if invalid else fail_times + 1
         trace.append(
             {
                 "seq": seq,
@@ -341,13 +455,20 @@ def simulate_reference_crawl(
                 "referer": nxt["referer"],
                 "priority_level": nxt["priority_level"],
                 "status": status,
+                "n_attempts": n_attempts,
             }
         )
         seq += 1
-        if p is None:
+        if p is None or exhausted:
             continue
+        # body only when received (status 2xx + html), like the engine's
+        # F10/F11 gate; redirect links come from the header regardless
         is_html = "text/html" in (p["content_type"] or "")
-        body = p["body"].decode("utf-8", errors="replace") if is_html else None
+        body = (
+            p["body"].decode("utf-8", errors="replace")
+            if is_html and 200 <= status <= 299
+            else None
+        )
         redirect = p["redirect_to"] if 300 <= status < 400 else None
         links = find_links(
             body,
@@ -355,6 +476,23 @@ def simulate_reference_crawl(
             aggressive=spec.aggressive_link_search,
             redirect_location=redirect,
         )
+        bootstrapping = (
+            spec.follow_redirects_till_content
+            and state["first_content_url"] is None
+        )
+        if bootstrapping:
+            if status == 200:
+                # first content page: re-base the filter here and fall
+                # through to normal admission (PHPCrawler:806-812)
+                state["first_content_url"] = nxt["url"]
+                state["base_parts"] = urlkit.split_url(nxt["url"])
+            else:
+                # keepRedirectUrls: redirects only, depth handed back,
+                # ALL other admission checks bypassed (URLFilter:121-135)
+                for link in links:
+                    if link["is_redirect"]:
+                        push(link["url"], nxt["depth"], nxt["url"])
+                continue
         page_nofollow = False
         if spec.obey_nofollow and body:
             page_nofollow = "nofollow" in extract_meta_tags(body).get("robots", "")

@@ -42,8 +42,8 @@ __all__ = [
     "cn_date_parts", "unify_publish_time", "unify_doc_ori_no",
     "title_guess", "t_valid_date", "negs_list", "index_block_filter",
     "harvest_attachments", "attachment_type_code",
-    "html_text_struct", "html_to_text_udf", "main_content",
-    "decode_charset_udf", "extract_summary_udf",
+    "prune_link_blocks", "html_text_struct", "html_to_text_udf",
+    "main_content", "decode_charset_udf", "extract_summary_udf",
 ]
 
 # ---------------------------------------------------------------------------
@@ -189,6 +189,146 @@ def attachment_type_code(url_col: Column) -> Column:
 # Arrow-kernel layer
 # ---------------------------------------------------------------------------
 
+# --- E9: link-block pruning (nav-menu removal) ----------------------------
+
+_VOID_TAGS = {
+    "br", "img", "hr", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+}
+
+
+class _BlockTracker(HTMLParser):
+    """Builds a lightweight element tree with source-offset spans and the
+    per-element anchor metrics E9 needs (ExtractContent.class.php:946-983):
+    block text length (whitespace-stripped descendant text), descendant
+    <a> count, and summed non-empty anchor text length."""
+
+    def __init__(self, html: str):
+        super().__init__(convert_charrefs=True)
+        self.html = html
+        self._line_off = [0]
+        for line in html.split("\n"):
+            self._line_off.append(self._line_off[-1] + len(line) + 1)
+        self.roots: list[dict] = []
+        self.body: dict | None = None
+        self._stack: list[dict] = []
+        self._anchors: list[tuple[list[dict], list[str]]] = []
+
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_off[line - 1] + col
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return
+        node = {
+            "tag": tag, "start": self._offset(), "end": None,
+            "children": [], "text_len": 0, "a_text_len": 0, "a_count": 0,
+        }
+        if self._stack:
+            self._stack[-1]["children"].append(node)
+        else:
+            self.roots.append(node)
+        if tag == "body" and self.body is None:
+            self.body = node
+        if tag == "a":
+            # getElementsByTagName('a') counts EVERY descendant anchor,
+            # even empty-text ones (:958-960)
+            ancestors = list(self._stack)
+            for n in ancestors:
+                n["a_count"] += 1
+            self._anchors.append((ancestors, []))
+        self._stack.append(node)
+
+    def _close_node(self, node):
+        end = self.html.find(">", self._offset())
+        node["end"] = end + 1 if end >= 0 else len(self.html)
+        if node["tag"] == "a" and self._anchors:
+            ancestors, buf = self._anchors.pop()
+            a_text = re.sub(r"\s+", "", "".join(buf))
+            if a_text:
+                for n in ancestors:
+                    n["a_text_len"] += len(a_text)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if not any(n["tag"] == tag for n in self._stack):
+            return
+        while self._stack:
+            node = self._stack.pop()
+            self._close_node(node)
+            if node["tag"] == tag:
+                break
+
+    def handle_data(self, data):
+        stripped = re.sub(r"\s+", "", data)
+        if stripped:
+            for n in self._stack:
+                n["text_len"] += len(stripped)
+        if self._anchors and any(n["tag"] == "a" for n in self._stack):
+            self._anchors[-1][1].append(data)
+
+    def finish(self):
+        while self._stack:
+            node = self._stack.pop()
+            node["end"] = len(self.html)
+            if node["tag"] == "a" and self._anchors:
+                ancestors, buf = self._anchors.pop()
+                a_text = re.sub(r"\s+", "", "".join(buf))
+                if a_text:
+                    for n in ancestors:
+                        n["a_text_len"] += len(a_text)
+
+
+def prune_link_blocks(html: str) -> str:
+    """E9 (`linkBlocks` + `deleteNodes`,
+    /root/reference/worker/ExtractContent.class.php:926-983; applied to
+    the <body> by e.g. worker/SpiderZhengceBeijingGov.class.php:48):
+    remove div/ul/ol blocks whose anchor-text/total-text ratio exceeds
+    0.6 with mean anchor length strictly between 1 and 6 (integer-
+    truncated over ALL descendant anchors) — nav menus. The walk descends
+    only through div/ul/ol chains from the body and evaluates outer
+    blocks first on the INTACT tree, exactly like the reference's
+    recursion; matched subtrees are spliced out of the source."""
+    if not html:
+        return html
+    t = _BlockTracker(html)
+    try:
+        t.feed(html)
+        t.close()
+    except Exception:
+        return html
+    t.finish()
+
+    spans: list[tuple[int, int]] = []
+
+    def walk(node_children):
+        for child in node_children:
+            if child["tag"] in ("div", "ul", "ol"):
+                btl = child["text_len"]
+                atl = child["a_text_len"]
+                cnt = child["a_count"]
+                avg = int(atl / cnt) if cnt else 0
+                if btl > 0 and atl / btl > 0.6 and avg != 0 and 1 < avg < 6:
+                    spans.append((child["start"], child["end"]))
+                else:
+                    walk(child["children"])
+            # non-div/ul/ol children are NOT descended into — the
+            # reference's recursion only chains through these tags
+
+    walk((t.body or {"children": t.roots})["children"])
+    if not spans:
+        return html
+    out, pos = [], 0
+    for s, e in sorted(spans):
+        if s >= pos:
+            out.append(html[pos:s])
+            pos = max(pos, e)
+    out.append(html[pos:])
+    return "".join(out)
+
+
 _BLOCK_TAGS = {"br", "div", "p", "tr", "ul", "ol", "li"}
 _TITLE_TAGS = {"strong", "h1", "h2", "h3", "h4"}
 _DROP_TAGS = {"script", "style", "link"}
@@ -276,7 +416,10 @@ class _ToText(HTMLParser):
             self._title_buf.append(data)
 
 
-def html_text_struct(html: str, keep_img: bool = False) -> dict:
+def html_text_struct(html: str, keep_img: bool = False,
+                     prune_nav: bool = True) -> dict:
+    if prune_nav:
+        html = prune_link_blocks(html or "")
     p = _ToText(keep_img=keep_img)
     try:
         p.feed(html or "")

@@ -40,6 +40,7 @@ __all__ = [
     "extract_meta_tags",
     "redirect_url_from_header",
     "extract_links_udf",
+    "page_nofollow_udf",
     "LINK_STRUCT",
     "explode_links",
     "synthesize_pagination",
@@ -223,6 +224,21 @@ LINK_STRUCT = T.ArrayType(
         ]
     )
 )
+
+
+@pandas_udf(T.BooleanType())
+def page_nofollow_udf(bodies: pd.Series) -> pd.Series:
+    """F3 page level: <meta name=robots content=…nofollow…> → True
+    (PHPCrawlerURLFilter.class.php:161-169; meta parse
+    Utils/PHPCrawlerUtils.class.php:568-585). Arrow-batched; the engine
+    only evaluates it when obey_nofollow is set."""
+    out = []
+    for body in bodies:
+        if not isinstance(body, str) or not body:
+            out.append(False)
+            continue
+        out.append("nofollow" in extract_meta_tags(body).get("robots", ""))
+    return pd.Series(out, dtype="bool")
 
 
 @pandas_udf(LINK_STRUCT)

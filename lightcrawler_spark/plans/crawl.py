@@ -5,13 +5,16 @@ Replaces the reference's lock-serialized pop loop
 with rounds of pure DataFrame algebra over append-only round tables:
 
   round r:
-    pending   = frontier(≤r-1)  ANTI  claimed(≤r-1)          -- A5 gate
-    work      = top-B of pending by (priority DESC, seq ASC) -- P3 + P8
-    results   = fetch(work)                                  -- S5
-    trace    += results (global fetch sequence)              -- golden trace
-    links     = extract(results)  → explode → admit (F1–F9)
-    new       = first-wins(links) ANTI frontier(≤r)          -- P1
-    frontier += new ; commit round watermark                 -- P4/P5 + resume
+    pending   = frontier(≤r-1)  ANTI  pages(≤r-1)             -- A5 gate
+    work      = top-B of pending by (priority DESC, seq ASC)  -- P3 + P8
+    results   = fetch(work)  (inline retry P9 inside)         -- S5
+    pages    += results (ONE unified round table: trace =      -- golden trace
+                claimed = host-state = projections of it)
+    links     = extract(results) → explode → admit
+                (F1–F8 battery + page-nofollow F3; or F9
+                redirect-only while bootstrapping)
+    new       = first-wins(links) ANTI frontier(≤r)           -- P1
+    frontier += new ; commit round watermark                  -- P4/P5 + resume
 
 Determinism contract (the golden-trace anchor): pop order is
 (priority_level DESC, insert_seq ASC) where insert_seq is the bit-packed
@@ -20,7 +23,29 @@ the reference's frontier insertion order under BSP, computed WITHOUT any
 global counter or zipWithIndex (no extra shuffle, resume-safe). With the
 reference politeness budget (1 fetch per round) the engine's trace equals
 the reference's sequential trace row-for-row; larger budgets batch the
-same order.
+same order. Retries (P9) happen INLINE within a pop, like the reference
+(PHPCrawler.class.php:735-762) — each pop still counts once against the
+round budget, while `n_attempts` surfaces in the trace.
+
+F9 redirect-only bootstrap (PHPCrawler.class.php:800-823): until the
+first status-200 page is seen, only redirect links enter the frontier
+(depth handed back, ALL other admission checks bypassed — matching
+keepRedirectUrls, which skips urlMatchesRules entirely); when content is
+found the URL filter re-bases to that page (setBaseURL), so follow-mode
+checks compare against the first CONTENT url, not the seed.
+
+P10 budget checks (PHPCrawler.class.php:860-900): the driver loop stops
+with an abort_reason mirroring PHPCrawlerAbortReasons (passedthrough /
+trafficlimit / filelimit / roundlimit).
+
+Driver-job discipline (the per-round overhead budget): exactly TWO Spark
+jobs per round at fixture scale — (1) a lazy localCheckpoint of the
+fetch results materialized by the same action that collects the round
+stats (count, bytes, first-content rank/url), (2) materialization of the
+new frontier rows. All per-round tables are projections of those two
+checkpointed plans; durable stores pay their writes instead of the
+checkpoints. Small budgets also clamp shuffle partitions for the round
+so micro-round stages don't schedule hundreds of empty tasks.
 
 Scale properties: every per-round table is bounded by the politeness
 budget (work) or the link fan-out of one round (new); the only joins
@@ -42,10 +67,11 @@ from ..functions import urlkit
 from ..operators import scheduler
 from ..operators.admission import admission_predicate, apply_robots_filter, host_expr, robots_rules_df
 from ..operators.dedup import first_wins_within_batch
-from ..operators.extract import extract_links_udf
+from ..operators.extract import extract_links_udf, page_nofollow_udf
 from .storage import MemoryRoundStore, RoundStore
 
-__all__ = ["CrawlEngine", "CrawlResult"]
+__all__ = ["CrawlEngine", "CrawlResult", "ABORT_PASSEDTHROUGH",
+           "ABORT_TRAFFICLIMIT", "ABORT_FILELIMIT", "ABORT_ROUNDLIMIT"]
 
 # insert_seq bit packing: 20 bits for link position within a page, 20 bits
 # for the fetch rank within a round → budgets/pages up to ~1M links each.
@@ -57,14 +83,30 @@ FRONTIER_COLS = [
     "is_redirect", "priority_level", "insert_seq",
 ]
 
+# mirrors Enums/PHPCrawlerAbortReasons.class.php:9-34 (roundlimit is ours:
+# the BSP driver's max_rounds has no reference analog)
+ABORT_PASSEDTHROUGH = "passedthrough"   # ABORTREASON_PASSEDTHROUGH
+ABORT_TRAFFICLIMIT = "trafficlimit"     # ABORTREASON_TRAFFICLIMIT_REACHED
+ABORT_FILELIMIT = "filelimit"           # ABORTREASON_FILELIMIT_REACHED
+ABORT_ROUNDLIMIT = "roundlimit"
+
+# unified per-round table: trace, claimed and host_state are projections
+PAGES_COLS = [
+    "seq", "url", "url_md5", "host", "depth", "referer", "priority_level",
+    "status", "content_type", "body", "body_text", "bytes_received",
+    "latency_ms", "n_attempts", "fetch_rank",
+]
+
 
 @dataclass
 class CrawlResult:
-    trace: DataFrame       # seq, round, url, url_md5, depth, referer, priority_level, status
+    trace: DataFrame       # seq, round, url, url_md5, depth, referer, priority_level, status, ...
     frontier: DataFrame    # every URL ever admitted (== the seen set)
     pages: DataFrame | None  # fetched page rows of the final run
     rounds_run: int
     pages_fetched: int
+    bytes_received: int = 0
+    abort_reason: str = ABORT_PASSEDTHROUGH
 
 
 class CrawlEngine:
@@ -85,6 +127,10 @@ class CrawlEngine:
             self.robots_rules = robots_rules_df(
                 spark, robots_fixture, spec.user_agent
             ).cache()
+        # F9 state: first 200-status page url (None → still bootstrapping
+        # when spec.follow_redirects_till_content)
+        self._first_content_url: str | None = None
+        self._bytes_total = 0
 
     # -- frontier bootstrap --------------------------------------------------
     def _seed_frontier(self) -> DataFrame:
@@ -114,12 +160,26 @@ class CrawlEngine:
         )
         return scheduler.assign_priority(df, self.spec.priority_rules)
 
+    # -- unified round-table projections -------------------------------------
+    def _pages_upto(self, r: int) -> DataFrame | None:
+        return self.store.read_upto("pages", r)
+
+    def _trace_upto(self, r: int) -> DataFrame | None:
+        p = self._pages_upto(r)
+        if p is None:
+            return None
+        return p.select(
+            "seq", "round", "url", "url_md5", "depth", "referer",
+            "priority_level", "status", "bytes_received", "latency_ms",
+            "n_attempts",
+        )
+
     # -- one BSP round ---------------------------------------------------------
     def _run_round(self, r: int, base_seq: int) -> tuple[int, bool]:
         """Returns (pages_fetched, frontier_grew)."""
         spec = self.spec
         frontier = self.store.read_upto("frontier", r - 1)
-        claimed = self.store.read_upto("claimed", r - 1)
+        claimed = self._pages_upto(r - 1)
         pending = frontier.drop("round")
         if claimed is not None:
             pending = pending.join(
@@ -129,13 +189,12 @@ class CrawlEngine:
         if spec.host_delay_rounds > 0:
             # P8 cross-round cooldown: hosts fetched within the last
             # host_delay_rounds rounds are ineligible this round. The
-            # host_state rows carry their round via the store's lineage
+            # pages rows carry their round via the store's lineage
             # column, so "last fetch round per host" is a groupBy max —
             # resume-safe (uncommitted rounds are purged with the rest).
-            host_state = self.store.read_upto("host_state", r - 1)
-            if host_state is not None:
+            if claimed is not None:
                 cooling = (
-                    host_state.groupBy("host")
+                    claimed.groupBy("host")
                     .agg(F.max("round").alias("_last_round"))
                     .filter(F.lit(r) - F.col("_last_round")
                             < F.lit(spec.host_delay_rounds))
@@ -170,8 +229,20 @@ class CrawlEngine:
         if budget >= 64:
             work = scheduler.salted_repartition(work, "host", salt_buckets=8)
 
-        results = self.fetcher.fetch(work).localCheckpoint(eager=True)
-        n_fetched = results.count()
+        # ONE materializing action per round for the whole fetch side:
+        # lazy checkpoint + the stats aggregate that needs the data anyway
+        results = self.fetcher.fetch(work).localCheckpoint(eager=False)
+        stats = results.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("bytes_received"), F.lit(0)).alias("bytes"),
+            F.min(F.when(F.col("status") == 200, F.col("fetch_rank"))).alias(
+                "first_content_rank"
+            ),
+            F.min_by(
+                "url", F.when(F.col("status") == 200, F.col("fetch_rank"))
+            ).alias("first_content_url"),
+        ).first()
+        n_fetched = int(stats["n"])
         if n_fetched == 0:
             if (
                 spec.host_delay_rounds > 0
@@ -185,27 +256,26 @@ class CrawlEngine:
                 # empty rounds until max_rounds.
                 return 0, True
             return 0, False
+        self._bytes_total += int(stats["bytes"])
 
-        trace = results.select(
-            (F.lit(base_seq) + F.col("fetch_rank") - 1).alias("seq"),
-            "url", "url_md5", "depth", "referer", "priority_level",
-            F.col("status").cast("int").alias("status"),
-            "bytes_received",
-            F.col("latency_ms").cast("int").alias("latency_ms"),
-        )
-        self.store.write("trace", r, trace)
-        self.store.write("claimed", r, results.select("url_md5"))
-        if spec.host_delay_rounds > 0:
-            self.store.write("host_state", r, results.select("host").distinct())
-        self.store.write(
-            "pages", r,
-            results.select(
-                "url", "url_md5", "depth", "status", "content_type",
-                "body", "body_text", "bytes_received", "fetch_rank",
-            ),
-        )
+        pages = results.withColumn(
+            "seq", (F.lit(base_seq) + F.col("fetch_rank") - 1).cast("long")
+        ).select(*PAGES_COLS)
+        self.store.write("pages", r, pages)
 
         # ---- extract + admit -----------------------------------------------
+        link_cols = [
+            F.col("url").alias("referer"),
+            F.col("depth").alias("src_depth"),
+            F.col("fetch_rank").alias("src_rank"),
+        ]
+        if spec.obey_nofollow:
+            # F3 page level: one Arrow pass over the fetched bodies
+            link_cols.append(
+                page_nofollow_udf(F.col("body_text")).alias("page_nofollow")
+            )
+        else:
+            link_cols.append(F.lit(False).alias("page_nofollow"))
         links = (
             results.withColumn(
                 "links",
@@ -213,15 +283,10 @@ class CrawlEngine:
                     F.col("body_text"), F.col("url"), F.col("redirect_to")
                 ),
             )
-            .select(
-                F.col("url").alias("referer"),
-                F.col("depth").alias("src_depth"),
-                F.col("fetch_rank").alias("src_rank"),
-                F.posexplode_outer("links").alias("link_pos", "l"),
-            )
+            .select(*link_cols, F.posexplode_outer("links").alias("link_pos", "l"))
             .filter(F.col("l").isNotNull())
             .select(
-                "referer", "src_rank", "link_pos",
+                "referer", "src_rank", "link_pos", "page_nofollow",
                 F.col("l.link_raw").alias("link_raw"),
                 F.col("l.linkcode").alias("linkcode"),
                 F.col("l.linktext").alias("linktext"),
@@ -231,11 +296,7 @@ class CrawlEngine:
             )
         )
 
-        admitted = links.filter(
-            admission_predicate(spec, self.spec.seeds[0])
-        )
-        if self.robots_rules is not None:
-            admitted = apply_robots_filter(admitted, self.robots_rules)
+        admitted = self._admit(links, stats)
 
         # insert_seq: deterministic bit-packed insertion order (no counter)
         admitted = admitted.withColumn(
@@ -254,9 +315,68 @@ class CrawlEngine:
         ).select(*FRONTIER_COLS)
 
         # materialize now: `new` feeds every later round's cumulative
-        # frontier — keeping it lazy chains plans across rounds
-        self.store.write("frontier", r, new.localCheckpoint(eager=True))
+        # frontier — keeping it lazy chains plans across rounds. Durable
+        # stores materialize in their own write instead.
+        if not getattr(self.store, "materializes", False):
+            new = new.localCheckpoint(eager=True)
+        self.store.write("frontier", r, new)
+
+        # F9 state transition happens AFTER this round's links were split;
+        # with the flag off the filter base must stay the seed forever
+        if (
+            spec.follow_redirects_till_content
+            and stats["first_content_rank"] is not None
+            and self._first_content_url is None
+        ):
+            self._first_content_url = stats["first_content_url"]
         return n_fetched, True
+
+    def _admit(self, links: DataFrame, stats) -> DataFrame:
+        """The F1–F9 admission split for one round's links.
+
+        Bootstrapping (F9, PHPCrawler.class.php:800-823): links of pages
+        fetched BEFORE the first 200-status page keep only redirects,
+        depth decremented, all other checks bypassed (keepRedirectUrls
+        skips urlMatchesRules AND robots — URLFilter:121-135; the
+        reference's `$decrease_link_depths = true` assignment bug makes
+        the decrement unconditional, preserved here). Links of the first
+        content page and everything after go through the normal battery
+        with the filter re-based to the first content url.
+        """
+        spec = self.spec
+        bootstrapping = (
+            spec.follow_redirects_till_content
+            and self._first_content_url is None
+        )
+        base_url = self._first_content_url or self.spec.seeds[0]
+
+        def redirects_only(df):
+            return df.filter(F.col("is_redirect")).withColumn(
+                "depth", F.col("depth") - F.lit(1)
+            )
+
+        def battery(df, base):
+            out = df.filter(
+                admission_predicate(
+                    spec, base, page_nofollow=F.col("page_nofollow")
+                )
+            )
+            if self.robots_rules is not None:
+                out = apply_robots_filter(out, self.robots_rules)
+            return out
+
+        if not bootstrapping:
+            return battery(links, base_url)
+
+        first_rank = stats["first_content_rank"]
+        if first_rank is None:
+            return redirects_only(links)
+        pre = redirects_only(links.filter(F.col("src_rank") < F.lit(first_rank)))
+        post = battery(
+            links.filter(F.col("src_rank") >= F.lit(first_rank)),
+            stats["first_content_url"],
+        )
+        return pre.unionByName(post)
 
     # -- driver loop -------------------------------------------------------
     def run(self, max_rounds: int | None = None, resume: bool = False) -> CrawlResult:
@@ -271,40 +391,72 @@ class CrawlEngine:
         else:
             self.store.purge_inflight(-1)
 
+        base_seq = 0
         if start_round == 0:
-            # round -1 == seeding; stored as frontier round 0's base? No:
-            # store the seed rows as frontier round=0 with no claims yet.
-            self.store.write(
-                "frontier", 0, self._seed_frontier().localCheckpoint(eager=True)
-            )
+            # round 0 == seeding: store the seed rows as frontier round=0
+            seeds = self._seed_frontier()
+            if not getattr(self.store, "materializes", False):
+                seeds = seeds.localCheckpoint(eager=True)
+            self.store.write("frontier", 0, seeds)
             self.store.commit_round(0)
             start_round = 1
-            base_seq = 0
         else:
-            t = self.store.read_upto("trace", start_round - 1)
-            base_seq = t.count() if t is not None else 0
+            t = self._trace_upto(start_round - 1)
+            if t is not None:
+                row = t.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum("bytes_received"), F.lit(0)).alias("b"),
+                    F.min_by(
+                        "url", F.when(F.col("status") == 200, F.col("seq"))
+                    ).alias("first_content_url"),
+                ).first()
+                base_seq = int(row["n"])
+                self._bytes_total = int(row["b"])
+                if spec.follow_redirects_till_content:
+                    self._first_content_url = row["first_content_url"]
 
+        # budget clamp for micro-rounds: don't schedule 32-task stages to
+        # move a handful of rows (driver latency dominates at fixture
+        # scale). Scales with the round budget so production budgets keep
+        # the session's configured parallelism. Restored after the run.
+        shuffle_before = self.spark.conf.get("spark.sql.shuffle.partitions")
+        clamp = min(int(shuffle_before), max(4, spec.budget_per_round // 4))
+        if clamp < int(shuffle_before):
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
+
+        abort_reason = ABORT_ROUNDLIMIT
         rounds_run = 0
         r = start_round
-        while r < start_round + max_rounds:
-            fetched, keep_going = self._run_round(r, base_seq)
-            if fetched == 0 and not keep_going:
-                break
-            self.store.commit_round(r)
-            base_seq += fetched
-            rounds_run += 1
-            r += 1
-            if spec.request_limit and base_seq >= spec.request_limit:
-                break
+        try:
+            while r < start_round + max_rounds:
+                fetched, keep_going = self._run_round(r, base_seq)
+                if fetched == 0 and not keep_going:
+                    abort_reason = ABORT_PASSEDTHROUGH
+                    break
+                self.store.commit_round(r)
+                base_seq += fetched
+                rounds_run += 1
+                r += 1
+                # P10 budget checks (PHPCrawler.class.php:860-900)
+                if spec.request_limit and base_seq >= spec.request_limit:
+                    abort_reason = ABORT_FILELIMIT
+                    break
+                if (
+                    spec.traffic_limit_bytes
+                    and self._bytes_total >= spec.traffic_limit_bytes
+                ):
+                    abort_reason = ABORT_TRAFFICLIMIT
+                    break
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
 
         wm = self.store.last_complete_round()
-        trace = self.store.read_upto("trace", wm)
-        frontier = self.store.read_upto("frontier", wm)
-        pages = self.store.read_upto("pages", wm)
         return CrawlResult(
-            trace=trace,
-            frontier=frontier,
-            pages=pages,
+            trace=self._trace_upto(wm),
+            frontier=self.store.read_upto("frontier", wm),
+            pages=self._pages_upto(wm),
             rounds_run=rounds_run,
             pages_fetched=base_seq,
+            bytes_received=self._bytes_total,
+            abort_reason=abort_reason,
         )

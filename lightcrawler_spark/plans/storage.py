@@ -33,6 +33,8 @@ __all__ = ["RoundStore", "MemoryRoundStore"]
 class RoundStore:
     """Parquet-backed, watermark-committed round store."""
 
+    materializes = True  # write() persists; the engine skips checkpoints
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root

@@ -136,6 +136,51 @@ class TestHtmlKernel:
         # E10: paragraph ratio >= 0.01 → textP wins
         assert "第一段正文。" in s["content"]
 
+    NAV = (
+        '<div id="nav"><ul>'
+        '<li><a href="/1">首页</a></li>'
+        '<li><a href="/2">新闻中心</a></li>'
+        '<li><a href="/3">政策</a></li>'
+        "</ul></div>"
+    )
+
+    def test_link_block_pruning_e9(self):
+        from lightcrawler_spark.operators.content import (
+            html_text_struct,
+            prune_link_blocks,
+        )
+
+        html = self.HTML.replace("<body>", "<body>" + self.NAV)
+        # nav block: anchor ratio 1.0 > 0.6, avg len int(8/3)=2 ∈ (1,6) → pruned
+        pruned = prune_link_blocks(html)
+        assert "首页" not in pruned and "新闻中心" not in pruned
+        assert "第一段正文。" in pruned          # content untouched
+        s = html_text_struct(html, keep_img=True)
+        assert "首页" not in s["text"]
+
+        # long anchors (avg ≥ 6) survive: a real content list, not a nav
+        content_list = (
+            '<div><a href="/a">这是一条很长的正文链接标题文字</a></div>'
+        )
+        kept = prune_link_blocks("<body>" + content_list + "</body>")
+        assert "这是一条很长的正文链接标题文字" in kept
+
+        # anchor-light block survives (ratio ≤ 0.6)
+        mixed = (
+            '<div>大量正文内容不是链接大量正文内容不是链接'
+            '<a href="/x">链接</a></div>'
+        )
+        assert "链接" in prune_link_blocks("<body>" + mixed + "</body>")
+
+        # outer block evaluated first on the INTACT tree: outer dense nav
+        # containing an inner div is removed whole
+        nested = (
+            '<div><div><a href="/1">首页</a><a href="/2">新闻</a></div>'
+            '<a href="/3">政策</a></div>'
+        )
+        out = prune_link_blocks("<body>" + nested + "x</body>")
+        assert "首页" not in out and "政策" not in out and "x" in out
+
     def test_main_content_density_path(self):
         from lightcrawler_spark.operators.content import main_content
 

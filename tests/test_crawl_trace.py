@@ -18,6 +18,7 @@ from lightcrawler_spark.fixtures import (
     make_images,
     make_webgraph,
     simulate_reference_crawl,
+    webgraph_df,
 )
 from lightcrawler_spark.plans.crawl import CrawlEngine
 from lightcrawler_spark.sources.fetcher import SyntheticFetcher
@@ -37,18 +38,7 @@ def run_engine(spark, spec, max_rounds=100):
     if key in _run_cache:
         return _run_cache[key]
     if "df" not in _webdf_cache:
-        _webdf_cache["df"] = spark.createDataFrame(
-            [
-                (
-                    p["url"], p["host"], p["status"], p["content_type"],
-                    p["redirect_to"], bytearray(p["body"]), p["image_id"],
-                    p["latency_ms"],
-                )
-                for p in WEB
-            ],
-            "url string, host string, status int, content_type string, "
-            "redirect_to string, body binary, image_id string, latency_ms int",
-        ).cache()
+        _webdf_cache["df"] = webgraph_df(spark, WEB).cache()
     engine = CrawlEngine(
         spark, spec, SyntheticFetcher(_webdf_cache["df"], spec),
         robots_fixture=ROBOTS_FIXTURE,
@@ -60,13 +50,18 @@ def run_engine(spark, spec, max_rounds=100):
 
 def trace_rows(result):
     return [
-        (r["seq"], r["url"], r["url_md5"], r["depth"])
+        (r["seq"], r["url"], r["url_md5"], r["depth"], r["status"],
+         r["n_attempts"])
         for r in result.trace.orderBy("seq").collect()
     ]
 
 
 def golden_rows(golden):
-    return [(t["seq"], t["url"], t["url_md5"], t["depth"]) for t in golden]
+    return [
+        (t["seq"], t["url"], t["url_md5"], t["depth"], t["status"],
+         t["n_attempts"])
+        for t in golden
+    ]
 
 
 class TestGoldenTraceSequential:
