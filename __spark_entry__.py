@@ -285,8 +285,13 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return ngram_jaccard_pairs(docs, k=8, threshold=0.1).select(
+    """N-gram Jaccard near-dup pairs on the SCALE-SHAPED plan: candidate
+    pairs blocked by language, so the inverted-index self-join never
+    crosses blocks (the corpus-scale formulation, oracle-verified)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(
+        docs, k=8, threshold=0.1, block_cols=["lang"]
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("inter").cast("long").alias("inter"),
@@ -345,11 +350,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact baseline) over a slice."""
+    """Embedding-cosine near-dup pairs on the SCALE-SHAPED plan: SRP
+    bucket blocking (block_bits=4) over the FULL table — the equi-join
+    on bucket replaces the all-pairs cross join; the md5-derived
+    hyperplanes make the bucket assignment (and therefore the survivor
+    set) SQL-replicable, so the oracle verifies this exact plan."""
     from lightcrawler_spark.operators.similarity import cosine_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return cosine_near_dup_pairs(emb, threshold=0.35).select(
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35, block_bits=4).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "sim",
@@ -1225,10 +1234,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM g GROUP BY doc_id
 """,
         "ngram_jaccard": """
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 200),
 g AS (
-  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
-  FROM (SELECT doc_id, text,
+  SELECT DISTINCT doc_id, lang, substr(text, i, 8) AS sh
+  FROM (SELECT doc_id, lang, text,
                unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
         FROM d)
 ),
@@ -1236,6 +1245,7 @@ sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    AND a.lang = b.lang
   GROUP BY 1, 2
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -1345,13 +1355,32 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM r WHERE rank <= 3
 """,
         "embedding_near_dup": """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE vec_id < 300
+WITH w AS (
+  SELECT b, i, CAST(ascii(substr(md5(b || '_' || i), 1, 1)) - 79 AS DOUBLE) AS wt
+  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+       (SELECT unnest(generate_series(1, 64)) AS i)
+),
+ux AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN sum(x * wt) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM ux JOIN w USING (i) GROUP BY vec_id, b
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id
+),
+e AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, bk.bucket
+  FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id
 )
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """,
         "embedding_lsh": """

@@ -52,16 +52,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-               k: int = 3) -> DataFrame:
+               k: int = 3, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distinct character k-grams per doc, all JVM-side:
-    sequence(1, len-k+1) → transform(substr) → explode → distinct."""
+    sequence(1, len-k+1) → transform(substr) → explode → distinct.
+    `extra_cols` ride along (blocking keys)."""
     c = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
         lambda i: c.substr(i, F.lit(k)),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(x) for x in extra_cols],
+            F.explode(grams).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -74,17 +79,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     Candidate blocking: docs only compare within the same `block_cols`
     values (default: none → full self-join on shingles, fine at test
-    scale; production passes e.g. ["source"]). The shingle join is an
-    inverted-index join (pair appears once per shared shingle, then
-    group-count) — the standard scalable formulation.
+    scale; production passes e.g. ["source"] or ["lang"] — the blocking
+    key joins WITH the shingle so cross-block pairs never materialize).
+    The shingle join is an inverted-index join (pair appears once per
+    shared shingle, then group-count) — the standard scalable
+    formulation.
     """
-    sh = shingle_df(df, text_col, id_col, k)
+    block_cols = tuple(block_cols or ())
+    sh = shingle_df(df, text_col, id_col, k, extra_cols=block_cols)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
     )
+    for c_ in block_cols:
+        cond = cond & (F.col(f"a.{c_}") == F.col(f"b.{c_}"))
     inter = (
         a.join(b, cond)
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))

@@ -101,6 +101,29 @@ class TestDedupFamily:
         assert (1, 3) in got and (2, 3) in got  # near dup
         assert all({a, b} <= {1, 2, 3} for a, b in got)
 
+    def test_ngram_jaccard_block_cols(self, spark):
+        """Blocking by source: cross-block pairs never materialize, and
+        within-block pairs are identical to the unblocked run."""
+        from lightcrawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+        docs = self._dup_docs(spark)
+        unblocked = {
+            (p["id_a"], p["id_b"], p["jaccard"])
+            for p in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        }
+        blocked = {
+            (p["id_a"], p["id_b"], p["jaccard"])
+            for p in ngram_jaccard_pairs(
+                docs, threshold=0.0, block_cols=["source"]
+            ).collect()
+        }
+        assert blocked <= unblocked
+        src = {1: "s1", 2: "s1", 3: "s1", 4: "s2", 5: "s2"}
+        assert blocked == {
+            (a, b, j) for a, b, j in unblocked if src[a] == src[b]
+        }
+        assert (1, 2, 1.0) in blocked
+
     def test_minhash_lsh_finds_near_dups(self, spark):
         from lightcrawler_spark.operators.textdedup import minhash_lsh_pairs
 
