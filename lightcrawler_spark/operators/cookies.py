@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["upsert_cookies", "cookies_for_requests"]
+__all__ = ["upsert_cookies", "cookies_for_requests", "attach_cookie_headers"]
 
 
 def upsert_cookies(jar: DataFrame | None, new_cookies: DataFrame) -> DataFrame:
@@ -80,5 +80,41 @@ def cookies_for_requests(requests: DataFrame, jar: DataFrame,
             F.col(url_col).alias("url"),
             F.col("_c_name").alias("name"),
             F.col("_c_value").alias("value"),
+            F.col("_c_seq").alias("seq"),
         )
+    )
+
+
+def attach_cookie_headers(work: DataFrame, jar: DataFrame,
+                          url_col: str = "url") -> DataFrame:
+    """P12 end-to-end: resolve each work-list URL's cookies and fold them
+    into ONE `Cookie:` header string (store order, `name=value; ...`) —
+    the column HttpFetcher sends (PHPCrawler.class.php:718-719 →
+    PHPCrawlerHTTPRequest's cookie header build)."""
+    from .admission import domain_expr, host_expr
+
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-zA-Z0-9+.-]+://[^/?#]*(/[^?#]*)?", 1)
+    reqs = work.select(
+        u.alias(url_col),
+        domain_expr(u).alias("domain"),
+        host_expr(u).alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("path"),
+    )
+    rows = cookies_for_requests(reqs, jar, url_col)
+    headers = rows.groupBy("url").agg(
+        F.concat_ws(
+            "; ",
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seq"),
+                        F.concat(F.col("name"), F.lit("="), F.col("value")).alias("nv"),
+                    )
+                )
+            ).getField("nv"),
+        ).alias("cookie_header")
+    )
+    return work.join(headers, work[url_col] == headers["url"], "left").drop(
+        headers["url"]
     )

@@ -117,11 +117,18 @@ class CrawlEngine:
         fetcher,
         store=None,
         robots_fixture: list[tuple[str, str]] | None = None,
+        cookie_jar=None,
+        send_data_rules=None,
     ):
         self.spark = spark
         self.spec = spec
         self.fetcher = fetcher
         self.store = store or MemoryRoundStore(spark)
+        # P12/P13: optional broadcast-side dimension tables attached to
+        # each round's work-list (cookie_header / post_data / auth
+        # columns, consumed by HttpFetcher — PHPCrawler.class.php:718-733)
+        self.cookie_jar = cookie_jar
+        self.send_data_rules = send_data_rules
         self.robots_rules = None
         if spec.obey_robots_txt and robots_fixture:
             self.robots_rules = robots_rules_df(
@@ -228,6 +235,16 @@ class CrawlEngine:
         # shuffle costs more than the skew it prevents
         if budget >= 64:
             work = scheduler.salted_repartition(work, "host", salt_buckets=8)
+
+        # P12/P13: attach per-request cookies / post-data / auth
+        if self.cookie_jar is not None:
+            from ..operators.cookies import attach_cookie_headers
+
+            work = attach_cookie_headers(work, self.cookie_jar)
+        if self.send_data_rules is not None:
+            from ..operators.senddata import attach_send_data
+
+            work = attach_send_data(work, self.send_data_rules)
 
         # ONE materializing action per round for the whole fetch side:
         # lazy checkpoint + the stats aggregate that needs the data anyway
