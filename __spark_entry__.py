@@ -644,6 +644,71 @@ def q_send_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_send_data(work, rules).select("url", "post_data", "auth")
 
 
+def q_format_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: Formatter::formaturl — the reference's second resolver with
+    its quirks (https NOT passed through, port dropped, backslash fix,
+    ../ popping)."""
+    from lightcrawler_spark.functions.spark_udfs import format_url_udf
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    base = F.concat(
+        F.lit("http://WWW.Host"), (k % 10).cast("string"),
+        F.lit(".com:8080/dir"), (k % 7).cast("string"),
+        F.lit("/sub/page.htm"),
+    )
+    link = (
+        F.when(k % 5 == 0, F.concat(F.lit("item"), k.cast("string"), F.lit(".htm")))
+        .when(k % 5 == 1, F.concat(F.lit("/root"), k.cast("string"), F.lit(".htm")))
+        .when(k % 5 == 2, F.concat(F.lit("..\\up"), k.cast("string"), F.lit(".htm")))
+        .when(k % 5 == 3, F.concat(F.lit("http://keep.me/x"), k.cast("string")))
+        .otherwise(F.concat(F.lit("https://evil.example/x"), k.cast("string")))
+    )
+    return c.select(
+        k.cast("long").alias("c_custkey"),
+        format_url_udf(base, link).alias("url"),
+    )
+
+
+def q_handler_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: first-matching handler regex routes the row (detail /
+    attachment / fallback list)."""
+    from lightcrawler_spark.operators.products import route_by_handlers
+
+    p = _t(spark, sf_dir, "part")
+    urls = p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.concat(
+            F.lit("http://s.test/"),
+            F.when(F.col("p_size") % 3 == 0,
+                   F.concat(F.lit("detail/d"), F.col("p_partkey").cast("string"),
+                            F.lit(".htm")))
+            .when(F.col("p_size") % 3 == 1,
+                  F.concat(F.lit("att/f"), F.col("p_partkey").cast("string"),
+                           F.lit(".doc")))
+            .otherwise(F.concat(F.lit("page/p"), F.col("p_partkey").cast("string"),
+                                F.lit(".htm"))),
+        ).alias("url"),
+    )
+    handlers = [(r"#/detail/# i", "detail"), (r"#\.(doc|docx)$# i", "attachment")]
+    return route_by_handlers(urls, handlers).select("p_partkey", "url", "route")
+
+
+def q_extraction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: the status==200 && bytes>100 extraction gate."""
+    from lightcrawler_spark.operators.products import extraction_gate
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey")
+    pages = o.select(
+        k.cast("long").alias("o_orderkey"),
+        F.when(k % 3 == 2, 404).otherwise(200).cast("int").alias("status"),
+        F.when(k % 3 == 0, (k % 150).cast("long"))
+        .otherwise(F.lit(5000).cast("long")).alias("bytes_received"),
+    )
+    return extraction_gate(pages).select("o_orderkey", "status", "bytes_received")
+
+
 def q_requeue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: deterministic selective re-queue of processed list pages."""
     from lightcrawler_spark.operators.products import requeue_list_pages
@@ -1064,6 +1129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_lookup": q_cookie_lookup,
         "send_data": q_send_data,
         "requeue_list": q_requeue_list,
+        "format_url": q_format_url,
+        "handler_route": q_handler_route,
+        "extraction_gate": q_extraction_gate,
         "crawl_golden_fixture": q_crawl_golden_fixture,
         "crawl_golden_redirects": q_crawl_golden_redirects,
         "simhash_docs": q_simhash_docs,
@@ -1693,6 +1761,51 @@ FROM f
 WHERE route = 'list' AND insert_seq % 3 = 0
 ORDER BY insert_seq ASC
 LIMIT 50
+""",
+        "format_url": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE
+         WHEN c_custkey % 5 = 0 THEN
+           'http://WWW.Host' || (c_custkey % 10) || '.com/dir'
+             || (c_custkey % 7) || '/sub/item' || c_custkey || '.htm'
+         WHEN c_custkey % 5 = 1 THEN
+           'http://WWW.Host' || (c_custkey % 10) || '.com/root'
+             || c_custkey || '.htm'
+         WHEN c_custkey % 5 = 2 THEN
+           'http://WWW.Host' || (c_custkey % 10) || '.com/dir'
+             || (c_custkey % 7) || '/up' || c_custkey || '.htm'
+         WHEN c_custkey % 5 = 3 THEN 'http://keep.me/x' || c_custkey
+         ELSE
+           'http://WWW.Host' || (c_custkey % 10) || '.com/dir'
+             || (c_custkey % 7) || '/sub/https://evil.example/x' || c_custkey
+       END AS url
+FROM customer WHERE c_custkey < 500
+""",
+        "handler_route": """
+WITH u AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+         'http://s.test/' ||
+           CASE WHEN p_size % 3 = 0 THEN 'detail/d' || p_partkey || '.htm'
+                WHEN p_size % 3 = 1 THEN 'att/f' || p_partkey || '.doc'
+                ELSE 'page/p' || p_partkey || '.htm' END AS url
+  FROM part
+)
+SELECT p_partkey, url,
+       CASE WHEN regexp_matches(url, '/detail/') THEN 'detail'
+            WHEN regexp_matches(url, '(?i)\\.(doc|docx)$') THEN 'attachment'
+            ELSE 'list' END AS route
+FROM u
+""",
+        "extraction_gate": """
+WITH pages AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(CASE WHEN o_orderkey % 3 = 2 THEN 404 ELSE 200 END AS INT) AS status,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 150
+                   ELSE 5000 END AS BIGINT) AS bytes_received
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT o_orderkey, status, bytes_received
+FROM pages WHERE status = 200 AND bytes_received > 100
 """,
         "crawl_golden_fixture": _golden_fixture_values_sql(),
         "crawl_golden_redirects": _golden_redirects_values_sql(),

@@ -22,6 +22,7 @@ from . import urlkit
 __all__ = [
     "normalize_url_udf",
     "resolve_link_udf",
+    "format_url_udf",
     "split_host_udf",
     "split_domain_udf",
     "url_md5_expr",
@@ -56,6 +57,18 @@ def resolve_link_udf(links: pd.Series, base_urls: pd.Series) -> pd.Series:
         return urlkit.build_url_from_link(link, parts)
 
     return pd.Series([_resolve(l, b) for l, b in zip(links, base_urls)])
+
+
+@pandas_udf(T.StringType())
+def format_url_udf(base_urls: pd.Series, links: pd.Series) -> pd.Series:
+    """Formatter::formaturl over an Arrow batch (C4) — the reference's
+    second resolver, quirks preserved (see urlkit.format_url)."""
+    return pd.Series(
+        [
+            urlkit.format_url(b, l) if l is not None else None
+            for b, l in zip(base_urls, links)
+        ]
+    )
 
 
 @pandas_udf(T.StringType())

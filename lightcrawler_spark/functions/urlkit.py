@@ -50,6 +50,7 @@ __all__ = [
     "build_url_from_link",
     "decode_html_entities",
     "url_md5",
+    "format_url",
 ]
 
 _SCHEME_RE = re.compile(r"^[a-z0-9-]+://", re.I)
@@ -241,3 +242,58 @@ def build_url_from_link(link: str, base: UrlParts) -> str | None:
 def url_md5(url: str) -> str:
     """Frontier dedup key: lowercase hex md5 of the canonical URL."""
     return hashlib.md5(url.encode("utf-8")).hexdigest()
+
+
+def format_url(base_url: str | None, link: str) -> str | None:
+    """C4: the reference's SECOND, simpler relative resolver used by the
+    extractors (/root/reference/libs/Formatter.class.php:11-60), with its
+    quirks preserved verbatim:
+
+    - only ``http://`` / ``ftp://`` prefixes pass through untouched
+      (https does NOT — it resolves as a relative path);
+    - backslashes become slashes BEFORE any parsing;
+    - the base is ``dirname(url) + '/'``; a missing host falls back to
+      ``^http://([a-zA-Z0-9.]+)`` on the original url, else None;
+    - root-relative links drop the base's PORT (``scheme://host + str``);
+    - each ``../`` pops one path segment (popping an empty segment pops
+      once more), then ALL ``../`` and ``./`` substrings are stripped.
+    """
+    if not base_url:
+        return link
+    s = link
+    low = s.lower()
+    if low.startswith("http://") or low.startswith("ftp://"):
+        return s
+    s = s.replace("\\", "/")
+
+    import posixpath
+    from urllib.parse import urlparse
+
+    try:
+        p = urlparse(posixpath.dirname(base_url) + "/")
+    except ValueError:
+        p = None
+    scheme = (p.scheme if p and p.scheme else "http")
+    host = ""
+    if p and p.netloc:
+        host = p.netloc.rsplit("@", 1)[-1].split(":")[0]
+    if not host:
+        m = re.match(r"http://([a-zA-Z0-9.]+)", base_url, re.I | re.S)
+        if not m:
+            return None
+        host = m.group(1)
+    path = p.path if p else ""
+
+    if s.startswith("/"):
+        return f"{scheme}://{host}{s}"
+    part = path.split("/")
+    part.pop(0)
+    for _ in range(s.count("../")):
+        if part:
+            popped = part.pop()
+            if popped == "" and part:
+                part.pop()
+    path = "/".join(part)
+    s = s.replace("../", "").replace("./", "")
+    path = "/" if path == "" else "/" + path.strip("/") + "/"
+    return f"{scheme}://{host}{path}{s}"

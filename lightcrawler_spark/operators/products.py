@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["clamp_product_fields", "dedup_products_against",
-           "requeue_list_pages", "title_similarity"]
+           "requeue_list_pages", "title_similarity",
+           "route_by_handlers", "extraction_gate"]
 
 # sql/db.sql:26-44 column widths the reference clamps to
 _CLAMPS = {
@@ -75,6 +76,36 @@ def requeue_list_pages(frontier: DataFrame, max_pages: int = 100,
         .orderBy(F.col(id_col).asc())
         .limit(max_pages)
         .withColumn("state", F.lit("pending"))
+    )
+
+
+def route_by_handlers(df: DataFrame, handlers: list[tuple[str, str]],
+                      url_col: str = "url",
+                      default: str = "list") -> DataFrame:
+    """F12: handler-dispatch projection — the FIRST matching handler
+    regex (registration order) routes the row; unmatched rows fall back
+    to the list handler (/root/reference/worker/SpiderFrame.class.php:
+    155-178; example map worker/SpiderCsrcGov.class.php:33-41).
+    One codegen'd CASE WHEN chain, no UDF."""
+    from ..config import php_regex_to_std
+
+    expr = F.lit(default)
+    for pattern, name in reversed(handlers):
+        expr = F.when(
+            F.col(url_col).rlike(php_regex_to_std(pattern)), F.lit(name)
+        ).otherwise(expr)
+    return df.withColumn("route", expr)
+
+
+def extraction_gate(df: DataFrame, status_col: str = "status",
+                    bytes_col: str = "bytes_received",
+                    min_bytes: int = 100) -> DataFrame:
+    """F13: content extraction runs only for `status == 200 &&
+    bytes_received > 100` (/root/reference/worker/SpiderFrame.class.php:
+    136-141) — the gate between the fetch results and the
+    handler/extract stage."""
+    return df.filter(
+        (F.col(status_col) == 200) & (F.col(bytes_col) > F.lit(min_bytes))
     )
 
 

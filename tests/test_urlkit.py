@@ -184,3 +184,46 @@ def test_idempotent_normalization():
     for u in urls:
         once = normalize_url(u)
         assert normalize_url(once) == once
+
+
+class TestFormatUrlC4:
+    """Formatter::formaturl quirks (libs/Formatter.class.php:11-60)."""
+
+    def test_passthrough_http_ftp_only(self):
+        from lightcrawler_spark.functions.urlkit import format_url
+
+        assert format_url("http://h/a/b.htm", "http://x/y") == "http://x/y"
+        assert format_url("http://h/a/b.htm", "ftp://x/y") == "ftp://x/y"
+        # https is NOT in the passthrough list → resolves as relative
+        assert (
+            format_url("http://h/a/b.htm", "https://x/y")
+            == "http://h/a/https://x/y"
+        )
+
+    def test_relative_and_root_relative(self):
+        from lightcrawler_spark.functions.urlkit import format_url
+
+        assert format_url("http://h/a/b/c.htm", "x.htm") == "http://h/a/b/x.htm"
+        assert format_url("http://h/a/b/c.htm", "/r.htm") == "http://h/r.htm"
+        # port is dropped in every resolved form
+        assert format_url("http://h:8080/a/c.htm", "/x") == "http://h/x"
+        assert format_url("http://h:8080/a/c.htm", "x") == "http://h/a/x"
+
+    def test_backslash_and_dotdot(self):
+        from lightcrawler_spark.functions.urlkit import format_url
+
+        assert (
+            format_url("http://h/a/b/c.htm", "..\\up.htm")
+            == "http://h/a/up.htm"
+        )
+        assert (
+            format_url("http://h/a/b/c/d.htm", "../../x.htm")
+            == "http://h/a/x.htm"
+        )
+
+    def test_empty_base_and_missing_host(self):
+        from lightcrawler_spark.functions.urlkit import format_url
+
+        assert format_url(None, "x.htm") == "x.htm"
+        assert format_url("", "x.htm") == "x.htm"
+        assert format_url("nota url", "x.htm") is None
