@@ -94,7 +94,7 @@ ABORT_ROUNDLIMIT = "roundlimit"
 PAGES_COLS = [
     "seq", "url", "url_md5", "host", "depth", "referer", "priority_level",
     "status", "content_type", "body", "body_text", "bytes_received",
-    "latency_ms", "n_attempts", "fetch_rank",
+    "latency_ms", "n_attempts", "benchmarks", "fetch_rank",
 ]
 
 
@@ -178,7 +178,7 @@ class CrawlEngine:
         return p.select(
             "seq", "round", "url", "url_md5", "depth", "referer",
             "priority_level", "status", "bytes_received", "latency_ms",
-            "n_attempts",
+            "n_attempts", "benchmarks",
         )
 
     # -- one BSP round ---------------------------------------------------------

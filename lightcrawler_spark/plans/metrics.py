@@ -33,8 +33,14 @@ def round_metrics(trace: DataFrame) -> DataFrame:
 
 def process_report(trace: DataFrame, runtime_s: float | None = None) -> dict:
     """A2: whole-run report. data_throughput = bytes/runtime (the
-    reference's headline metric, PHPCrawler.class.php:1014-1015)."""
-    row = trace.agg(
+    reference's headline metric, PHPCrawler.class.php:1014-1015).
+
+    A3/A4 via the per-request ``benchmarks`` named-timer map: average
+    server response time (PHPCrawler.class.php:1037-1039) and the data
+    transfer rate computed against transfer time ONLY — the analog of
+    excluding socket-prefill bytes (:1041-1043,
+    PHPCrawlerHTTPRequest.class.php:517-539)."""
+    aggs = [
         F.count("*").alias("links_followed"),
         F.count(F.when(F.col("status").between(200, 299), 1)).alias(
             "documents_received"
@@ -42,8 +48,21 @@ def process_report(trace: DataFrame, runtime_s: float | None = None) -> dict:
         F.sum("bytes_received").alias("bytes_received"),
         F.sum("latency_ms").alias("sum_latency_ms"),
         F.avg("latency_ms").alias("avg_latency_ms"),
-    ).collect()[0]
+    ]
+    has_bench = "benchmarks" in trace.columns
+    if has_bench:
+        resp = F.element_at(F.col("benchmarks"), F.lit("server_response_ms"))
+        xfer = F.element_at(F.col("benchmarks"), F.lit("data_transfer_ms"))
+        aggs += [
+            F.avg(resp).alias("avg_server_response_ms"),
+            F.sum(xfer).alias("sum_data_transfer_ms"),
+        ]
+    row = trace.agg(*aggs).collect()[0]
     report = {k: row[k] for k in row.asDict()}
+    if has_bench and (row["sum_data_transfer_ms"] or 0) > 0:
+        report["data_transfer_rate_bps"] = (
+            (row["bytes_received"] or 0) / (row["sum_data_transfer_ms"] / 1000.0)
+        )
     if runtime_s and runtime_s > 0:
         report["process_runtime_s"] = runtime_s
         report["data_throughput_bps"] = (row["bytes_received"] or 0) / runtime_s

@@ -25,7 +25,13 @@ surface ``n_attempts`` for the golden trace.
 
 Both return the work-list columns plus: status, content_type,
 redirect_to, body, body_text (decoded per F10/F11 + gzip C10 + charset
-sniff C6), received, bytes_received, latency_ms, n_attempts.
+sniff C6), received, bytes_received, latency_ms, n_attempts, and a
+``benchmarks`` map of named per-request timers (A3 — the analog of
+PHPCrawlerBenchmark's registry, PHPCrawlerBenchmark.class.php:30-118):
+``server_response_ms`` (request → first response byte) and
+``data_transfer_ms`` (body read only — the A4 transfer-rate base that
+excludes connection/response time, mirroring the reference's
+exclude-socket-prefill rule, PHPCrawlerHTTPRequest.class.php:517-539).
 """
 
 from __future__ import annotations
@@ -197,6 +203,16 @@ class SyntheticFetcher:
         joined = work.join(
             self.web, work["url"] == self.web["_w_url"], "left"
         ).drop("_w_url")
+        # A3 named timers, deterministically derived from the fixture
+        # latency (60% response / 40% transfer split)
+        lat = F.coalesce(F.col("latency_ms"), F.lit(0)).cast("double")
+        joined = joined.withColumn(
+            "benchmarks",
+            F.create_map(
+                F.lit("server_response_ms"), F.round(lat * 0.6, 3),
+                F.lit("data_transfer_ms"), F.round(lat * 0.4, 3),
+            ),
+        )
         # unresolvable URL = connection error → status 0, like a dead socket
         raw_status = F.coalesce(F.col("status"), F.lit(0))
         fail_times = F.coalesce(F.col("fail_times"), F.lit(0))
@@ -255,6 +271,9 @@ class HttpFetcher:
                 T.StructField("body", T.BinaryType()),
                 T.StructField("latency_ms", T.IntegerType()),
                 T.StructField("n_attempts", T.IntegerType()),
+                T.StructField(
+                    "benchmarks", T.MapType(T.StringType(), T.DoubleType())
+                ),
             ]
         )
 
@@ -323,26 +342,38 @@ class HttpFetcher:
                 req = urllib.request.Request(
                     _prepare_url(url), data=data, headers=headers
                 )
+                t_req = time.perf_counter()
                 try:
                     resp = opener.open(req, timeout=timeout)
                 except urllib.error.HTTPError as e:
                     resp = e  # 3xx/4xx/5xx: the error IS the response
                 except Exception:
-                    return 0, None, None, None  # connection error
+                    return 0, None, None, None, {}  # connection error
+                # A3: request → headers-in is the server-response timer
+                t_resp = time.perf_counter()
                 with resp:
                     status = resp.status if resp.status is not None else 0
                     ctype = resp.headers.get("Content-Type")
                     redirect = resp.headers.get("Location")
                     body = None
+                    t_read0 = time.perf_counter()
                     if ctype and any(rx.search(ctype) for rx in compiled):
                         # F10: only receive gated bodies
                         body = resp.read()
-                return status, ctype, redirect, body
+                    t_read = time.perf_counter() - t_read0
+                bench = {
+                    "server_response_ms": round((t_resp - t_req) * 1000, 3),
+                    # A4 base: body read only (excludes connect/response,
+                    # the prefill analog)
+                    "data_transfer_ms": round(t_read * 1000, 3),
+                }
+                return status, ctype, redirect, body, bench
 
             for pdf in batches:
                 rows = {
                     "status": [], "content_type": [], "redirect_to": [],
                     "body": [], "latency_ms": [], "n_attempts": [],
+                    "benchmarks": [],
                 }
                 cookies = pdf["cookie_header"] if has_cookies else [None] * len(pdf)
                 posts = pdf["post_data"] if has_post else [None] * len(pdf)
@@ -351,13 +382,13 @@ class HttpFetcher:
                     pdf["url"], cookies, posts, auths
                 ):
                     t0 = time.perf_counter()
-                    status, ctype, redirect, body = 0, None, None, None
+                    status, ctype, redirect, body, bench = 0, None, None, None, {}
                     attempts = 0
                     # P9 inline retry (PHPCrawler.class.php:735-751):
                     # retry on error or status >400 / <100
                     for _ in range(spec.retry_limit):
                         attempts += 1
-                        status, ctype, redirect, body = _attempt(
+                        status, ctype, redirect, body, bench = _attempt(
                             url, cookie, post_data, auth
                         )
                         if 100 <= status <= 400:
@@ -370,6 +401,7 @@ class HttpFetcher:
                         int((time.perf_counter() - t0) * 1000)
                     )
                     rows["n_attempts"].append(attempts)
+                    rows["benchmarks"].append(bench)
                 yield pd.concat(
                     [pdf.reset_index(drop=True), pd.DataFrame(rows)], axis=1
                 )

@@ -275,6 +275,29 @@ class TestMetrics:
         assert rep["bytes_received"] == 3000
         assert rep["data_throughput_bps"] == 300.0
 
+    def test_named_timers_a3_a4(self, spark):
+        from pyspark.sql import functions as F
+        from lightcrawler_spark.plans.metrics import process_report
+
+        trace = spark.createDataFrame(
+            [
+                (0, "u1", 200, 1000, 10, 6.0, 4.0),
+                (1, "u2", 200, 3000, 20, 14.0, 6.0),
+            ],
+            "seq long, url string, status int, bytes_received long, "
+            "latency_ms int, resp double, xfer double",
+        ).select(
+            "seq", "url", "status", "bytes_received", "latency_ms",
+            F.create_map(
+                F.lit("server_response_ms"), F.col("resp"),
+                F.lit("data_transfer_ms"), F.col("xfer"),
+            ).alias("benchmarks"),
+        )
+        rep = process_report(trace)
+        assert rep["avg_server_response_ms"] == 10.0       # (6+14)/2
+        # A4: 4000 bytes over 10 ms of TRANSFER time only
+        assert rep["data_transfer_rate_bps"] == 400_000.0
+
 
 class TestCuckooFilter:
     def test_membership_and_fpr(self):

@@ -35,7 +35,63 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(","))
 REPS = int(os.environ.get("SCALING_REPS", "8"))
-WORKLOADS = ("dedup", "pages", "images")
+# hostcpu / hostbw are the box's OWN ceilings (GIL-free process
+# reductions: L1-resident compute / DRAM stream — tools/membw_bench.py
+# kernels), interleaved through the SAME steal-noise windows as the
+# Spark workloads so every report carries its contemporaneous
+# environmental bound. Spark efficiency ÷ hostcpu efficiency =
+# environment-normalized efficiency.
+WORKLOADS = ("dedup", "pages", "images", "hostcpu", "hostbw")
+
+
+class _HostCeiling:
+    """Process pool running the membw_bench kernels at this level's
+    worker count; arrays prefaulted once at first use (this VM faults
+    fresh pages at ~5-100 MB/s — timed runs must see warm pages)."""
+
+    def __init__(self, n: int):
+        import multiprocessing as mp
+
+        self.n = n
+        ctx = mp.get_context("fork")
+        self.pipes = []
+        for _ in range(n):
+            parent, child = ctx.Pipe()
+            ctx.Process(target=self._worker, args=(child,), daemon=True).start()
+            self.pipes.append(parent)
+        for c in self.pipes:
+            assert c.recv() == "ready"
+
+    @staticmethod
+    def _worker(conn):
+        import time as _t
+
+        import numpy as np
+
+        stream = np.ones(32 * 1024 * 1024 // 8)
+        cpu = np.ones(32 * 1024 // 8)
+        float(np.add.reduce(stream))
+        conn.send("ready")
+        while True:
+            cmd = conn.recv()
+            if cmd == "quit":
+                break
+            t0 = _t.perf_counter()
+            if cmd == "hostbw":
+                for _ in range(8):
+                    float(np.add.reduce(stream))
+            else:
+                for _ in range(8192):
+                    float(np.add.reduce(cpu))
+            conn.send(_t.perf_counter() - t0)
+
+    def run(self, cmd: str) -> float:
+        for c in self.pipes:
+            c.send(cmd)
+        wall = max(c.recv() for c in self.pipes)
+        if cmd == "hostbw":
+            return self.n * 8 * 32 / 1024 / wall      # GB/s
+        return self.n * 8192 / wall                   # reductions/s
 
 
 def serve(cpus: int) -> None:
@@ -51,10 +107,13 @@ def serve(cpus: int) -> None:
         shuffle_partitions=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    ceiling = _HostCeiling(cpus)
     fns = {
         "dedup": lambda: bench.bench_frontier_dedup(spark)["ops_per_sec"],
         "pages": lambda: bench.bench_page_pipeline(spark)["pages_per_sec"],
         "images": lambda: bench.bench_image_decode(spark)["images_per_sec"],
+        "hostcpu": lambda: ceiling.run("hostcpu"),
+        "hostbw": lambda: ceiling.run("hostbw"),
     }
     print(json.dumps({"ready": cpus}), flush=True)
     for line in sys.stdin:
@@ -130,6 +189,12 @@ def main() -> None:
         speedup = best[hi][w] / max(best[lo][w], 1e-9)
         report[f"{w}_speedup_{lo}to{hi}"] = round(speedup, 3)
         report[f"{w}_efficiency"] = round(speedup / (hi / lo), 3)
+    host_eff = report.get("hostcpu_efficiency", 0.0)
+    if host_eff:
+        for w in ("dedup", "pages", "images"):
+            report[f"{w}_efficiency_vs_host_ceiling"] = round(
+                report[f"{w}_efficiency"] / host_eff, 3
+            )
     print(json.dumps(report, indent=2))
 
 
