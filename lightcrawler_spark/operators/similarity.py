@@ -79,29 +79,41 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
-def srp_bucket_expr(vec_col, n_bits: int = 4, dim: int | None = None):
-    """Sign-random-projection bucket id as a string of n_bits sign bits.
+def srp_weight(b: int, i: int) -> int:
+    """w(b, i) = ascii(first hex char of md5('b_i')) - 79 — a
+    deterministic integer in [-31, 23] (hex chars are 0-9/a-f → ASCII
+    48..57, 97..102) acting as a fixed pseudo-random hyperplane weight,
+    identically computable in any SQL dialect with md5/ascii (the DuckDB
+    oracles recompute it)."""
+    import hashlib
 
-    w(b, i) = ascii(first hex char of md5('b_i')) - 79 — a deterministic
-    integer in [-31, 23] (hex chars are 0-9/a-f → ASCII 48..57, 97..102)
-    acting as a fixed pseudo-random hyperplane, identically computable in
-    any SQL dialect with md5/ascii. bit_b = (Σ_i vec[i] * w(b,i)) >= 0.
+    return ord(hashlib.md5(f"{b}_{i}".encode()).hexdigest()[0]) - 79
+
+
+def srp_bucket_expr(vec_col, n_bits: int = 4, dim: int | None = None,
+                    max_dim: int = 256):
+    """Sign-random-projection bucket id as a string of n_bits sign bits:
+    bit_b = (Σ_i vec[i] * w(b, i)) >= 0.
+
+    The hyperplane weights depend only on (bit, position), so they are
+    precomputed DRIVER-SIDE and embedded as literal arrays — the
+    executor-side plan is one zip_with + aggregate per bit over
+    constants, with NO per-row md5 evaluation (at dim=64, n_bits=4 the
+    md5-in-lambda formulation evaluated 256 md5s per row). Vectors
+    longer than max_dim fall back to... nothing: raise, bump max_dim.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if dim is not None:
+        max_dim = dim
 
     def bit(b: int):
+        weights = F.array(
+            *[F.lit(float(srp_weight(b, i))) for i in range(1, max_dim + 1)]
+        )
         prods = F.zip_with(
             v,
-            F.transform(
-                F.sequence(F.lit(1), F.size(v)),
-                lambda i: F.ascii(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{b}_"), i.cast("string"))), 1, 1
-                    )
-                )
-                - F.lit(79),
-            ),
-            lambda x, w_: x.cast("double") * w_.cast("double"),
+            F.slice(weights, 1, F.size(v)),
+            lambda x, w_: x.cast("double") * w_,
         )
         s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
