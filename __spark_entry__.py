@@ -709,6 +709,50 @@ def q_extraction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_gate(pages).select("o_orderkey", "status", "bytes_received")
 
 
+def q_index_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: XSDocument projection for the search_docs table (clamped
+    fields + whitespace index tokens)."""
+    from lightcrawler_spark.operators.indexing import build_search_docs
+
+    d = _t(spark, sf_dir, "documents")
+    products = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.col("text").alias("content"),
+        F.col("lang").alias("tags"),
+    )
+    out = build_search_docs(products)
+    return out.select(
+        "doc_id", "title", "tags", "n_tokens",
+        F.element_at("tokens", 1).alias("token_1"),
+    )
+
+
+def q_doc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: binary attachment → text, routed by magic bytes (pdf/word
+    converters are honest sandbox stubs; the LCTX fake container and
+    plain path prove the full Spark plumbing)."""
+    from lightcrawler_spark.operators.indexing import extract_doc_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = F.col("doc_id")
+    payload = F.encode(
+        F.when(k % 4 == 0, F.concat(F.lit("LCTX"), F.col("text").substr(1, 100)))
+        .when(k % 4 == 1, F.concat(F.lit("%PDF-1.4 "), F.col("text").substr(1, 20)))
+        .when(k % 4 == 2, F.concat(F.lit("PK"), F.lit(chr(3)), F.lit(chr(4)),
+                                   F.lit("zipdata")))
+        .otherwise(F.col("text").substr(1, 60)),
+        "utf-8",
+    )
+    out = extract_doc_text(
+        d.select(k.cast("long").alias("doc_id"), payload.alias("payload"))
+    )
+    return out.select(
+        "doc_id", "extractor",
+        F.substring("doc_text", 1, 50).alias("text_head"),
+    )
+
+
 def q_requeue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: deterministic selective re-queue of processed list pages."""
     from lightcrawler_spark.operators.products import requeue_list_pages
@@ -1132,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_url": q_format_url,
         "handler_route": q_handler_route,
         "extraction_gate": q_extraction_gate,
+        "index_sink": q_index_sink,
+        "doc_text_extract": q_doc_text_extract,
         "crawl_golden_fixture": q_crawl_golden_fixture,
         "crawl_golden_redirects": q_crawl_golden_redirects,
         "simhash_docs": q_simhash_docs,
@@ -1806,6 +1852,26 @@ WITH pages AS (
 )
 SELECT o_orderkey, status, bytes_received
 FROM pages WHERE status = 200 AND bytes_received > 100
+""",
+        "index_sink": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       substr('Doc ' || doc_id, 1, 512) AS title,
+       substr(lang, 1, 256) AS tags,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+            AS BIGINT) AS n_tokens,
+       list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1] AS token_1
+FROM documents
+""",
+        "doc_text_extract": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'lctx'
+            WHEN doc_id % 4 = 1 THEN 'pdftotext-stub'
+            WHEN doc_id % 4 = 2 THEN 'antiword-stub'
+            ELSE 'plain' END AS extractor,
+       CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 50)
+            WHEN doc_id % 4 = 3 THEN substr(text, 1, 50)
+            ELSE NULL END AS text_head
+FROM documents WHERE doc_id < 200
 """,
         "crawl_golden_fixture": _golden_fixture_values_sql(),
         "crawl_golden_redirects": _golden_redirects_values_sql(),

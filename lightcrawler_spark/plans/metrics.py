@@ -12,7 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["round_metrics", "process_report"]
+__all__ = ["round_metrics", "process_report", "micro_time_ms"]
+
+
+def micro_time_ms(fixed_ms: int | None = None):
+    """C12: millisecond epoch (the reference's bcadd-based microTime,
+    UrlCache/PHPCrawlerMySqlUrlCache.class.php:198-201 — used for
+    ctime/mtime columns). The determinism contract keeps wall-clock OUT
+    of logic paths: tests/goldens pass `fixed_ms`; only production
+    lineage stamps use the live expression."""
+    if fixed_ms is not None:
+        return F.lit(int(fixed_ms)).cast("long")
+    return F.unix_millis(F.current_timestamp())
 
 
 def round_metrics(trace: DataFrame) -> DataFrame:
