@@ -192,34 +192,36 @@ def bench_crawl_engine(spark: SparkSession) -> dict:
     from lightcrawler_spark.plans.crawl import CrawlEngine
     from lightcrawler_spark.sources.fetcher import SyntheticFetcher
 
+    from lightcrawler_spark.fixtures import webgraph_df
+
     web = make_webgraph(n_lists=6, details_per_list=8, images=make_images(16))
-    web_df = spark.createDataFrame(
-        [
-            (p["url"], p["host"], p["status"], p["content_type"],
-             p["redirect_to"], bytearray(p["body"]), p["image_id"],
-             p["latency_ms"])
-            for p in web
-        ],
-        "url string, host string, status int, content_type string, "
-        "redirect_to string, body binary, image_id string, latency_ms int",
-    )
+    web_df = webgraph_df(spark, web)
     spec = default_spec(budget=64)
-    engine = CrawlEngine(spark, spec, SyntheticFetcher(web_df, spec),
-                         robots_fixture=ROBOTS_FIXTURE)
     # micro-rounds: AQE's per-stage replanning dominates at fixture scale
     # (same setting as the golden-fixture contract query)
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t0 = time.time()
+    best = None
     try:
-        result = engine.run(max_rounds=12)
-        dt = time.time() - t0
+        # first run warms engine-specific plans/codegen (cold first runs
+        # are 2-4x slower on this VM and measure JIT, not the engine);
+        # recorded value = best of the two warm runs
+        for rep in range(3):
+            engine = CrawlEngine(spark, spec, SyntheticFetcher(web_df, spec),
+                                 robots_fixture=ROBOTS_FIXTURE)
+            t0 = time.time()
+            result = engine.run(max_rounds=12)
+            dt = time.time() - t0
+            log(f"crawl_engine rep {rep}{' (warmup)' if rep == 0 else ''}: "
+                f"{result.pages_fetched} pages / {result.rounds_run} rounds "
+                f"in {dt:.1f}s = {result.pages_fetched / dt:,.1f} pages/s")
+            if rep > 0 and (best is None or dt < best[0]):
+                best = (dt, result.pages_fetched, result.rounds_run)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    log(f"crawl_engine: {result.pages_fetched} pages / {result.rounds_run} "
-        f"rounds in {dt:.1f}s = {result.pages_fetched / dt:,.1f} pages/s")
-    return {"sec": dt, "pages_per_sec": result.pages_fetched / dt,
-            "pages": result.pages_fetched, "rounds": result.rounds_run}
+    dt, pages, rounds = best
+    return {"sec": dt, "pages_per_sec": pages / dt,
+            "pages": pages, "rounds": rounds}
 
 
 def bench_sf_queries(spark: SparkSession) -> dict:

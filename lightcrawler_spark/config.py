@@ -87,6 +87,10 @@ class CrawlSpec:
         default_factory=lambda: [r"#text/html# i"]
     )
     max_rounds: int = 1000
+    # fetch-stage host-salting kicks in at this round budget: below it a
+    # work-list is small enough that the extra shuffle costs more than
+    # the skew it defuses; production budgets (thousands+) always salt
+    salt_fetch_threshold: int = 256
 
     def std_rules(self, rules: list[str]) -> list[str]:
         return [php_regex_to_std(r) for r in rules]

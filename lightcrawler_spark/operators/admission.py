@@ -33,6 +33,7 @@ __all__ = [
     "keep_redirects_only",
     "robots_rules_df",
     "apply_robots_filter",
+    "robots_deny_predicate",
 ]
 
 # rel=nofollow on the linkcode (URLFilter:171-175); branch-reset emulated
@@ -191,6 +192,22 @@ def robots_rules_df(spark, robots_fixture: list[tuple[str, str]], user_agent: st
         for p in parse_robots_body(body, user_agent, f"http://{host}"):
             rows.append((host, p))
     return spark.createDataFrame(rows or [("", "")], "host string, deny_prefix string")
+
+
+def robots_deny_predicate(rules: list[tuple[str, str]],
+                          url: Column | None = None) -> Column:
+    """F8 as ONE literal predicate for SMALL rule sets: the reference
+    itself folds robots Disallows into its regex deny list
+    (PHPCrawler.class.php:843-853), so a bounded rule table becomes a
+    codegen'd conjunction — no broadcast exchange, no per-round sub-job.
+    Large rule tables (many hosts) use apply_robots_filter's broadcast
+    anti-join instead."""
+    url = url if url is not None else F.col("url")
+    h = host_expr(url)
+    pred = F.lit(True)
+    for host, prefix in rules:
+        pred = pred & ~((h == F.lit(host)) & url.startswith(prefix))
+    return pred
 
 
 def apply_robots_filter(links_df: DataFrame, rules_df: DataFrame) -> DataFrame:

@@ -65,7 +65,14 @@ from pyspark.sql import functions as F
 from ..config import CrawlSpec
 from ..functions import urlkit
 from ..operators import scheduler
-from ..operators.admission import admission_predicate, apply_robots_filter, host_expr, robots_rules_df
+from ..operators.admission import (
+    admission_predicate,
+    apply_robots_filter,
+    host_expr,
+    parse_robots_body,
+    robots_deny_predicate,
+    robots_rules_df,
+)
 from ..operators.dedup import first_wins_within_batch
 from ..operators.extract import extract_links_udf, page_nofollow_udf
 from .storage import MemoryRoundStore, RoundStore
@@ -129,11 +136,22 @@ class CrawlEngine:
         # columns, consumed by HttpFetcher — PHPCrawler.class.php:718-733)
         self.cookie_jar = cookie_jar
         self.send_data_rules = send_data_rules
+        # F8: small rule sets fold into one literal predicate (no
+        # broadcast sub-job per round); big ones broadcast anti-join
         self.robots_rules = None
+        self.robots_pairs: list[tuple[str, str]] | None = None
         if spec.obey_robots_txt and robots_fixture:
-            self.robots_rules = robots_rules_df(
-                spark, robots_fixture, spec.user_agent
-            ).cache()
+            pairs = [
+                (host, p)
+                for host, body in robots_fixture
+                for p in parse_robots_body(body, spec.user_agent, f"http://{host}")
+            ]
+            if len(pairs) <= 64:
+                self.robots_pairs = pairs
+            else:
+                self.robots_rules = robots_rules_df(
+                    spark, robots_fixture, spec.user_agent
+                ).cache()
         # F9 state: first 200-status page url (None → still bootstrapping
         # when spec.follow_redirects_till_content)
         self._first_content_url: str | None = None
@@ -233,7 +251,7 @@ class CrawlEngine:
         # host-salted repartition ahead of the fetch stage (skew defusal for
         # real fetch workloads); skipped for small budgets where the extra
         # shuffle costs more than the skew it prevents
-        if budget >= 64:
+        if budget >= spec.salt_fetch_threshold:
             work = scheduler.salted_repartition(work, "host", salt_buckets=8)
 
         # P12/P13: attach per-request cookies / post-data / auth
@@ -373,11 +391,12 @@ class CrawlEngine:
             )
 
         def battery(df, base):
-            out = df.filter(
-                admission_predicate(
-                    spec, base, page_nofollow=F.col("page_nofollow")
-                )
+            pred = admission_predicate(
+                spec, base, page_nofollow=F.col("page_nofollow")
             )
+            if self.robots_pairs is not None:
+                pred = pred & robots_deny_predicate(self.robots_pairs)
+            out = df.filter(pred)
             if self.robots_rules is not None:
                 out = apply_robots_filter(out, self.robots_rules)
             return out
