@@ -46,6 +46,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("admission predicates in scan/filter", r"PushedFilters"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # SRP hyperplane weights must be literal arrays — NO md5 evaluated
+    # per row in the bucket expression (verified by absence)
+    "embedding_near_dup": [
+        ("bucket equi-join (no cross join)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no per-row md5 in bucket expr", r"!md5\("),
+    ],
+    "ngram_jaccard": [
+        ("doc slice pushed to scan", r"PushedFilters: \[.*LessThan\(doc_id"),
+        ("lang blocking key in join", r"lang"),
+    ],
+    "handler_route": [
+        ("single codegen'd projection", r"\*\(\d+\)"),
+        ("column pruning", r"ReadSchema: [^\n]*p_partkey"),
+    ],
 }
 
 
@@ -69,7 +83,12 @@ def main() -> int:
             df.explain("formatted")
             df.explain("simple")  # has the *(n) codegen-stage markers
         plan = buf.getvalue()
-        fails = [c for c, rx in checks if not re.search(rx, plan)]
+        # a "!"-prefixed regex asserts ABSENCE from the plan
+        fails = [
+            c for c, rx in checks
+            if (re.search(rx[1:], plan) if rx.startswith("!")
+                else not re.search(rx, plan))
+        ]
         if fails:
             warned += 1
             print(f"WARN {name}: missing {fails}")
