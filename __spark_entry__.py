@@ -993,6 +993,33 @@ def _image_resize_values_sql() -> str:
     )
 
 
+def _image_features_values_sql() -> str:
+    """Expected features computed driver-side with the same numpy math
+    (4-decimal rounding inside the kernel makes the literals exact)."""
+    import numpy as np
+
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, phash64
+
+    rows = []
+    for r in make_images(64):
+        arr = decode_image(r["bytes"]).astype(np.float64)
+        gray = arr.mean(axis=2)
+        gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+        gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+        match = phash64(arr.astype(np.uint8)) == r["phash"]
+        rows.append(
+            f"('{r['image_id']}', {str(bool(match)).lower()}, "
+            f"{round(float(gx + gy), 4)})"
+        )
+    return (
+        "SELECT image_id, phash_match, "
+        "CAST(edge_density AS DOUBLE) AS edge_density FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(image_id, phash_match, edge_density)"
+    )
+
+
 def _video_frames_values_sql() -> str:
     """Frame lengths follow directly from the fixture container layout
     (length-prefixed make_images bytes) — independent of the sampling
@@ -1021,6 +1048,73 @@ def _golden_redirects_values_sql() -> str:
 
     golden = simulate_reference_crawl(make_redirect_webgraph(), redirect_spec(budget=1))
     return _golden_values_sql(golden)
+
+
+def q_image_caption_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule product: crawl the fixture web (pagination feeds on,
+    image bodies received) and assemble the image+caption table
+    (input_hint schema) — VALUES oracle pins every id/caption/dims/fmt/
+    phash against the fixture source of truth."""
+    from lightcrawler_spark.fixtures import (
+        ROBOTS_FIXTURE,
+        default_spec,
+        make_images,
+        make_webgraph,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.assemble import build_image_caption_table
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    images = make_images(4)
+    web = make_webgraph(n_lists=1, details_per_list=2, images=images)
+    spec = default_spec(
+        max_depth=4, budget=16,
+        content_type_receive_rules=[r"#text/html# i", r"#image/# i"],
+        pagination_rules=[(r"var\s+countPage\s*=\s*(\d+)", "index_{i}.htm")],
+    )
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(webgraph_df(spark, web), spec),
+        robots_fixture=ROBOTS_FIXTURE,
+    )
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        result = engine.run(max_rounds=40)
+        out = build_image_caption_table(result.pages).select(
+            "image_id", "caption",
+            F.col("w").cast("int").alias("w"),
+            F.col("h").cast("int").alias("h"),
+            "fmt",
+            F.col("phash").cast("long").alias("phash"),
+        ).orderBy("image_id")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    return out
+
+
+def _image_caption_assembly_values_sql() -> str:
+    from lightcrawler_spark.fixtures import make_image_array, make_images
+    from lightcrawler_spark.imagecodec import decode_image, encode_image, phash64
+
+    rows = []
+    for r in make_images(4):
+        rows.append(
+            f"('{r['image_id']}', '{r['caption']}', {r['w']}, {r['h']}, "
+            f"'{r['fmt']}', {r['phash']})"
+        )
+    # the cdn banner of list 0 (caption-less image page)
+    banner = encode_image(make_image_array(1000, 32, 16), "png")
+    rows.append(
+        f"('banner0', '', 32, 16, 'png', {phash64(decode_image(banner))})"
+    )
+    return (
+        "SELECT image_id, caption, CAST(w AS INT) AS w, CAST(h AS INT) AS h, "
+        "fmt, CAST(phash AS BIGINT) AS phash FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(image_id, caption, w, h, fmt, phash) ORDER BY image_id"
+    )
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,7 +1186,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "image_id",
         (F.col("f.feat_phash") == F.col("phash")).alias("phash_match"),
-        F.col("f.feat_edge_density").alias("edge_density"),
+        F.round(F.col("f.feat_edge_density"), 6).alias("edge_density"),
     )
 
 
@@ -1180,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_extract": q_doc_text_extract,
         "crawl_golden_fixture": q_crawl_golden_fixture,
         "crawl_golden_redirects": q_crawl_golden_redirects,
+        "image_caption_assembly": q_image_caption_assembly,
         "simhash_docs": q_simhash_docs,
         "image_verify": q_image_verify,
         "bloom_prefilter": q_bloom_prefilter,
@@ -1875,6 +1970,7 @@ FROM documents WHERE doc_id < 200
 """,
         "crawl_golden_fixture": _golden_fixture_values_sql(),
         "crawl_golden_redirects": _golden_redirects_values_sql(),
+        "image_caption_assembly": _image_caption_assembly_values_sql(),
         # content_extract: the body is templated, so the kernel's exact
         # output (post E9 pruning, E10 paragraph path, img marker) is
         # reconstructible in SQL
@@ -1939,8 +2035,10 @@ FROM documents d LEFT JOIN sh s USING (doc_id)
         # expected rows are computed driver-side WITHOUT Spark
         "image_verify": _image_verify_values_sql(),
         "image_resize": _image_resize_values_sql(),
+        "image_features": _image_features_values_sql(),
         "video_frame_sample": _video_frames_values_sql(),
-        # bloom_prefilter / cuckoo_prefilter (probabilistic survivor sets)
-        # and image_features (raw float features): no ANSI-SQL equivalent
-        # → rows-only checks (intentional).
+        # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
+        # (bit-array membership) — no ANSI-SQL equivalent → rows-only
+        # checks (intentional); their FPR and exactness guarantees are
+        # unit-tested instead (tests/test_operators.py).
     }

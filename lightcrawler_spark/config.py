@@ -87,6 +87,14 @@ class CrawlSpec:
         default_factory=lambda: [r"#text/html# i"]
     )
     max_rounds: int = 1000
+    # E17 pagination synthesis: (body_regex_with_count_group, template)
+    # pairs. Pages whose body matches feed `dir + template(i)` for
+    # i=1..count-1 back to the frontier via the reference's addFeed
+    # semantics: depth 0, NO admission filtering, inserted BEFORE the
+    # page's own extracted links (PHPCrawler.class.php:392-399 with
+    # handleDocumentInfo running before filterUrls, :772-833). Patterns
+    # are plain regexes (group 1 = the page count), not PHP-delimited.
+    pagination_rules: list[tuple[str, str]] = field(default_factory=list)
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

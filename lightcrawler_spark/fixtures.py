@@ -195,7 +195,7 @@ def make_webgraph(n_lists: int = 3, details_per_list: int = 4,
                     f"</head><body><h1>Doc {li}-{pi}-{di}</h1>"
                     f'<img src="/img/{img["image_id"]}.{img["fmt"]}">'
                     f"<p>{img['caption']}</p>"
-                    f'<a href="index_{pi}.htm">back</a>'
+                    f'<p><a href="index_{pi}.htm">back</a></p>'
                     "</body></html>"
                 )
                 page(f"{ldir}detail_{pi}_{di}.htm", detail)
@@ -476,6 +476,20 @@ def simulate_reference_crawl(
             aggressive=spec.aggressive_link_search,
             redirect_location=redirect,
         )
+        # E17 pagination feeds (addFeed: depth 0, NO admission, inserted
+        # BEFORE this page's own links — PHPCrawler.class.php:392-399)
+        if body:
+            for pattern, template in spec.pagination_rules:
+                m = _re.search(pattern, body)
+                if not m:
+                    continue
+                n = int(m.group(1))
+                base_dir = _re.match(r"^(.*/)[^/]*$", nxt["url"])
+                if n > 1 and base_dir:
+                    for i in range(1, n):
+                        push(base_dir.group(1) + template.replace("{i}", str(i)),
+                             0, nxt["url"])
+
         bootstrapping = (
             spec.follow_redirects_till_content
             and state["first_content_url"] is None

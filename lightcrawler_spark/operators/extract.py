@@ -296,14 +296,17 @@ _COUNTPAGE_RE = r"var\s+countPage\s*=\s*(\d+)"
 
 
 def synthesize_pagination(pages_df, body_col="body_text", url_col="url",
-                          pattern=_COUNTPAGE_RE, template="index_{i}.htm"):
+                          pattern=_COUNTPAGE_RE, template="index_{i}.htm",
+                          extra_cols: tuple = ()):
     """List pages advertising `var countPage=N` (JS) synthesize sibling
     page URLs index_1..index_{N-1} and feed them back to the frontier
     (reference: SpiderCsrcGov.class.php:117-138 + addFeed,
     SpiderFrame.class.php:184-199).
 
     JVM-only plan: regexp_extract → sequence → explode → format_string;
-    no Python in the loop, stays inside whole-stage codegen.
+    no Python in the loop, stays inside whole-stage codegen. Output also
+    carries `feed_pos` (the page index i — the deterministic feed order
+    the engine's insert_seq packing needs) and any `extra_cols`.
     """
     # try_cast: regexp_extract yields "" on no-match, which ANSI cast rejects
     n = F.regexp_extract(F.col(body_col), pattern, 1).try_cast("int")
@@ -314,11 +317,14 @@ def synthesize_pagination(pages_df, body_col="body_text", url_col="url",
         .filter(F.col("_page_count") > 1)
         .select(
             F.col(url_col).alias("referer"),
+            *[F.col(c) for c in extra_cols],
             base_dir.alias("_dir"),
             F.explode(F.sequence(F.lit(1), F.col("_page_count") - 1)).alias("_i"),
         )
         .select(
             "referer",
+            *extra_cols,
             F.concat(F.col("_dir"), F.format_string(tpl, F.col("_i"))).alias("url"),
+            F.col("_i").alias("feed_pos"),
         )
     )

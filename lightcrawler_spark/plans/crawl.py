@@ -74,7 +74,11 @@ from ..operators.admission import (
     robots_rules_df,
 )
 from ..operators.dedup import first_wins_within_batch
-from ..operators.extract import extract_links_udf, page_nofollow_udf
+from ..operators.extract import (
+    extract_links_udf,
+    page_nofollow_udf,
+    synthesize_pagination,
+)
 from .storage import MemoryRoundStore, RoundStore
 
 __all__ = ["CrawlEngine", "CrawlResult", "ABORT_PASSEDTHROUGH",
@@ -84,6 +88,9 @@ __all__ = ["CrawlEngine", "CrawlResult", "ABORT_PASSEDTHROUGH",
 # for the fetch rank within a round → budgets/pages up to ~1M links each.
 _POS_BITS = 20
 _RANK_BITS = 20
+# low slice of each page's pos range reserved for pagination feeds
+# (addFeed inserts run BEFORE the page's extracted links)
+_FEED_POS_SLOTS = 1024
 
 FRONTIER_COLS = [
     "url", "url_md5", "host", "depth", "referer", "link_raw", "linktext",
@@ -333,15 +340,57 @@ class CrawlEngine:
 
         admitted = self._admit(links, stats)
 
-        # insert_seq: deterministic bit-packed insertion order (no counter)
+        # insert_seq: deterministic bit-packed insertion order (no
+        # counter). Pagination feeds (E17/addFeed) insert BEFORE the
+        # page's own links, so they occupy pos < _FEED_POS_SLOTS and
+        # extracted links are shifted past them.
+        round_base = F.lit(r + 1).cast("long") * F.lit(1 << (_POS_BITS + _RANK_BITS))
         admitted = admitted.withColumn(
             "insert_seq",
-            F.lit(r + 1).cast("long") * F.lit(1 << (_POS_BITS + _RANK_BITS))
+            round_base
             + F.col("src_rank").cast("long") * F.lit(1 << _POS_BITS)
-            + F.col("link_pos").cast("long"),
+            + F.col("link_pos").cast("long") + F.lit(_FEED_POS_SLOTS),
         ).withColumn("url_md5", F.md5("url")).withColumn(
             "host", host_expr(F.col("url"))
         )
+
+        if spec.pagination_rules:
+            feeds = []
+            slots_per_rule = _FEED_POS_SLOTS // len(spec.pagination_rules)
+            for ri, (pattern, template) in enumerate(spec.pagination_rules):
+                pag = synthesize_pagination(
+                    results, body_col="body_text", url_col="url",
+                    pattern=pattern, template=template,
+                    extra_cols=("fetch_rank",),
+                )
+                feeds.append(
+                    pag.select(
+                        "url",
+                        F.md5("url").alias("url_md5"),
+                        host_expr(F.col("url")).alias("host"),
+                        F.lit(0).alias("depth"),  # addFeed: depth forced 0
+                        F.col("referer"),
+                        F.col("url").alias("link_raw"),
+                        F.lit(None).cast("string").alias("linktext"),
+                        F.lit(False).alias("is_redirect"),
+                        (
+                            round_base
+                            + F.col("fetch_rank").cast("long") * F.lit(1 << _POS_BITS)
+                            + F.lit(ri * slots_per_rule)
+                            + F.least(F.col("feed_pos").cast("long"),
+                                      F.lit(slots_per_rule - 1))
+                        ).alias("insert_seq"),
+                    )
+                )
+            feed_df = feeds[0]
+            for f in feeds[1:]:
+                feed_df = feed_df.unionByName(f)
+            admitted = feed_df.unionByName(
+                admitted.select(
+                    "url", "url_md5", "host", "depth", "referer",
+                    "link_raw", "linktext", "is_redirect", "insert_seq",
+                )
+            )
 
         admitted = scheduler.assign_priority(admitted, spec.priority_rules)
         new = first_wins_within_batch(admitted, "url_md5", "insert_seq")

@@ -30,6 +30,12 @@ _run_cache = {}
 _webdf_cache = {}
 
 
+def _webdf(spark):
+    if "df" not in _webdf_cache:
+        _webdf_cache["df"] = webgraph_df(spark, WEB).cache()
+    return _webdf_cache["df"]
+
+
 def run_engine(spark, spec, max_rounds=100):
     key = (
         spec.max_depth, spec.request_limit, spec.round_duration_s,
@@ -37,8 +43,7 @@ def run_engine(spark, spec, max_rounds=100):
     )
     if key in _run_cache:
         return _run_cache[key]
-    if "df" not in _webdf_cache:
-        _webdf_cache["df"] = webgraph_df(spark, WEB).cache()
+    _webdf(spark)
     engine = CrawlEngine(
         spark, spec, SyntheticFetcher(_webdf_cache["df"], spec),
         robots_fixture=ROBOTS_FIXTURE,
@@ -132,6 +137,31 @@ class TestDepthLimit:
         result = run_engine(spark, spec)
         assert max(t["depth"] for t in golden) <= 1
         assert trace_rows(result) == golden_rows(golden)
+
+
+class TestPaginationFeeds:
+    """E17 wired into the engine: addFeed semantics (depth 0, no
+    admission, feeds before the page's own links) must match the
+    simulator pop-for-pop."""
+
+    def test_trace_matches_simulator(self, spark):
+        spec = default_spec(budget=1)
+        spec.pagination_rules = [
+            (r"var\s+countPage\s*=\s*(\d+)", "index_{i}.htm")
+        ]
+        golden = simulate_reference_crawl(WEB, spec, ROBOTS_FIXTURE)
+        engine = CrawlEngine(
+            spark, spec, SyntheticFetcher(_webdf(spark), spec),
+            robots_fixture=ROBOTS_FIXTURE,
+        )
+        result = engine.run(max_rounds=120)
+        assert trace_rows(result) == golden_rows(golden)
+        # the feeds reached pages plain link-following cannot:
+        urls = {t["url"] for t in golden}
+        assert "http://www.site-a.test/list1/index_1.htm" in urls
+        # and fed pages carry addFeed's depth-0 quirk
+        by_url = {t["url"]: t for t in golden}
+        assert by_url["http://www.site-a.test/list1/index_1.htm"]["depth"] == 0
 
 
 class TestRobotsAndFilters:
