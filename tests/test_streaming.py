@@ -122,3 +122,63 @@ def test_windowed_metrics(spark, tmp_path):
     assert by_key[(1, "h1")]["requests"] == 6      # 12:01 window
     assert by_key[(2, "h1")]["requests"] == 6      # 12:02 window
     assert by_key[(2, "h2")]["requests"] == 2
+
+
+def test_host_politeness_gate_stateful(spark, tmp_path):
+    """applyInPandasWithState politeness: per host, at most one URL per
+    crawl_delay of EVENT time; state carries across micro-batches."""
+    from lightcrawler_spark.streaming.politeness import host_politeness_gate
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # h1: candidates every second → only every 5th admitted
+    for s in range(20):
+        rows.append(("h1", f"http://h1/{s}", t0 + datetime.timedelta(seconds=s)))
+    # h2: candidates every 7 s → all admitted (7 ≥ 5)
+    for s in range(0, 21, 7):
+        rows.append(("h2", f"http://h2/{s}", t0 + datetime.timedelta(seconds=s)))
+    df = spark.createDataFrame(rows, "host string, url string, event_ts timestamp")
+    p = str(tmp_path / "cand_in")
+    df.repartition(3).write.parquet(p)
+
+    stream = spark.readStream.schema(spark.read.parquet(p).schema).parquet(p)
+    gated = host_politeness_gate(stream, crawl_delay_s=5.0)
+    q = (
+        gated.writeStream.format("memory").queryName("polite_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from polite_test").collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["url"])
+    assert sorted(by_host["h1"]) == [
+        "http://h1/0", "http://h1/10", "http://h1/15", "http://h1/5",
+    ]
+    assert sorted(by_host["h2"]) == [
+        "http://h2/0", "http://h2/14", "http://h2/7",
+    ]
+
+    # state persists across a restart on the SAME checkpoint with new
+    # input arriving 1 s after the last admitted h1 candidate → blocked
+    more = spark.createDataFrame(
+        [("h1", "http://h1/16", t0 + datetime.timedelta(seconds=16)),
+         ("h1", "http://h1/21", t0 + datetime.timedelta(seconds=21))],
+        "host string, url string, event_ts timestamp",
+    )
+    more.write.mode("append").parquet(p)
+    ck = str(tmp_path / "polite_ckpt")
+    # replay from scratch through a durable checkpointed sink instead:
+    out = str(tmp_path / "polite_out")
+    q1 = (
+        host_politeness_gate(
+            spark.readStream.schema(spark.read.parquet(p).schema).parquet(p),
+            crawl_delay_s=5.0)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "http://h1/16" not in urls   # 16 s: only 1 s after 15 → blocked
+    assert "http://h1/21" in urls       # 21 s: 6 s after 15 → admitted
