@@ -93,6 +93,37 @@ class TestRedirectBootstrapGolden:
         }
 
 
+class TestResumeMidBootstrap:
+    def test_resume_during_redirect_chain(self, spark, tmp_path):
+        """P6 × F9: interrupt while still following redirects (no 200
+        seen), resume from the watermark — the engine must recompute
+        'bootstrap still active' from the committed trace and finish
+        identically to the uninterrupted run."""
+        from lightcrawler_spark.plans.storage import RoundStore
+
+        spec = redirect_spec(budget=1)
+        web = webgraph_df(spark, WEB)
+
+        full = CrawlEngine(
+            spark, spec, SyntheticFetcher(web, spec),
+            store=RoundStore(spark, str(tmp_path / "full")),
+        ).run(max_rounds=50)
+
+        CrawlEngine(
+            spark, spec, SyntheticFetcher(web, spec),
+            store=RoundStore(spark, str(tmp_path / "part")),
+        ).run(max_rounds=2)  # seed 301 + hop1 302: content NOT yet found
+        resumed = CrawlEngine(
+            spark, spec, SyntheticFetcher(web, spec),
+            store=RoundStore(spark, str(tmp_path / "part")),
+        ).run(max_rounds=50, resume=True)
+
+        def t(res):
+            return rows(r.asDict() for r in res.trace.orderBy("seq").collect())
+
+        assert t(resumed) == t(full)
+
+
 class TestAbortReasons:
     def test_passedthrough_on_drained_frontier(self, spark):
         result = run_engine(spark, redirect_spec(budget=1))
