@@ -120,6 +120,13 @@ def split_url(url: str) -> UrlParts | None:
     protocol = m.group("scheme") + "://"
     host = (m.group("host") or "").lower()
     path = m.group("path") or ""
+    # a non-empty path not starting with '/' can only arise from a
+    # malformed authority (e.g. "http://h:junk" — non-numeric port). PHP
+    # parse_url returns false there (the reference's splitURL source),
+    # and rebuilding such parts would glue host+path into a DIFFERENT
+    # url, breaking normalize idempotence → reject like parse_url does.
+    if path and not path.startswith("/"):
+        return None
     query = ("?" + m.group("query")) if m.group("query") is not None else ""
     port: object = m.group("port") or ""
     user = m.group("user") or ""

@@ -1,0 +1,90 @@
+"""Property/fuzz tests (hypothesis) for the pure-Python kernels: none
+may raise on arbitrary input, and the core invariants hold. These
+kernels run inside Arrow batches on executors — an unhandled exception
+there kills a whole task, so total robustness is a correctness property.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightcrawler_spark.functions.urlkit import (
+    build_url_from_link,
+    format_url,
+    normalize_url,
+    split_url,
+    url_md5,
+)
+from lightcrawler_spark.operators.content import (
+    html_text_struct,
+    prune_link_blocks,
+)
+from lightcrawler_spark.operators.extract import extract_meta_tags, find_links
+from lightcrawler_spark.plans.assemble import image_captions
+from lightcrawler_spark.sources.fetcher import (
+    decode_gzip_content,
+    is_gzip_encoded,
+    prepare_http_request_query,
+)
+
+TEXT = st.text(max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_prepare_http_request_query_total(s):
+    out = prepare_http_request_query(s)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, TEXT)
+def test_format_url_total(base, link):
+    out = format_url(base, link)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_normalize_and_md5_total(s):
+    out = normalize_url(s)
+    if out is not None:
+        assert normalize_url(out) == out        # idempotent
+        assert len(url_md5(out)) == 32
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, TEXT)
+def test_build_url_from_link_total(link, base):
+    parts = split_url(base if base.startswith("http") else "http://h/a/b.htm")
+    if parts is None or parts.host == "":
+        parts = split_url("http://h/a/b.htm")
+    out = build_url_from_link(link, parts)
+    assert out is None or out.startswith(("http://", "https://", "ftp://")) \
+        or "://" in out or out  # canonical or dropped
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT)
+def test_find_links_total(html):
+    links = find_links(html, "http://h/a/b.htm", aggressive=True)
+    raws = [l["link_raw"] for l in links]
+    assert len(raws) == len(set(raws))           # first-wins dedup holds
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT)
+def test_html_kernels_total(html):
+    extract_meta_tags(html)
+    pruned = prune_link_blocks(html)
+    assert isinstance(pruned, str)
+    assert len(pruned) <= len(html)              # pruning only removes
+    s = html_text_struct(html, keep_img=True)
+    assert isinstance(s["text"], str)
+    image_captions(s["text"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_gzip_total(b):
+    if is_gzip_encoded(b):
+        assert isinstance(decode_gzip_content(b), bytes)
