@@ -207,6 +207,22 @@ def q_politeness_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_host_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 at scale: per-host budget pop + deterministic host interleave
+    (the engine's per_host_politeness round serialization —
+    lightcrawler_spark/operators/scheduler.py pop_per_host +
+    interleave_rank; generalizes PHPCrawler.class.php:906-925's global
+    budget per host, SURVEY §2.5 P8)."""
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias("host"),
+        F.col("event_id").cast("long").alias("insert_seq"),
+        (F.col("user_id") % 3).cast("int").alias("priority_level"),
+    )
+    work = scheduler.interleave_rank(scheduler.pop_per_host(frontier, 4))
+    return work.select("host", "insert_seq", "pop_rank", "fetch_rank")
+
+
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E17: pagination synthesis from the JS page counter."""
     part = _t(spark, sf_dir, "part")
@@ -1240,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admission_filter": q_admission_filter,
         "robots_filter": q_robots_filter,
         "politeness_rounds": q_politeness_rounds,
+        "per_host_rounds": q_per_host_rounds,
         "pagination": q_pagination,
         "status_report": q_status_report,
         "events_hourly": q_events_hourly,
@@ -1373,6 +1390,27 @@ ranked AS (
 )
 SELECT host, insert_seq, CAST((rnk - 1) // 2 AS BIGINT) AS round_no
 FROM ranked
+""",
+        "per_host_rounds": """
+WITH frontier AS (
+  SELECT 'h' || (user_id % 25) AS host,
+         CAST(event_id AS BIGINT) AS insert_seq,
+         CAST(user_id % 3 AS INT) AS priority_level
+  FROM events
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority_level DESC, insert_seq ASC
+         ) AS INT) AS pop_rank
+  FROM frontier
+),
+kept AS (SELECT * FROM ranked WHERE pop_rank <= 4)
+SELECT host, insert_seq, pop_rank,
+       CAST(row_number() OVER (
+         ORDER BY pop_rank ASC, priority_level DESC, insert_seq ASC
+       ) AS INT) AS fetch_rank
+FROM kept
 """,
         "pagination": """
 WITH pages AS (

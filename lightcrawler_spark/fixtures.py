@@ -34,6 +34,8 @@ __all__ = [
     "make_images",
     "make_webgraph",
     "make_redirect_webgraph",
+    "make_multihost_webgraph",
+    "multihost_spec",
     "default_spec",
     "redirect_spec",
     "ROBOTS_FIXTURE",
@@ -296,6 +298,60 @@ def make_redirect_webgraph() -> list[dict]:
     ]
 
 
+def make_multihost_webgraph(n_hosts: int = 5, chain_len: int = 4) -> list[dict]:
+    """P8 per-host-mode fixture: a hub page fans out to ``n_hosts``
+    independent hosts; each host is a chain root → p1 → … → p{chain_len}
+    plus a sibling page per step, so every host keeps discovering new
+    work each round. With per-host budget B a steady round must fetch
+    B × n_hosts pages — the property the engine's scale scheduler has to
+    deliver (VERDICT r2 §What's wrong #1)."""
+    P = _page_row
+    pages = [
+        P(
+            "http://hub.m.test",
+            "<html><body>"
+            + "".join(
+                f'<a href="http://www.m{h}.test/">host {h}</a>'
+                for h in range(n_hosts)
+            )
+            + "</body></html>",
+        )
+    ]
+    for h in range(n_hosts):
+        root = f"http://www.m{h}.test"
+        pages.append(
+            P(root,
+              f'<html><body><a href="/p1.htm">start</a>'
+              f'<a href="/s0.htm">side</a></body></html>')
+        )
+        for i in range(1, chain_len + 1):
+            nxt = (
+                f'<a href="/p{i + 1}.htm">next</a>' if i < chain_len else ""
+            )
+            pages.append(
+                P(f"{root}/p{i}.htm",
+                  f'<html><body>{nxt}<a href="/s{i}.htm">side</a></body></html>')
+            )
+        for i in range(0, chain_len + 1):
+            pages.append(
+                P(f"{root}/s{i}.htm", "<html><body>leaf</body></html>")
+            )
+    return pages
+
+
+def multihost_spec(per_host_budget: int = 2, **kw) -> CrawlSpec:
+    return CrawlSpec(
+        seeds=["http://hub.m.test"],
+        follow_mode=0,  # any: the whole point is many hosts in flight
+        max_depth=16,
+        per_host_politeness=True,
+        crawl_delay_s=5.0,
+        round_duration_s=5.0 * per_host_budget,
+        follow_redirects_till_content=False,
+        **kw,
+    )
+
+
 def redirect_spec(budget: int = 1) -> CrawlSpec:
     return CrawlSpec(
         seeds=[f"http://{HOST_R}"],
@@ -320,6 +376,13 @@ def simulate_reference_crawl(
     frontier re-ranking between pops — byte-identical to the reference's
     number_of_process=1 behavior under the deterministic ordering
     contract (priority DESC, insert_seq ASC).
+
+    With ``spec.per_host_politeness`` the simulator switches to the
+    engine's per-host round contract instead: each round claims the top
+    budget_per_round rows PER HOST and serializes the batch by the
+    deterministic host interleave (pop_rank ASC, priority DESC,
+    insert_seq ASC) — the scale generalization of the reference's global
+    budget (PHPCrawler.class.php:906-925, SURVEY §2.5 P8).
 
     Models, like the engine: the inline retry loop P9 (fail_times
     failures then success; retry on error or status >400/<100 —
@@ -413,6 +476,7 @@ def simulate_reference_crawl(
             {
                 "url": url,
                 "url_md5": k,
+                "host": urlkit.split_url(url).host,
                 "depth": depth,
                 "referer": referer,
                 "priority_level": priority(url),
@@ -426,15 +490,33 @@ def simulate_reference_crawl(
         norm = urlkit.normalize_url(s)
         push(norm, 0 if i == 0 else 1, None)
 
+    def select_batch(pending: list[dict]) -> list[dict]:
+        """One round's pop set, in fetch order.
+
+        Global mode: ONE row — (priority DESC, insert_seq ASC), the
+        reference's sequential pop. Per-host mode (the engine's scale
+        contract): top budget_per_round rows PER HOST, the whole batch
+        serialized by the deterministic host interleave
+        (pop_rank ASC, priority DESC, insert_seq ASC) — every host's
+        first pick fetches before any host's second pick."""
+        if not spec.per_host_politeness:
+            return [min(pending, key=lambda f: (-f["priority_level"], f["insert_seq"]))]
+        per_host_budget = spec.budget_per_round
+        counts: dict[str, int] = {}
+        ranked: list[tuple] = []
+        for f in sorted(pending, key=lambda f: (-f["priority_level"], f["insert_seq"])):
+            k = counts.get(f["host"], 0) + 1
+            counts[f["host"]] = k
+            if k <= per_host_budget:
+                ranked.append((k, -f["priority_level"], f["insert_seq"], f))
+        ranked.sort(key=lambda t: t[:3])
+        return [t[3] for t in ranked]
+
     trace: list[dict] = []
     seq = 0
-    while seq < max_pops:
-        if spec.request_limit and seq >= spec.request_limit:
-            break
-        pending = [f for f in frontier if not f["done"]]
-        if not pending:
-            break
-        nxt = min(pending, key=lambda f: (-f["priority_level"], f["insert_seq"]))
+
+    def _process_pop(nxt: dict) -> None:
+        nonlocal seq
         nxt["done"] = True
         p = web.get(nxt["url"])
         # P9 inline retry, closed form (mirrors SyntheticFetcher): the
@@ -460,7 +542,7 @@ def simulate_reference_crawl(
         )
         seq += 1
         if p is None or exhausted:
-            continue
+            return
         # body only when received (status 2xx + html), like the engine's
         # F10/F11 gate; redirect links come from the header regardless
         is_html = "text/html" in (p["content_type"] or "")
@@ -506,7 +588,7 @@ def simulate_reference_crawl(
                 for link in links:
                     if link["is_redirect"]:
                         push(link["url"], nxt["depth"], nxt["url"])
-                continue
+                return
         page_nofollow = False
         if spec.obey_nofollow and body:
             page_nofollow = "nofollow" in extract_meta_tags(body).get("robots", "")
@@ -514,6 +596,23 @@ def simulate_reference_crawl(
             depth = nxt["depth"] + 1
             if admit(link, depth, page_nofollow):
                 push(link["url"], depth, nxt["url"])
+
+    while seq < max_pops:
+        pending = [f for f in frontier if not f["done"]]
+        if not pending:
+            break
+        # batch membership freezes BEFORE any of the round's fetches —
+        # links pushed mid-round only become poppable next round, exactly
+        # like the engine's BSP rounds
+        batch = select_batch(pending)
+        if spec.request_limit:
+            batch = batch[: spec.request_limit - seq]
+            if not batch:
+                break
+        for nxt in batch:
+            if seq >= max_pops:
+                break
+            _process_pop(nxt)
 
     final_seen = {t["url_md5"] for t in trace}
     for t in trace:

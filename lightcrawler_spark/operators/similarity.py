@@ -158,7 +158,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
                           block_bits: int | None = None,
                           vec_col: str = "embedding",
-                          id_col: str = "vec_id") -> DataFrame:
+                          id_col: str = "vec_id",
+                          allow_all_pairs: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family member for
     vector payloads): all (id_a < id_b) pairs with rounded cosine >=
     threshold.
@@ -169,7 +170,13 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
     or small corpora). At 10^9-vector scale pass block_bits=k: candidates
     must share the k-bit SRP bucket (srp_bucket_expr), turning the join
     into an equi-join on bucket — recall < 1 by design, like the LSH
-    top-k path."""
+    top-k path. Unblocked calls are guarded above
+    ALL_PAIRS_GUARD_ROWS input rows (no silent O(n²))."""
+    if not block_bits:
+        from .textdedup import guard_all_pairs
+
+        guard_all_pairs(embeddings, "cosine_near_dup_pairs",
+                        allow=allow_all_pairs)
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
         *([srp_bucket_expr(vec_col, block_bits).alias("bucket")]

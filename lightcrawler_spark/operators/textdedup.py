@@ -71,10 +71,36 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+ALL_PAIRS_GUARD_ROWS = 50_000
+
+
+def guard_all_pairs(df: DataFrame, what: str,
+                    max_rows: int | None = None,
+                    allow: bool = False) -> None:
+    """Refuse silent O(n²) blowups: the unblocked forms of the near-dup
+    operators are verifiable baselines for bounded candidate sets, not
+    corpus-scale paths. Above `max_rows` input rows an unblocked call
+    raises unless the caller explicitly opts in (allow_all_pairs=True).
+    The probe is a cheap `limit(max_rows+1).count()` — it never scans
+    more than max_rows+1 rows."""
+    if allow:
+        return
+    if max_rows is None:
+        max_rows = ALL_PAIRS_GUARD_ROWS  # read at call time (testable)
+    probe = df.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"{what}: unblocked all-pairs run over >{max_rows:,} rows — "
+            "pass a blocking key (block_cols=/block_bits=) for corpus-"
+            "scale inputs, or allow_all_pairs=True to accept O(n²) cost"
+        )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.8,
-                        block_cols: list[str] | None = None) -> DataFrame:
+                        block_cols: list[str] | None = None,
+                        allow_all_pairs: bool = False) -> DataFrame:
     """Near-dup pairs by character-k-gram Jaccard ≥ threshold.
 
     Candidate blocking: docs only compare within the same `block_cols`
@@ -83,9 +109,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     key joins WITH the shingle so cross-block pairs never materialize).
     The shingle join is an inverted-index join (pair appears once per
     shared shingle, then group-count) — the standard scalable
-    formulation.
+    formulation. Unblocked calls are guarded above
+    ALL_PAIRS_GUARD_ROWS input rows (no silent O(n²)).
     """
     block_cols = tuple(block_cols or ())
+    if not block_cols:
+        guard_all_pairs(df, "ngram_jaccard_pairs", allow=allow_all_pairs)
     sh = shingle_df(df, text_col, id_col, k, extra_cols=block_cols)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

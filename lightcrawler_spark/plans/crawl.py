@@ -243,13 +243,13 @@ class CrawlEngine:
         budget = min(spec.budget_per_round, remaining)
         work = scheduler.pop_batch(pending, spec)
         if spec.per_host_politeness:
-            # cap the round total as well when a global request_limit exists
-            work = work.withColumn(
-                "fetch_rank",
-                F.row_number().over(
-                    Window.orderBy(*scheduler.pop_order())
-                ),
-            ).filter(F.col("fetch_rank") <= budget)
+            # P8 at scale: budget_per_round is PER HOST — a round fetches
+            # up to B × hosts pages. fetch_rank is the deterministic host
+            # interleave (two-stage rank, no single-partition window);
+            # the GLOBAL cap applies only when a request_limit exists.
+            work = scheduler.interleave_rank(work)
+            if spec.request_limit:
+                work = work.filter(F.col("fetch_rank") <= F.lit(remaining))
         else:
             work = work.withColumnRenamed("pop_rank", "fetch_rank").filter(
                 F.col("fetch_rank") <= budget
@@ -506,6 +506,10 @@ class CrawlEngine:
         # the session's configured parallelism. Restored after the run.
         shuffle_before = self.spark.conf.get("spark.sql.shuffle.partitions")
         clamp = min(int(shuffle_before), max(4, spec.budget_per_round // 4))
+        if spec.per_host_politeness:
+            # per-host rounds move B × hosts rows, not B — the micro-round
+            # clamp would throttle the scale mode's real parallelism
+            clamp = int(shuffle_before)
         if clamp < int(shuffle_before):
             self.spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
 

@@ -199,3 +199,63 @@ class TestSimilarity:
             key = (r["query_id"], r["neighbor_id"])
             if key in exact_sims:
                 assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+
+class TestAllPairsGuard:
+    """Unblocked near-dup calls refuse silent O(n²) above the row
+    threshold (r2 VERDICT §What's wrong #3)."""
+
+    def _big_docs(self, spark, n=200):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text body "), F.col("id").cast("string")).alias("text"),
+        )
+
+    def _big_emb(self, spark, n=200):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+        )
+
+    def test_ngram_unblocked_raises_above_threshold(self, spark):
+        from lightcrawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+        df = self._big_docs(spark)
+        with pytest.raises(ValueError, match="all-pairs"):
+            # threshold lowered via monkeypatching the probe input size
+            import lightcrawler_spark.operators.textdedup as td
+
+            old = td.ALL_PAIRS_GUARD_ROWS
+            td.ALL_PAIRS_GUARD_ROWS = 100
+            try:
+                # guard_all_pairs reads the module constant as default
+                td.guard_all_pairs(df, "ngram_jaccard_pairs", max_rows=100)
+            finally:
+                td.ALL_PAIRS_GUARD_ROWS = old
+
+    def test_ngram_blocked_and_allowed_paths_pass(self, spark):
+        from lightcrawler_spark.operators.textdedup import guard_all_pairs
+
+        df = self._big_docs(spark)
+        # explicit opt-in never probes nor raises
+        guard_all_pairs(df, "x", max_rows=10, allow=True)
+        # under the threshold: fine
+        guard_all_pairs(df.limit(5), "x", max_rows=10)
+
+    def test_cosine_unblocked_raises_above_threshold(self, spark, monkeypatch):
+        import lightcrawler_spark.operators.textdedup as td
+        from lightcrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+        monkeypatch.setattr(td, "ALL_PAIRS_GUARD_ROWS", 100)
+        emb = self._big_emb(spark)
+        with pytest.raises(ValueError, match="block_bits"):
+            cosine_near_dup_pairs(emb)
+
+    def test_cosine_allow_flag_bypasses(self, spark, monkeypatch):
+        import lightcrawler_spark.operators.textdedup as td
+        from lightcrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+        monkeypatch.setattr(td, "ALL_PAIRS_GUARD_ROWS", 100)
+        emb = self._big_emb(spark, n=150)
+        out = cosine_near_dup_pairs(emb, threshold=2.0, allow_all_pairs=True)
+        assert out.count() == 0  # plan runs; nothing passes threshold 2.0
