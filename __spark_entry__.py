@@ -632,6 +632,37 @@ def q_cookie_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cookies_for_requests(reqs, jar).select("url", "name", "value")
 
 
+def q_cookie_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 harvest-back: Set-Cookie header lines → jar rows
+    (PHPCrawlerCookieDescriptor::getFromHeaderLine semantics — name/value
+    from the first ;-part, path/domain attributes with quote stripping,
+    dot-prefixed explicit domains, source-directory path default)."""
+    from lightcrawler_spark.operators.cookies import harvest_set_cookies
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    results = c.select(
+        F.concat(F.lit("http://www.h"), (k % 15).cast("string"),
+                 F.lit(".test/dir"), (k % 4).cast("string"),
+                 F.lit("/page.htm")).alias("url"),
+        (k % 50 + 1).cast("int").alias("fetch_rank"),
+        F.array(
+            F.concat(F.lit("sid"), (k % 7).cast("string"), F.lit("="),
+                     F.lit("v"), k.cast("string")),
+            F.when(
+                k % 3 == 0,
+                F.concat(F.lit('lang = zh ; Domain=h'), (k % 15).cast("string"),
+                         F.lit('.test; Path="/docs"')),
+            ).otherwise(
+                F.concat(F.lit('theme="dark"; path=/t'), (k % 2).cast("string"))
+            ),
+        ).alias("set_cookies"),
+    )
+    return harvest_set_cookies(results, round_no=2).select(
+        "seq", "source_domain", "domain", "path", "name", "value"
+    )
+
+
 def q_send_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13: regex-matched POST/auth rules attached to the work-list."""
     from lightcrawler_spark.operators.senddata import attach_send_data
@@ -1282,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_similarity": q_title_similarity,
         "product_dedup": q_product_dedup,
         "cookie_lookup": q_cookie_lookup,
+        "cookie_harvest": q_cookie_harvest,
         "send_data": q_send_data,
         "requeue_list": q_requeue_list,
         "format_url": q_format_url,
@@ -1882,6 +1914,31 @@ ranked AS (
   FROM cand
 )
 SELECT url, name, value FROM ranked WHERE rn = 1
+""",
+        "cookie_harvest": """
+WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 300),
+line1 AS (
+  SELECT CAST((CAST(3 AS BIGINT) << 40) + (CAST(k % 50 + 1 AS BIGINT) << 20)
+              + 0 AS BIGINT) AS seq,
+         'h' || (k % 15) || '.test' AS source_domain,
+         'www.h' || (k % 15) || '.test' AS domain,
+         '/dir' || (k % 4) || '/' AS path,
+         'sid' || (k % 7) AS name,
+         'v' || k AS value
+  FROM c
+),
+line2 AS (
+  SELECT CAST((CAST(3 AS BIGINT) << 40) + (CAST(k % 50 + 1 AS BIGINT) << 20)
+              + 1 AS BIGINT) AS seq,
+         'h' || (k % 15) || '.test' AS source_domain,
+         CASE WHEN k % 3 = 0 THEN '.h' || (k % 15) || '.test'
+              ELSE 'www.h' || (k % 15) || '.test' END AS domain,
+         CASE WHEN k % 3 = 0 THEN '/docs' ELSE '/t' || (k % 2) END AS path,
+         CASE WHEN k % 3 = 0 THEN 'lang' ELSE 'theme' END AS name,
+         CASE WHEN k % 3 = 0 THEN 'zh' ELSE '"dark"' END AS value
+  FROM c
+)
+SELECT * FROM line1 UNION ALL SELECT * FROM line2
 """,
         "send_data": """
 WITH work AS (

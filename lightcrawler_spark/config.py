@@ -63,6 +63,18 @@ class CrawlSpec:
     priority_rules: list[tuple[str, int]] = field(default_factory=list)  # P2
     obey_nofollow: bool = False
     obey_robots_txt: bool = False
+    # Live robots.txt acquisition when obey_robots_txt is on and no
+    # fixture was supplied (F8/S6 — the reference fetches the seed
+    # host's robots once at startup, PHPCrawler.class.php:522-524,
+    # through the parser's own fetch,
+    # PHPCrawlerRobotsTxtParser.class.php:30-60):
+    #   "seed"     — reference parity: fetch robots for the seed hosts
+    #                before round 1 (default);
+    #   "per_host" — scale generalization: fetch robots for each NEW
+    #                host the round's admitted links introduce (once per
+    #                host, cached), filtering those links before they
+    #                enter the frontier.
+    robots_fetch_mode: str = "seed"
     # F9: before the first 200-with-content page, keep only redirect
     # links (depth handed back) and re-base the URL filter to that first
     # content page. Reference default TRUE (PHPCrawler.class.php:198).

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["upsert_cookies", "cookies_for_requests", "attach_cookie_headers"]
+__all__ = [
+    "upsert_cookies",
+    "cookies_for_requests",
+    "attach_cookie_headers",
+    "harvest_set_cookies",
+]
 
 
 def upsert_cookies(jar: DataFrame | None, new_cookies: DataFrame) -> DataFrame:
@@ -81,6 +86,80 @@ def cookies_for_requests(requests: DataFrame, jar: DataFrame,
             F.col("_c_name").alias("name"),
             F.col("_c_value").alias("value"),
             F.col("_c_seq").alias("seq"),
+        )
+    )
+
+
+def harvest_set_cookies(results: DataFrame, round_no: int,
+                        url_col: str = "url",
+                        rank_col: str = "fetch_rank") -> DataFrame:
+    """P12 harvest-back: ``Set-Cookie`` response headers → jar rows.
+
+    The reference stores response cookies on EVERY pop
+    (/root/reference/vendor/PHPCrawl_083/libs/PHPCrawler.class.php:830
+    ``addCookies``), one descriptor per header line, parsed by
+    PHPCrawlerCookieDescriptor::getFromHeaderLine
+    (PHPCrawlerCookieDescriptor.class.php:128-158, harvested from the
+    raw header by Utils/PHPCrawlerUtils.class.php:420-435):
+
+    - first ``;``-part: ``([^=]*)=(.*)`` → name/value, both trimmed;
+    - ``path=`` / ``domain=`` attributes, case-insensitive, double
+      quotes stripped (``expires`` is parsed by the reference but never
+      consulted at lookup time — SQLiteCookieCache:74-110 ignores
+      expire_timestamp — so it is not persisted here);
+    - explicit domain gains a leading ``.`` (RFC tail-match form);
+      missing domain → the source host WITHOUT the dot
+      (PHPCrawlerCookieDescriptor.class.php:100-117);
+    - missing path → the source URL's directory path.
+
+    All parsing is JVM expressions over the exploded ``set_cookies``
+    array — no Python. ``seq`` bit-packs (round, fetch_rank, header
+    position), so store order is deterministic, monotone across rounds,
+    and resume-safe — exactly what the jar's last-wins upsert keys on.
+    """
+    from .admission import domain_expr, host_expr
+
+    u = F.col(url_col)
+    full_path = F.regexp_extract(u, r"^[a-zA-Z0-9+.-]+://[^/?#]*(/[^?#]*)?", 1)
+    src_dir = F.regexp_extract(full_path, r"^(.*/)", 1)
+    src_dir = F.when(src_dir == "", "/").otherwise(src_dir)
+
+    line = F.col("_sc_line")
+    first_part = F.substring_index(line, ";", 1)
+    name = F.trim(F.regexp_extract(first_part, r"^([^=]*)=", 1))
+    value = F.trim(F.regexp_extract(first_part, r"^[^=]*=(.*)$", 1))
+
+    def attr(key: str):
+        raw = F.regexp_extract(line, rf"(?i);\s*{key}\s*=([^;]*)", 1)
+        return F.trim(F.regexp_replace(raw, '"', ""))
+
+    path_attr = attr("path")
+    dom_attr = attr("domain")
+    domain = F.when(dom_attr == "", host_expr(u)).otherwise(
+        F.when(dom_attr.startswith("."), dom_attr).otherwise(
+            F.concat(F.lit("."), dom_attr)
+        )
+    )
+    # seq bit-packing mirrors the frontier's insert_seq contract
+    # (plans/crawl.py): 20 bits header position, 20 bits fetch rank
+    seq = (
+        F.lit((round_no + 1) << 40).cast("long")
+        + F.col(rank_col).cast("long") * F.lit(1 << 20)
+        + F.col("_sc_pos").cast("long")
+    )
+    return (
+        results.select(
+            u.alias(url_col),
+            F.col(rank_col),
+            F.posexplode("set_cookies").alias("_sc_pos", "_sc_line"),
+        )
+        .select(
+            seq.alias("seq"),
+            domain_expr(u).alias("source_domain"),
+            domain.alias("domain"),
+            F.when(path_attr == "", src_dir).otherwise(path_attr).alias("path"),
+            name.alias("name"),
+            value.alias("value"),
         )
     )
 

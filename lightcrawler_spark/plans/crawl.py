@@ -133,6 +133,7 @@ class CrawlEngine:
         robots_fixture: list[tuple[str, str]] | None = None,
         cookie_jar=None,
         send_data_rules=None,
+        harvest_cookies: bool = True,
     ):
         self.spark = spark
         self.spec = spec
@@ -143,10 +144,24 @@ class CrawlEngine:
         # columns, consumed by HttpFetcher — PHPCrawler.class.php:718-733)
         self.cookie_jar = cookie_jar
         self.send_data_rules = send_data_rules
+        # P12 harvest-back: Set-Cookie headers from each round's
+        # responses are parsed into the jar between rounds (the
+        # reference stores them on every pop, PHPCrawler.class.php:830;
+        # under BSP a cookie becomes attachable one round later). Rows
+        # are also written to the store's `cookies` table, so the jar —
+        # like the reference's SQLite cookie cache — survives resume.
+        self.harvest_cookies = harvest_cookies
         # F8: small rule sets fold into one literal predicate (no
         # broadcast sub-job per round); big ones broadcast anti-join
         self.robots_rules = None
         self.robots_pairs: list[tuple[str, str]] | None = None
+        # S6 live acquisition: with obey_robots_txt and NO fixture, the
+        # engine fetches robots.txt itself through its own fetcher —
+        # seed hosts at startup (reference parity,
+        # PHPCrawler.class.php:522-524) and, in "per_host" mode, each
+        # new host its links introduce (once, cached driver-side).
+        self._robots_live = spec.obey_robots_txt and robots_fixture is None
+        self._robots_hosts_fetched: set[str] = set()
         if spec.obey_robots_txt and robots_fixture:
             pairs = [
                 (host, p)
@@ -159,6 +174,8 @@ class CrawlEngine:
                 self.robots_rules = robots_rules_df(
                     spark, robots_fixture, spec.user_agent
                 ).cache()
+        elif self._robots_live:
+            self.robots_pairs = []
         # F9 state: first 200-status page url (None → still bootstrapping
         # when spec.follow_redirects_till_content)
         self._first_content_url: str | None = None
@@ -274,7 +291,8 @@ class CrawlEngine:
         # ONE materializing action per round for the whole fetch side:
         # lazy checkpoint + the stats aggregate that needs the data anyway
         results = self.fetcher.fetch(work).localCheckpoint(eager=False)
-        stats = results.agg(
+        can_harvest = self.harvest_cookies and "set_cookies" in results.columns
+        stat_cols = [
             F.count("*").alias("n"),
             F.coalesce(F.sum("bytes_received"), F.lit(0)).alias("bytes"),
             F.min(F.when(F.col("status") == 200, F.col("fetch_rank"))).alias(
@@ -283,7 +301,17 @@ class CrawlEngine:
             F.min_by(
                 "url", F.when(F.col("status") == 200, F.col("fetch_rank"))
             ).alias("first_content_url"),
-        ).first()
+        ]
+        if can_harvest:
+            # piggybacked on the existing stats action: zero extra jobs
+            # on cookie-less rounds
+            stat_cols.append(
+                F.coalesce(
+                    F.sum(F.coalesce(F.size("set_cookies"), F.lit(0))),
+                    F.lit(0),
+                ).alias("n_set_cookies")
+            )
+        stats = results.agg(*stat_cols).first()
         n_fetched = int(stats["n"])
         if n_fetched == 0:
             if (
@@ -304,6 +332,21 @@ class CrawlEngine:
             "seq", (F.lit(base_seq) + F.col("fetch_rank") - 1).cast("long")
         ).select(*PAGES_COLS)
         self.store.write("pages", r, pages)
+
+        if can_harvest and int(stats["n_set_cookies"]) > 0:
+            from ..operators.cookies import harvest_set_cookies, upsert_cookies
+
+            new_cookies = harvest_set_cookies(
+                results.filter(F.size("set_cookies") > 0), r
+            )
+            if not getattr(self.store, "materializes", False):
+                new_cookies = new_cookies.localCheckpoint(eager=True)
+            self.store.write("cookies", r, new_cookies)
+            # eager checkpoint: the jar feeds every later round's
+            # attach — keeping upsert windows lazy would chain plans
+            self.cookie_jar = upsert_cookies(
+                self.cookie_jar, new_cookies
+            ).localCheckpoint(eager=True)
 
         # ---- extract + admit -----------------------------------------------
         link_cols = [
@@ -473,6 +516,16 @@ class CrawlEngine:
             wm = self.store.last_complete_round()
             self.store.purge_inflight(wm)  # P6: kill in-flight work
             start_round = wm + 1
+            if self.harvest_cookies:
+                # P12 persistence parity with the reference's SQLite
+                # cookie cache: the jar is rebuilt from committed rounds
+                harvested = self.store.read_upto("cookies", wm)
+                if harvested is not None:
+                    from ..operators.cookies import upsert_cookies
+
+                    self.cookie_jar = upsert_cookies(
+                        self.cookie_jar, harvested.drop("round")
+                    ).localCheckpoint(eager=True)
         else:
             self.store.purge_inflight(-1)
 

@@ -193,6 +193,18 @@ class SyntheticFetcher:
             cols.append("fail_times")
         else:
             cols.append(F.lit(0).alias("fail_times"))
+        # P12: fixture pages may SET cookies (→ harvested back into the
+        # jar) and REQUIRE a cookie ("name=value" that must appear in the
+        # request's Cookie header, else the page answers 403)
+        if "set_cookies" in webgraph_df.columns:
+            cols.append("set_cookies")
+        else:
+            cols.append(
+                F.lit(None).cast("array<string>").alias("set_cookies")
+            )
+        self._has_cookie_gate = "requires_cookie" in webgraph_df.columns
+        if self._has_cookie_gate:
+            cols.append("requires_cookie")
         # fixture webs are small by construction — broadcast so each
         # round's fetch is shuffle-free on the work side
         self.web = F.broadcast(webgraph_df.select(*cols))
@@ -215,6 +227,33 @@ class SyntheticFetcher:
         )
         # unresolvable URL = connection error → status 0, like a dead socket
         raw_status = F.coalesce(F.col("status"), F.lit(0))
+        if self._has_cookie_gate:
+            # cookie-gated page: without the required name=value in the
+            # request's Cookie header the server answers 403 (no body,
+            # no Set-Cookie) — the fixture analog of a session-gated site
+            cookie_hdr = (
+                F.coalesce(F.col("cookie_header"), F.lit(""))
+                if "cookie_header" in joined.columns
+                else F.lit("")
+            )
+            joined = joined.withColumn(
+                "_gate_fail",
+                F.col("requires_cookie").isNotNull()
+                & ~cookie_hdr.contains(F.col("requires_cookie")),
+            ).drop("requires_cookie")
+            gate_fail = F.col("_gate_fail")
+            raw_status = F.when(gate_fail, F.lit(403)).otherwise(raw_status)
+            joined = (
+                joined.withColumn(
+                    "body", F.when(~gate_fail, F.col("body"))
+                )
+                .withColumn(
+                    "set_cookies", F.when(~gate_fail, F.col("set_cookies"))
+                )
+                .withColumn(
+                    "redirect_to", F.when(~gate_fail, F.col("redirect_to"))
+                )
+            )
         fail_times = F.coalesce(F.col("fail_times"), F.lit(0))
         exhausted = fail_times >= F.lit(spec.retry_limit)
         status = F.when(exhausted, F.lit(0)).otherwise(raw_status)
@@ -233,11 +272,16 @@ class SyntheticFetcher:
             )
             .withColumn("body", F.when(~exhausted, F.col("body")))
             .withColumn(
+                "set_cookies", F.when(~exhausted, F.col("set_cookies"))
+            )
+            .withColumn(
                 "redirect_to", F.when(~exhausted, F.col("redirect_to"))
             )
             .drop("status", "fail_times")
             .withColumnRenamed("_final_status", "status")
         )
+        if self._has_cookie_gate:
+            joined = joined.drop("_gate_fail")
         return _with_decoded_columns(joined, spec)
 
 
@@ -274,6 +318,9 @@ class HttpFetcher:
                 T.StructField(
                     "benchmarks", T.MapType(T.StringType(), T.DoubleType())
                 ),
+                # P12 harvest-back: raw Set-Cookie header lines
+                # (PHPCrawler.class.php:830 stores them on every pop)
+                T.StructField("set_cookies", T.ArrayType(T.StringType())),
             ]
         )
 
@@ -348,13 +395,15 @@ class HttpFetcher:
                 except urllib.error.HTTPError as e:
                     resp = e  # 3xx/4xx/5xx: the error IS the response
                 except Exception:
-                    return 0, None, None, None, {}  # connection error
+                    return 0, None, None, None, {}, None  # connection error
                 # A3: request → headers-in is the server-response timer
                 t_resp = time.perf_counter()
                 with resp:
                     status = resp.status if resp.status is not None else 0
                     ctype = resp.headers.get("Content-Type")
                     redirect = resp.headers.get("Location")
+                    # P12 harvest-back: every Set-Cookie line, raw
+                    set_cookies = resp.headers.get_all("Set-Cookie") or None
                     body = None
                     t_read0 = time.perf_counter()
                     if ctype and any(rx.search(ctype) for rx in compiled):
@@ -367,13 +416,13 @@ class HttpFetcher:
                     # the prefill analog)
                     "data_transfer_ms": round(t_read * 1000, 3),
                 }
-                return status, ctype, redirect, body, bench
+                return status, ctype, redirect, body, bench, set_cookies
 
             for pdf in batches:
                 rows = {
                     "status": [], "content_type": [], "redirect_to": [],
                     "body": [], "latency_ms": [], "n_attempts": [],
-                    "benchmarks": [],
+                    "benchmarks": [], "set_cookies": [],
                 }
                 cookies = pdf["cookie_header"] if has_cookies else [None] * len(pdf)
                 posts = pdf["post_data"] if has_post else [None] * len(pdf)
@@ -382,13 +431,15 @@ class HttpFetcher:
                     pdf["url"], cookies, posts, auths
                 ):
                     t0 = time.perf_counter()
-                    status, ctype, redirect, body, bench = 0, None, None, None, {}
+                    status, ctype, redirect, body, bench, set_ck = (
+                        0, None, None, None, {}, None,
+                    )
                     attempts = 0
                     # P9 inline retry (PHPCrawler.class.php:735-751):
                     # retry on error or status >400 / <100
                     for _ in range(spec.retry_limit):
                         attempts += 1
-                        status, ctype, redirect, body, bench = _attempt(
+                        status, ctype, redirect, body, bench, set_ck = _attempt(
                             url, cookie, post_data, auth
                         )
                         if 100 <= status <= 400:
@@ -402,6 +453,7 @@ class HttpFetcher:
                     )
                     rows["n_attempts"].append(attempts)
                     rows["benchmarks"].append(bench)
+                    rows["set_cookies"].append(set_ck)
                 yield pd.concat(
                     [pdf.reset_index(drop=True), pd.DataFrame(rows)], axis=1
                 )

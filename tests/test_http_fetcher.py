@@ -61,6 +61,16 @@ class _Handler(BaseHTTPRequestHandler):
                 f"|auth={self.headers.get('Authorization')}</body></html>"
             ).encode("utf-8")
             self._respond(200, body)
+        elif self.path == "/setcookie":
+            # P12 harvest-back: two Set-Cookie headers + a link onward
+            body = b'<html><body><a href="/echo?after=1">next</a></body></html>'
+            self.send_response(200)
+            self.send_header("Set-Cookie", "sid=abc; Path=/")
+            self.send_header("Set-Cookie", 'theme="dark"; Path=/')
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._respond(404, b"nope")
 
@@ -287,6 +297,29 @@ def test_engine_cookie_and_post_wiring(spark, server):
     body = result.pages.collect()[0]["body_text"]
     assert "cookie=sid=xyz" in body
     assert "auth=Basic Ym9iOnNlY3JldA==" in body
+
+
+def test_engine_harvests_set_cookies_live(spark, server):
+    """P12 harvest-back on REAL sockets: page 1 sets cookies via
+    Set-Cookie; the engine parses them into the jar between rounds, and
+    page 2's request carries them in its Cookie header (the server
+    echoes it) — the reference's addCookies loop
+    (PHPCrawler.class.php:830) under BSP."""
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+
+    spec = CrawlSpec(
+        seeds=[f"{server}/setcookie"], follow_mode=0, max_depth=2,
+        retry_limit=1, crawl_delay_s=1.0, round_duration_s=1.0,
+        follow_redirects_till_content=False,
+    )
+    engine = CrawlEngine(spark, spec, HttpFetcher(spec, timeout_s=5.0))
+    result = engine.run(max_rounds=4)
+    pages = {r["url"]: r.asDict() for r in result.pages.collect()}
+    echo = pages[f"{server}/echo?after=1"]
+    # both harvested cookies in store order. The reference strips double
+    # quotes from expires/path/domain but NOT from the value
+    # (PHPCrawlerCookieDescriptor.class.php:152-154) — quirk preserved.
+    assert 'cookie=sid=abc; theme="dark"' in echo["body_text"]
 
 
 def test_gzip_vectors():
