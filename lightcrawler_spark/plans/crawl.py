@@ -181,6 +181,88 @@ class CrawlEngine:
         self._first_content_url: str | None = None
         self._bytes_total = 0
 
+    # -- S6: live robots.txt acquisition -------------------------------------
+    def _fetch_robots_live(self, host_roots: list[tuple[str, str]]) -> None:
+        """Fetch ``<root>/robots.txt`` for hosts not yet seen, parse the
+        bodies (same parse_robots_body as the fixture path), and fold
+        the Disallow prefixes into the active rule set.
+
+        Matches PHPCrawlerRobotsTxtParser::process
+        (PHPCrawlerRobotsTxtParser.class.php:30-60): its getURIContent
+        reads the body regardless of content type, so an HttpFetcher is
+        re-specced with a catch-all receive rule for this one fetch; a
+        non-200 answer means no rules for that host (also cached, so a
+        dead robots endpoint is not re-fetched every round). The fetch
+        runs through the engine's own fetcher OUTSIDE the politeness
+        budget and never enters the trace — exactly like the
+        reference's out-of-band robots fetch."""
+        todo = [
+            (h, root) for h, root in host_roots
+            if root not in self._robots_hosts_fetched
+        ]
+        if not todo:
+            return
+        # keyed by root (scheme://host[:port]) — robots prefixes carry
+        # the port, hosts serving on two ports fetch twice, like the
+        # reference's per-normalized-base robots URLs
+        self._robots_hosts_fetched.update(root for _, root in todo)
+
+        fetcher = self.fetcher
+        from ..sources.fetcher import HttpFetcher
+
+        if isinstance(fetcher, HttpFetcher):
+            import dataclasses
+
+            permissive = dataclasses.replace(
+                self.spec, content_type_receive_rules=[r"#.*#"]
+            )
+            fetcher = HttpFetcher(permissive, timeout_s=fetcher.timeout_s)
+        work = self.spark.createDataFrame(
+            [(f"{root}/robots.txt", h, root) for h, root in todo],
+            "url string, _rb_host string, _rb_root string",
+        )
+        rows = fetcher.fetch(work).select(
+            "_rb_host", "_rb_root", "status", "body"
+        ).collect()
+        new_pairs: list[tuple[str, str]] = []
+        for row in rows:
+            if row["status"] == 200 and row["body"] is not None:
+                body = bytes(row["body"]).decode("utf-8", errors="replace")
+                new_pairs += [
+                    (row["_rb_host"], p)
+                    for p in parse_robots_body(
+                        body, self.spec.user_agent, row["_rb_root"]
+                    )
+                ]
+        if not new_pairs:
+            return
+        if self.robots_pairs is not None and len(self.robots_pairs) + len(new_pairs) <= 64:
+            self.robots_pairs = self.robots_pairs + new_pairs
+        else:
+            # rule set outgrew the literal-predicate form → broadcast table
+            all_pairs = (self.robots_pairs or []) + new_pairs
+            self.robots_pairs = None
+            fresh = self.spark.createDataFrame(
+                all_pairs, "host string, deny_prefix string"
+            )
+            if self.robots_rules is not None:
+                fresh = self.robots_rules.unionByName(fresh)
+            self.robots_rules = fresh.localCheckpoint(eager=True)
+
+    def _seed_hosts(self) -> list[tuple[str, str]]:
+        import re as _re
+
+        roots = []
+        for s in self.spec.seeds:
+            norm = urlkit.normalize_url(s) or s
+            parts = urlkit.split_url(norm)
+            m = _re.match(r"^([a-zA-Z0-9+.-]+://[^/?#]+)", norm)
+            if parts is not None and parts.host and m:
+                # root keeps a non-default port (robots prefixes must
+                # literally prefix the crawled URLs)
+                roots.append((parts.host, m.group(1)))
+        return roots
+
     # -- frontier bootstrap --------------------------------------------------
     def _seed_frontier(self) -> DataFrame:
         rows = []
@@ -397,6 +479,32 @@ class CrawlEngine:
             "host", host_expr(F.col("url"))
         )
 
+        if self._robots_live and spec.robots_fetch_mode == "per_host":
+            # learn robots for hosts these links introduce, then filter
+            # the SAME links with the full rule set before they enter
+            # the frontier (a disallowed URL is never admitted). The
+            # checkpoint bounds this mode's extra cost to one job plus
+            # one driver-side distinct-host collect per round; each host
+            # is fetched once ever. Pagination feeds below stay exempt —
+            # addFeed bypasses all admission in the reference.
+            admitted = admitted.localCheckpoint(eager=True)
+            hosts = [
+                (r["host"], r["_root"])
+                for r in admitted.select(
+                    "host",
+                    F.regexp_extract(
+                        "url", r"^([a-zA-Z0-9+.-]+://[^/?#]+)", 1
+                    ).alias("_root"),
+                ).distinct().collect()
+            ]
+            self._fetch_robots_live(hosts)
+            if self.robots_pairs:
+                admitted = admitted.filter(
+                    robots_deny_predicate(self.robots_pairs)
+                )
+            if self.robots_rules is not None:
+                admitted = apply_robots_filter(admitted, self.robots_rules)
+
         if spec.pagination_rules:
             feeds = []
             slots_per_rule = _FEED_POS_SLOTS // len(spec.pagination_rules)
@@ -528,6 +636,12 @@ class CrawlEngine:
                     ).localCheckpoint(eager=True)
         else:
             self.store.purge_inflight(-1)
+
+        if self._robots_live:
+            # reference parity: the seed hosts' robots are fetched once
+            # at startup (PHPCrawler.class.php:522-524), BEFORE any
+            # links of round 1 are admitted
+            self._fetch_robots_live(self._seed_hosts())
 
         base_seq = 0
         if start_round == 0:
