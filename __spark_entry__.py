@@ -792,7 +792,10 @@ def q_doc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "utf-8",
     )
     out = extract_doc_text(
-        d.select(k.cast("long").alias("doc_id"), payload.alias("payload"))
+        d.select(k.cast("long").alias("doc_id"), payload.alias("payload")),
+        # forced stub path: keeps the DuckDB oracle deterministic even on
+        # machines where pdftotext/antiword exist
+        external_converters=False,
     )
     return out.select(
         "doc_id", "extractor",
@@ -2056,7 +2059,7 @@ FROM documents
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN doc_id % 4 = 0 THEN 'lctx'
             WHEN doc_id % 4 = 1 THEN 'pdftotext-stub'
-            WHEN doc_id % 4 = 2 THEN 'antiword-stub'
+            WHEN doc_id % 4 = 2 THEN 'docx-stub'
             ELSE 'plain' END AS extractor,
        CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 50)
             WHEN doc_id % 4 = 3 THEN substr(text, 1, 50)

@@ -43,17 +43,65 @@ _EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def extract_doc_text(df: DataFrame, bytes_col: str = "payload") -> DataFrame:
+def _run_converter(binary: str, args_tail: list[str], payload: bytes,
+                   suffix: str) -> str | None:
+    """Feed `payload` to an external converter via a temp file (both
+    pdftotext and antiword want a file path) and return its stdout."""
+    import os
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=suffix)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        out = subprocess.run(
+            [binary, path] + args_tail,
+            capture_output=True, timeout=30, check=True,
+        )
+        return out.stdout.decode("utf-8", errors="replace")
+    finally:
+        os.unlink(path)
+
+
+def extract_doc_text(df: DataFrame, bytes_col: str = "payload",
+                     external_converters: bool | None = None) -> DataFrame:
     """E20: route each binary payload to its converter by magic bytes
     (IndexManager.class.php:91-124 routes by attachment type):
 
-    - ``%PDF``   → pdftotext   (STUB: binary absent in sandbox → NULL)
-    - ``PK\\x03\\x04`` (docx zip) / ``\\xd0\\xcf`` (OLE .doc) → antiword/
-      docx converter (STUB, same contract)
+    - ``%PDF``   → ``pdftotext <file> -`` (IndexManager:105-112)
+    - ``\\xd0\\xcf`` (OLE .doc) → ``antiword <file>`` (IndexManager:96-103)
+    - ``PK\\x03\\x04`` (docx zip) → stub (the reference used a PHP library
+      here, not a binary; no standard CLI equivalent to shell out to)
     - ``LCTX``   → deterministic fake container, fully decoded (the
       plumbing-proof path)
     - else       → passthrough UTF-8 attempt (txt/html payloads)
+
+    ``external_converters``: None (default) auto-detects the binaries on
+    PATH at plan-build time — deployments with pdftotext/antiword
+    installed get real extraction with zero code change; this sandbox
+    lacks them, so the branches degrade to honest stubs (extractor name
+    recorded, text NULL). False forces the stub path (deterministic CI /
+    the DuckDB-oracle contract query); True asserts availability. A
+    converter failure at runtime records ``<name>-error`` rather than
+    poisoning the batch.
     """
+    import shutil as _sh
+
+    # Resolve ABSOLUTE binary paths at plan-build time and embed them in
+    # the closure: executor workers inherit the JVM's environment, not
+    # the driver's current PATH, so a which() inside the UDF would see a
+    # different world than the caller.
+    if external_converters is False:
+        pdf_bin = doc_bin = None
+    else:
+        pdf_bin = _sh.which("pdftotext")
+        doc_bin = _sh.which("antiword")
+        if external_converters and not (pdf_bin and doc_bin):
+            raise RuntimeError(
+                "external_converters=True but pdftotext/antiword not on PATH"
+            )
+
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -63,6 +111,15 @@ def extract_doc_text(df: DataFrame, bytes_col: str = "payload") -> DataFrame:
     )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        def convert(binary, args_tail, b, suffix):
+            name = os.path.basename(binary)
+            try:
+                return _run_converter(binary, args_tail, b, suffix), name
+            except Exception:
+                return None, f"{name}-error"
+
         def one(b):
             if b is None:
                 return None, None
@@ -70,9 +127,15 @@ def extract_doc_text(df: DataFrame, bytes_col: str = "payload") -> DataFrame:
             if b.startswith(FAKE_DOC_MAGIC):
                 return b[4:].decode("utf-8", errors="replace"), "lctx"
             if b.startswith(b"%PDF"):
-                return None, "pdftotext-stub"   # no pdftotext in sandbox
-            if b.startswith(b"PK\x03\x04") or b.startswith(b"\xd0\xcf"):
-                return None, "antiword-stub"    # no antiword in sandbox
+                if pdf_bin:
+                    return convert(pdf_bin, ["-"], b, ".pdf")
+                return None, "pdftotext-stub"   # binary absent
+            if b.startswith(b"\xd0\xcf"):
+                if doc_bin:
+                    return convert(doc_bin, [], b, ".doc")
+                return None, "antiword-stub"    # binary absent
+            if b.startswith(b"PK\x03\x04"):
+                return None, "docx-stub"        # PHP-library path in ref
             return b.decode("utf-8", errors="replace"), "plain"
 
         for pdf in batches:

@@ -59,7 +59,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlSpec
@@ -374,16 +374,26 @@ class CrawlEngine:
         # lazy checkpoint + the stats aggregate that needs the data anyway
         results = self.fetcher.fetch(work).localCheckpoint(eager=False)
         can_harvest = self.harvest_cookies and "set_cookies" in results.columns
+        # F9 stats are only consulted while still bootstrapping — once a
+        # content page exists (or the flag is off) the two aggregate
+        # expressions are dead weight in every round's hot action
+        need_f9 = (
+            spec.follow_redirects_till_content
+            and self._first_content_url is None
+        )
         stat_cols = [
             F.count("*").alias("n"),
             F.coalesce(F.sum("bytes_received"), F.lit(0)).alias("bytes"),
-            F.min(F.when(F.col("status") == 200, F.col("fetch_rank"))).alias(
-                "first_content_rank"
-            ),
-            F.min_by(
-                "url", F.when(F.col("status") == 200, F.col("fetch_rank"))
-            ).alias("first_content_url"),
         ]
+        if need_f9:
+            stat_cols += [
+                F.min(
+                    F.when(F.col("status") == 200, F.col("fetch_rank"))
+                ).alias("first_content_rank"),
+                F.min_by(
+                    "url", F.when(F.col("status") == 200, F.col("fetch_rank"))
+                ).alias("first_content_url"),
+            ]
         if can_harvest:
             # piggybacked on the existing stats action: zero extra jobs
             # on cookie-less rounds
@@ -396,16 +406,15 @@ class CrawlEngine:
         stats = results.agg(*stat_cols).first()
         n_fetched = int(stats["n"])
         if n_fetched == 0:
+            # n==0 already implies post-cooldown pending was empty (both
+            # fetchers emit one row per work row), so ONE early-exit
+            # probe suffices: did the cooldown filter remove every
+            # pending row? Then it's an idle politeness round — commit
+            # it so cooldowns age; otherwise the frontier is drained.
             if (
                 spec.host_delay_rounds > 0
-                and pending.limit(1).count() == 0
                 and pending_before_cooldown.limit(1).count() > 0
             ):
-                # the cooldown filter removed EVERY pending row: an idle
-                # politeness round — commit it so cooldowns age. If
-                # pending survived the cooldown yet nothing was fetched,
-                # the work is unfetchable: terminate instead of spinning
-                # empty rounds until max_rounds.
                 return 0, True
             return 0, False
         self._bytes_total += int(stats["bytes"])
@@ -558,11 +567,7 @@ class CrawlEngine:
 
         # F9 state transition happens AFTER this round's links were split;
         # with the flag off the filter base must stay the seed forever
-        if (
-            spec.follow_redirects_till_content
-            and stats["first_content_rank"] is not None
-            and self._first_content_url is None
-        ):
+        if need_f9 and stats["first_content_rank"] is not None:
             self._first_content_url = stats["first_content_url"]
         return n_fetched, True
 

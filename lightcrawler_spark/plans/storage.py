@@ -31,13 +31,27 @@ __all__ = ["RoundStore", "MemoryRoundStore"]
 
 
 class RoundStore:
-    """Parquet-backed, watermark-committed round store."""
+    """Parquet-backed, watermark-committed round store.
+
+    Long crawls write one ``round=N`` dir per table per round — at 10^4
+    rounds a read_upto would union 10^4 small-file partitions. With
+    ``compact_every`` set, every Nth commit rewrites all committed round
+    partitions into ONE ``seg=K`` dir (the per-row ``round`` lineage
+    column is preserved as data), so a read is one segment + the recent
+    tail. Compaction is crash-safe by ordering: the segment is written
+    to a ``.tmp`` dir, renamed into place, and only then are the
+    absorbed dirs deleted — readers ignore ``.tmp`` dirs, read only the
+    NEWEST segment, and ignore round dirs an existing segment already
+    covers, so every intermediate crash state reads consistently.
+    """
 
     materializes = True  # write() persists; the engine skips checkpoints
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 compact_every: int | None = None):
         self.spark = spark
         self.root = root
+        self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
 
     # -- watermark ---------------------------------------------------------
@@ -56,40 +70,105 @@ class RoundStore:
         with open(tmp, "w") as f:
             json.dump({"round": round_no}, f)
         os.replace(tmp, self._wm_path())  # atomic commit
+        if (
+            self.compact_every
+            and round_no > 0
+            and round_no % self.compact_every == 0
+        ):
+            self.compact(round_no)
 
     # -- table io ----------------------------------------------------------
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    @staticmethod
+    def _dirs(base: str, prefix: str) -> list[tuple[int, str]]:
+        out = []
+        for d in os.listdir(base):
+            if d.startswith(prefix) and not d.endswith(".tmp"):
+                out.append((int(d.split("=", 1)[1]), os.path.join(base, d)))
+        return sorted(out)
 
     def write(self, table: str, round_no: int, df: DataFrame) -> None:
         path = os.path.join(self._table_dir(table), f"round={round_no}")
         df.write.mode("overwrite").parquet(path)
 
     def read_upto(self, table: str, last_round: int) -> DataFrame | None:
-        """Union of all committed round partitions ≤ last_round (in-flight
-        rounds beyond the watermark are invisible — the purge)."""
+        """Union of the newest segment ≤ last_round plus the committed
+        round partitions it doesn't cover (in-flight rounds beyond the
+        watermark are invisible — the purge)."""
         base = self._table_dir(table)
         if not os.path.isdir(base):
             return None
-        paths = []
-        for d in sorted(os.listdir(base)):
-            if d.startswith("round="):
-                r = int(d.split("=", 1)[1])
-                if r <= last_round:
-                    paths.append(os.path.join(base, d))
-        if not paths:
-            return None
-        return self.spark.read.option("basePath", base).parquet(*paths)
+        segs = [s for s in self._dirs(base, "seg=") if s[0] <= last_round]
+        seg_df = None
+        covered = -1
+        if segs:
+            covered, seg_path = segs[-1]
+            seg_df = self.spark.read.parquet(seg_path)
+        paths = [
+            p for r, p in self._dirs(base, "round=")
+            if covered < r <= last_round
+        ]
+        tail_df = (
+            self.spark.read.option("basePath", base).parquet(*paths)
+            if paths else None
+        )
+        if seg_df is None:
+            return tail_df
+        if tail_df is None:
+            return seg_df
+        return seg_df.unionByName(tail_df)
+
+    def compact(self, upto: int) -> None:
+        """Rewrite every committed partition ≤ `upto` (rounds + any older
+        segment) into one ``seg=<upto>`` dir per table. Bounded file
+        count for 10^4-round crawls; resume semantics unchanged (the
+        per-row round column survives as data)."""
+        for table in os.listdir(self.root):
+            base = self._table_dir(table)
+            if not os.path.isdir(base):
+                continue
+            absorb_rounds = [
+                (r, p) for r, p in self._dirs(base, "round=") if r <= upto
+            ]
+            absorb_segs = [
+                (k, p) for k, p in self._dirs(base, "seg=") if k < upto
+            ]
+            if not absorb_rounds and not absorb_segs:
+                continue
+            df = self.read_upto(table, upto)
+            if df is None:
+                continue
+            final = os.path.join(base, f"seg={upto}")
+            tmp = final + ".compact.tmp"
+            # a handful of files per segment: segments are re-read as ONE
+            # scan, so file count (not per-round parallelism) is what
+            # matters here
+            df.coalesce(8).write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            # only after the segment is live: drop what it absorbed
+            for _, p in absorb_rounds + absorb_segs:
+                shutil.rmtree(p)
 
     def purge_inflight(self, last_round: int) -> None:
-        """Delete partitions past the watermark (P6 restart semantics)."""
+        """Delete partitions past the watermark (P6 restart semantics),
+        plus any half-written compaction leftovers."""
         for table in os.listdir(self.root):
             base = self._table_dir(table)
             if not os.path.isdir(base):
                 continue
             for d in os.listdir(base):
-                if d.startswith("round=") and int(d.split("=", 1)[1]) > last_round:
-                    shutil.rmtree(os.path.join(base, d))
+                path = os.path.join(base, d)
+                if d.endswith(".tmp") and os.path.isdir(path):
+                    shutil.rmtree(path)
+                elif (
+                    d.startswith(("round=", "seg="))
+                    and int(d.split("=", 1)[1].split(".")[0]) > last_round
+                ):
+                    shutil.rmtree(path)
 
 
 class MemoryRoundStore:

@@ -16,14 +16,54 @@ def test_extract_doc_text_routing(spark):
         ("f", None),
     ]
     df = spark.createDataFrame(rows, "id string, payload binary")
+    # external_converters=False: the deterministic stub path regardless
+    # of what binaries the host happens to have
     got = {r["id"]: (r["doc_text"], r["extractor"])
-           for r in extract_doc_text(df).collect()}
+           for r in extract_doc_text(df, external_converters=False).collect()}
     assert got["a"] == ("法律 text", "lctx")
     assert got["b"] == (None, "pdftotext-stub")
-    assert got["c"] == (None, "antiword-stub")
+    assert got["c"] == (None, "docx-stub")
     assert got["d"] == (None, "antiword-stub")
     assert got["e"] == ("plain 文本", "plain")
     assert got["f"] == (None, None)
+
+
+def test_extract_doc_text_external_converters(spark, tmp_path, monkeypatch):
+    """E20 feature flag: with converter binaries on PATH the SAME plan
+    runs real subprocess extraction (proven here with shim executables —
+    deployments with the real pdftotext/antiword get this path with zero
+    code change). Auto-detection happens at plan-build time."""
+    import os
+    import stat
+
+    from lightcrawler_spark.operators.indexing import extract_doc_text
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name, text in (("pdftotext", "PDF SHIM TEXT"), ("antiword", "DOC SHIM TEXT")):
+        shim = bindir / name
+        shim.write_text(f'#!/bin/sh\necho "{text}"\n')
+        shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    rows = [
+        ("pdf", bytearray(b"%PDF-1.7 binary")),
+        ("doc", bytearray(b"\xd0\xcf\x11\xe0olecf")),
+        ("txt", bytearray(b"plain")),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    got = {r["id"]: (r["doc_text"], r["extractor"])
+           for r in extract_doc_text(df, external_converters=True).collect()}
+    assert got["pdf"] == ("PDF SHIM TEXT\n", "pdftotext")
+    assert got["doc"] == ("DOC SHIM TEXT\n", "antiword")
+    assert got["txt"] == ("plain", "plain")
+
+    # missing binaries + explicit True must fail fast at plan build
+    monkeypatch.setenv("PATH", str(tmp_path / "empty"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not on PATH"):
+        extract_doc_text(df, external_converters=True)
 
 
 def test_build_search_docs(spark):

@@ -60,6 +60,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("single codegen'd projection", r"\*\(\d+\)"),
         ("column pruning", r"ReadSchema: [^\n]*p_partkey"),
     ],
+    # per-host politeness (P8 at scale): the round serialization must be
+    # window-partitioned (host rank + pop_rank tiers) with the tier
+    # offsets broadcast back — NO unpartitioned window over the work
+    # list (the r2 defect), NO sort of the whole frontier
+    "per_host_rounds": [
+        ("host-partitioned rank window", r"Window.*\[host#\d+\]"),
+        ("tier-partitioned interleave window", r"Window.*\[pop_rank#\d+\]"),
+        ("tier offsets broadcast", r"Broadcast"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+    ],
+    "cookie_harvest": [
+        ("header parse fully codegen'd (no UDF)", r"!BatchEvalPython|ArrowEvalPython"),
+        ("generator explode of set_cookies", r"Generate posexplode"),
+    ],
 }
 
 
