@@ -392,6 +392,23 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py:ivf_topk): sampled-centroid
+    coarse quantizer, argmax-cosine list assignment, n_probe=2 probed
+    lists, exact re-rank — the inverted-file scale path next to SRP-LSH;
+    wholly relational, so the DuckDB oracle runs the identical algebra."""
+    from lightcrawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # content-extraction queries (SURVEY.md §2.4 E11–E19, §2.3 C7/C8/C11,
 # §2.5 P7/P12, §2.1 S9)
@@ -1305,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
         "publish_time_normalize": q_publish_time,
         "doc_no_normalize": q_doc_no_normalize,
         "title_guess": q_title_guess,
@@ -1702,6 +1720,51 @@ r AS (
            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
          ) AS rank
   FROM pairs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""",
+        "embedding_ivf": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+lists AS (
+  SELECT neighbor_id, c_vec, cid FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS c_vec, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                      c.cid ASC
+           ) AS crank
+    FROM embeddings e, cents c
+  ) WHERE crank <= 1
+),
+probes AS (
+  SELECT query_id, q_vec, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS q_vec, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 6) DESC,
+                      c.cid ASC
+           ) AS crank
+    FROM embeddings q, cents c WHERE q.vec_id < 10
+  ) WHERE crank <= 2
+),
+cand AS (
+  SELECT p.query_id, l.neighbor_id,
+         round(list_cosine_similarity(p.q_vec, l.c_vec), 6) AS sim
+  FROM probes p JOIN lists l USING (cid)
+  WHERE p.query_id <> l.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+         ) AS rank
+  FROM cand
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,

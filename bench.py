@@ -183,6 +183,37 @@ def bench_image_decode(spark: SparkSession) -> dict:
     return {"sec": dt, "images_per_sec": n / dt, "ok": ok}
 
 
+def bench_per_host_schedule(spark: SparkSession) -> dict:
+    """P8 scale mode (fixed in r3): per-host politeness pop + the
+    deterministic host interleave over a synthetic frontier — the round
+    serialization a million-host crawl runs. Plan shape under test:
+    host-partitioned rank → tier-partitioned rank + broadcast offsets
+    (NO unpartitioned window, no global sort)."""
+    from lightcrawler_spark.operators.scheduler import (
+        interleave_rank, pop_per_host,
+    )
+
+    n = N_SEEN
+    n_hosts = max(1000, n // 40)
+    frontier = spark.range(0, n, 1, CPUS * 4).select(
+        _url(F.col("id")).alias("url"),
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_hosts)).cast("string"),
+            F.lit(".bench.test"),
+        ).alias("host"),
+        (F.col("id") % 5).cast("int").alias("priority_level"),
+        F.col("id").alias("insert_seq"),
+    )
+    t0 = time.time()
+    work = interleave_rank(pop_per_host(frontier, 4))
+    claimed = work.count()
+    dt = time.time() - t0
+    log(f"per_host_schedule: {n} pending over {n_hosts} hosts -> "
+        f"{claimed} claimed in {dt:.1f}s = {n / dt:,.0f} pending-rows/s")
+    return {"sec": dt, "pending_rows_per_sec": n / dt, "claimed": claimed}
+
+
 def bench_crawl_engine(spark: SparkSession) -> dict:
     """End-to-end BSP rounds on the fixture web (engine overhead incl.
     scheduling, politeness, robots, round commits)."""
@@ -276,6 +307,10 @@ def run(spark: SparkSession) -> dict:
     r = best_of(bench_image_decode)
     queries["image_decode_verify"] = round(r["sec"], 3)
     extra["images_per_sec"] = round(r["images_per_sec"])
+
+    r = best_of(bench_per_host_schedule)
+    queries["per_host_schedule_synthetic"] = round(r["sec"], 3)
+    extra["per_host_pending_rows_per_sec"] = round(r["pending_rows_per_sec"])
 
     r = bench_crawl_engine(spark)
     queries["crawl_engine_rounds"] = round(r["sec"], 3)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk",
-           "cosine_near_dup_pairs"]
+           "ivf_topk", "cosine_near_dup_pairs"]
 
 
 def _dot(a, b):
@@ -142,6 +142,66 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     )
     scored = (
         q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_centroids: int = 8, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path next to SRP-LSH.
+
+    Coarse quantizer: ``n_centroids`` centroid rows (default: a
+    deterministic sample — the first rows by id; any trained centroid
+    table can be passed instead). Every corpus vector is assigned to its
+    argmax-cosine centroid list (broadcast ×K scoring, then a per-vector
+    rank — the standard linear assign pass); each query probes its
+    ``n_probe`` nearest lists; exact cosine re-ranks candidates inside
+    the probed lists only.
+
+    Wholly relational — broadcast joins + per-id windows + one bucket
+    equi-join, no Python, no crossJoin of corpus×corpus — so at 10^9
+    vectors the candidate cost is corpus/K × n_probe per query, and the
+    same algebra runs verbatim in the DuckDB oracle (recall < 1 by
+    design, like lsh_topk, but the *result* is deterministic and
+    hash-checked)."""
+    if centroids is None:
+        centroids = embeddings.orderBy(id_col).limit(n_centroids)
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_cent")
+        )
+    )
+
+    def nearest(df, out_id, keep_vec, rank_limit):
+        scored = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec)
+        ).crossJoin(cents).withColumn(
+            "csim", F.round(cosine_expr(F.col(keep_vec), F.col("c_cent")), 6)
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("csim").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= rank_limit)
+            .select(out_id, keep_vec, "cid")
+        )
+
+    lists = nearest(embeddings, "neighbor_id", "c_vec", 1)
+    probes = nearest(queries, "query_id", "q_vec", n_probe)
+    scored = (
+        probes.join(lists, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
     )

@@ -259,3 +259,41 @@ class TestAllPairsGuard:
         emb = self._big_emb(spark, n=150)
         out = cosine_near_dup_pairs(emb, threshold=2.0, allow_all_pairs=True)
         assert out.count() == 0  # plan runs; nothing passes threshold 2.0
+
+
+class TestIvfTopk:
+    def test_ivf_recall_and_exact_sims(self, spark, emb):
+        from lightcrawler_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = brute_force_topk(emb, q, k=3).collect()
+        approx = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # probing half the lists keeps most true neighbors
+        assert recall >= 0.4
+        # every IVF hit carries the exact path's sim (same cosine kernel)
+        exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+        for r in approx:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_sims:
+                assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+    def test_ivf_probe_all_lists_equals_exact(self, spark, emb):
+        """n_probe == n_centroids degenerates to exact search: every
+        list is probed, so the candidate set is the whole corpus."""
+        from lightcrawler_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in brute_force_topk(emb, q, k=2).collect()}
+        full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                for r in ivf_topk(emb, q, k=2, n_centroids=4, n_probe=4).collect()}
+        assert full == exact
