@@ -38,14 +38,19 @@ P10 budget checks (PHPCrawler.class.php:860-900): the driver loop stops
 with an abort_reason mirroring PHPCrawlerAbortReasons (passedthrough /
 trafficlimit / filelimit / roundlimit).
 
-Driver-job discipline (the per-round overhead budget): exactly TWO Spark
-jobs per round at fixture scale — (1) a lazy localCheckpoint of the
-fetch results materialized by the same action that collects the round
-stats (count, bytes, first-content rank/url), (2) materialization of the
-new frontier rows. All per-round tables are projections of those two
-checkpointed plans; durable stores pay their writes instead of the
-checkpoints. Small budgets also clamp shuffle partitions for the round
-so micro-round stages don't schedule hundreds of empty tasks.
+Driver-job discipline (the per-round overhead budget): ONE Spark job per
+round on the common path. The round stats (count, bytes, set-cookie
+tally) ride the new-frontier materialization as an `Observation`
+(CollectMetrics — computed on the rows already flowing through the
+action, zero extra jobs), and the fetch results' lazy localCheckpoint is
+materialized by that same action, so pages/trace projections read cached
+blocks. Rounds whose PLAN depends on this round's data fall back to a
+separate stats aggregate first: F9 bootstrap (the admission split needs
+first_content_rank before the link plan exists) and per-host live-robots
+learning (needs the admitted hosts mid-round); durable stores pay their
+writes instead of the checkpoints. Small budgets also clamp shuffle
+partitions for the round so micro-round stages don't schedule hundreds
+of empty tasks.
 
 Scale properties: every per-round table is bounded by the politeness
 budget (work) or the link fan-out of one round (new); the only joins
@@ -59,7 +64,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlSpec
@@ -110,6 +115,32 @@ PAGES_COLS = [
     "status", "content_type", "body", "body_text", "bytes_received",
     "latency_ms", "n_attempts", "benchmarks", "fetch_rank",
 ]
+
+
+def _observed_stats(obs: Observation, timeout_s: float = 10.0) -> dict | None:
+    """Non-blocking read of an Observation after its action completed.
+
+    The ExecutionListenerBus delivers CollectMetrics results a few ms
+    after the action returns, so poll ``getRowOrEmpty`` instead of the
+    blocking ``Observation.get`` — if the metrics never arrive (listener
+    dropped, or an optimizer collapsed the observed subtree) the caller
+    re-aggregates rather than deadlocking the driver loop."""
+    import time as _time
+
+    from pyspark.serializers import CPickleSerializer
+
+    deadline = _time.time() + timeout_s
+    while True:
+        opt = obs._jo.getRowOrEmpty()
+        if opt.isDefined():
+            utils = getattr(
+                obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+            )
+            row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+            return row.asDict(recursive=False)
+        if _time.time() > deadline:
+            return None
+        _time.sleep(0.005)
 
 
 @dataclass
@@ -180,6 +211,10 @@ class CrawlEngine:
         # when spec.follow_redirects_till_content)
         self._first_content_url: str | None = None
         self._bytes_total = 0
+        # per-round plan-construction caches (Column trees are immutable
+        # and DataFrame-independent — reuse across rounds)
+        self._battery_pred_cache: dict = {}
+        self._stat_cols_cache: dict = {}
 
     # -- S6: live robots.txt acquisition -------------------------------------
     def _fetch_robots_live(self, host_roots: list[tuple[str, str]]) -> None:
@@ -370,8 +405,10 @@ class CrawlEngine:
 
             work = attach_send_data(work, self.send_data_rules)
 
-        # ONE materializing action per round for the whole fetch side:
-        # lazy checkpoint + the stats aggregate that needs the data anyway
+        # lazy checkpoint: the round's single materializing action (the
+        # frontier checkpoint below, or the fallback stats aggregate)
+        # pins the fetch results; every later projection reads cached
+        # blocks and a fetch is never re-executed
         results = self.fetcher.fetch(work).localCheckpoint(eager=False)
         can_harvest = self.harvest_cookies and "set_cookies" in results.columns
         # F9 stats are only consulted while still bootstrapping — once a
@@ -381,63 +418,55 @@ class CrawlEngine:
             spec.follow_redirects_till_content
             and self._first_content_url is None
         )
-        stat_cols = [
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("bytes_received"), F.lit(0)).alias("bytes"),
-        ]
-        if need_f9:
-            stat_cols += [
-                F.min(
-                    F.when(F.col("status") == 200, F.col("fetch_rank"))
-                ).alias("first_content_rank"),
-                F.min_by(
-                    "url", F.when(F.col("status") == 200, F.col("fetch_rank"))
-                ).alias("first_content_url"),
+        stat_cols = self._stat_cols_cache.get((need_f9, can_harvest))
+        if stat_cols is None:
+            stat_cols = [
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("bytes_received"), F.lit(0)).alias("bytes"),
             ]
-        if can_harvest:
-            # piggybacked on the existing stats action: zero extra jobs
-            # on cookie-less rounds
-            stat_cols.append(
-                F.coalesce(
-                    F.sum(F.coalesce(F.size("set_cookies"), F.lit(0))),
-                    F.lit(0),
-                ).alias("n_set_cookies")
-            )
-        stats = results.agg(*stat_cols).first()
-        n_fetched = int(stats["n"])
-        if n_fetched == 0:
-            # n==0 already implies post-cooldown pending was empty (both
-            # fetchers emit one row per work row), so ONE early-exit
-            # probe suffices: did the cooldown filter remove every
-            # pending row? Then it's an idle politeness round — commit
-            # it so cooldowns age; otherwise the frontier is drained.
-            if (
-                spec.host_delay_rounds > 0
-                and pending_before_cooldown.limit(1).count() > 0
-            ):
-                return 0, True
-            return 0, False
-        self._bytes_total += int(stats["bytes"])
-
-        pages = results.withColumn(
-            "seq", (F.lit(base_seq) + F.col("fetch_rank") - 1).cast("long")
-        ).select(*PAGES_COLS)
-        self.store.write("pages", r, pages)
-
-        if can_harvest and int(stats["n_set_cookies"]) > 0:
-            from ..operators.cookies import harvest_set_cookies, upsert_cookies
-
-            new_cookies = harvest_set_cookies(
-                results.filter(F.size("set_cookies") > 0), r
-            )
-            if not getattr(self.store, "materializes", False):
-                new_cookies = new_cookies.localCheckpoint(eager=True)
-            self.store.write("cookies", r, new_cookies)
-            # eager checkpoint: the jar feeds every later round's
-            # attach — keeping upsert windows lazy would chain plans
-            self.cookie_jar = upsert_cookies(
-                self.cookie_jar, new_cookies
-            ).localCheckpoint(eager=True)
+            if need_f9:
+                stat_cols += [
+                    F.min(
+                        F.when(F.col("status") == 200, F.col("fetch_rank"))
+                    ).alias("first_content_rank"),
+                    F.min_by(
+                        "url",
+                        F.when(F.col("status") == 200, F.col("fetch_rank")),
+                    ).alias("first_content_url"),
+                ]
+            if can_harvest:
+                # piggybacked on the existing stats action: zero extra
+                # jobs on cookie-less rounds
+                stat_cols.append(
+                    F.coalesce(
+                        F.sum(F.coalesce(F.size("set_cookies"), F.lit(0))),
+                        F.lit(0),
+                    ).alias("n_set_cookies")
+                )
+            self._stat_cols_cache[(need_f9, can_harvest)] = stat_cols
+        # Fused fast path: when nothing in this round's PLAN depends on
+        # this round's DATA, the stats ride the frontier-checkpoint
+        # action as an Observation — one Spark job per round. The slow
+        # path (separate stats aggregate first) remains for F9 bootstrap
+        # (the admission split is a plan decision on first_content_rank),
+        # per-host live-robots learning (mid-round distinct-host
+        # collect), and durable stores (their writes interleave jobs).
+        fused = (
+            not need_f9
+            and not (self._robots_live and spec.robots_fetch_mode == "per_host")
+            and not getattr(self.store, "materializes", False)
+            and getattr(self.fetcher, "side_effect_free", False)
+        )
+        obs: Observation | None = None
+        if fused:
+            obs = Observation()
+            links_src = results.observe(obs, *stat_cols)
+            stats = None
+        else:
+            links_src = results
+            stats = results.agg(*stat_cols).first()
+            if int(stats["n"]) == 0:
+                return self._empty_round(pending_before_cooldown)
 
         # ---- extract + admit -----------------------------------------------
         link_cols = [
@@ -453,7 +482,7 @@ class CrawlEngine:
         else:
             link_cols.append(F.lit(False).alias("page_nofollow"))
         links = (
-            results.withColumn(
+            links_src.withColumn(
                 "links",
                 extract_links_udf(
                     F.col("body_text"), F.col("url"), F.col("redirect_to")
@@ -560,9 +589,43 @@ class CrawlEngine:
 
         # materialize now: `new` feeds every later round's cumulative
         # frontier — keeping it lazy chains plans across rounds. Durable
-        # stores materialize in their own write instead.
+        # stores materialize in their own write instead. On the fused
+        # path this is THE round's Spark job; it also fires the stats
+        # Observation and pins the fetch-results checkpoint.
         if not getattr(self.store, "materializes", False):
             new = new.localCheckpoint(eager=True)
+        if fused:
+            stats = _observed_stats(obs)
+            if stats is None:  # listener lost — re-aggregate (rare)
+                stats = results.agg(*stat_cols).first()
+            if int(stats["n"]) == 0:
+                # nothing fetched: `new` is necessarily empty too, so no
+                # store rows exist for this round — same contract as the
+                # slow path's pre-extract early exit
+                return self._empty_round(pending_before_cooldown)
+        n_fetched = int(stats["n"])
+        self._bytes_total += int(stats["bytes"])
+
+        pages = results.withColumn(
+            "seq", (F.lit(base_seq) + F.col("fetch_rank") - 1).cast("long")
+        ).select(*PAGES_COLS)
+        self.store.write("pages", r, pages)
+
+        if can_harvest and int(stats["n_set_cookies"]) > 0:
+            from ..operators.cookies import harvest_set_cookies, upsert_cookies
+
+            new_cookies = harvest_set_cookies(
+                results.filter(F.size("set_cookies") > 0), r
+            )
+            if not getattr(self.store, "materializes", False):
+                new_cookies = new_cookies.localCheckpoint(eager=True)
+            self.store.write("cookies", r, new_cookies)
+            # eager checkpoint: the jar feeds every later round's
+            # attach — keeping upsert windows lazy would chain plans
+            self.cookie_jar = upsert_cookies(
+                self.cookie_jar, new_cookies
+            ).localCheckpoint(eager=True)
+
         self.store.write("frontier", r, new)
 
         # F9 state transition happens AFTER this round's links were split;
@@ -570,6 +633,19 @@ class CrawlEngine:
         if need_f9 and stats["first_content_rank"] is not None:
             self._first_content_url = stats["first_content_url"]
         return n_fetched, True
+
+    def _empty_round(self, pending_before_cooldown: DataFrame) -> tuple[int, bool]:
+        # n==0 already implies post-cooldown pending was empty (both
+        # fetchers emit one row per work row), so ONE early-exit probe
+        # suffices: did the cooldown filter remove every pending row?
+        # Then it's an idle politeness round — commit it so cooldowns
+        # age; otherwise the frontier is drained.
+        if (
+            self.spec.host_delay_rounds > 0
+            and pending_before_cooldown.limit(1).count() > 0
+        ):
+            return 0, True
+        return 0, False
 
     def _admit(self, links: DataFrame, stats) -> DataFrame:
         """The F1–F9 admission split for one round's links.
@@ -596,11 +672,19 @@ class CrawlEngine:
             )
 
         def battery(df, base):
-            pred = admission_predicate(
-                spec, base, page_nofollow=F.col("page_nofollow")
-            )
-            if self.robots_pairs is not None:
-                pred = pred & robots_deny_predicate(self.robots_pairs)
+            # the predicate Column is identical every round (base changes
+            # only at the F9 transition; robots_pairs only when live
+            # fetching learns a host) — cache the ~100-node expression
+            # tree instead of paying its py4j construction per round
+            key = (base, len(self.robots_pairs or ()))
+            pred = self._battery_pred_cache.get(key)
+            if pred is None:
+                pred = admission_predicate(
+                    spec, base, page_nofollow=F.col("page_nofollow")
+                )
+                if self.robots_pairs is not None:
+                    pred = pred & robots_deny_predicate(self.robots_pairs)
+                self._battery_pred_cache[key] = pred
             out = df.filter(pred)
             if self.robots_rules is not None:
                 out = apply_robots_filter(out, self.robots_rules)

@@ -183,6 +183,12 @@ class SyntheticFetcher:
     which is exactly what the reference's attempt loop converges to.
     """
 
+    # pure function of the webgraph: the engine may leave the fetch plan
+    # lazy inside a multi-scan job (fused-stats fast path) — a recompute
+    # yields identical rows and touches no socket. HttpFetcher must NOT
+    # set this: a duplicate scan would re-issue live requests.
+    side_effect_free = True
+
     def __init__(self, webgraph_df: DataFrame, spec: CrawlSpec):
         # keep only the fetcher-owned columns; url is the join key
         cols = [
@@ -209,80 +215,96 @@ class SyntheticFetcher:
         # round's fetch is shuffle-free on the work side
         self.web = F.broadcast(webgraph_df.select(*cols))
         self.spec = spec
+        self._join_cond = F.col("url") == F.col("_w_url")
+        # the output expressions are pure functions of the joined input
+        # columns — build the Column trees ONCE per fetcher, not once per
+        # round: the engine loop calls fetch() every round, and rebuilding
+        # ~100 expression nodes is thousands of py4j round-trips that
+        # dominate driver time at fixture scale (keyed by whether the
+        # work list carries a cookie_header column)
+        self._out_exprs: dict[bool, dict] = {}
 
-    def fetch(self, work: DataFrame) -> DataFrame:
+    def _output_exprs(self, has_cookie_header: bool) -> dict:
+        cached = self._out_exprs.get(has_cookie_header)
+        if cached is not None:
+            return cached
         spec = self.spec
-        joined = work.join(
-            self.web, work["url"] == self.web["_w_url"], "left"
-        ).drop("_w_url")
         # A3 named timers, deterministically derived from the fixture
         # latency (60% response / 40% transfer split)
         lat = F.coalesce(F.col("latency_ms"), F.lit(0)).cast("double")
-        joined = joined.withColumn(
-            "benchmarks",
-            F.create_map(
-                F.lit("server_response_ms"), F.round(lat * 0.6, 3),
-                F.lit("data_transfer_ms"), F.round(lat * 0.4, 3),
-            ),
+        benchmarks = F.create_map(
+            F.lit("server_response_ms"), F.round(lat * 0.6, 3),
+            F.lit("data_transfer_ms"), F.round(lat * 0.4, 3),
         )
         # unresolvable URL = connection error → status 0, like a dead socket
         raw_status = F.coalesce(F.col("status"), F.lit(0))
+        body = F.col("body")
+        set_cookies = F.col("set_cookies")
+        redirect = F.col("redirect_to")
         if self._has_cookie_gate:
             # cookie-gated page: without the required name=value in the
             # request's Cookie header the server answers 403 (no body,
             # no Set-Cookie) — the fixture analog of a session-gated site
             cookie_hdr = (
                 F.coalesce(F.col("cookie_header"), F.lit(""))
-                if "cookie_header" in joined.columns
+                if has_cookie_header
                 else F.lit("")
             )
-            joined = joined.withColumn(
-                "_gate_fail",
+            gate_fail = (
                 F.col("requires_cookie").isNotNull()
-                & ~cookie_hdr.contains(F.col("requires_cookie")),
-            ).drop("requires_cookie")
-            gate_fail = F.col("_gate_fail")
-            raw_status = F.when(gate_fail, F.lit(403)).otherwise(raw_status)
-            joined = (
-                joined.withColumn(
-                    "body", F.when(~gate_fail, F.col("body"))
-                )
-                .withColumn(
-                    "set_cookies", F.when(~gate_fail, F.col("set_cookies"))
-                )
-                .withColumn(
-                    "redirect_to", F.when(~gate_fail, F.col("redirect_to"))
-                )
+                & ~cookie_hdr.contains(F.col("requires_cookie"))
             )
+            raw_status = F.when(gate_fail, F.lit(403)).otherwise(raw_status)
+            body = F.when(~gate_fail, body)
+            set_cookies = F.when(~gate_fail, set_cookies)
+            redirect = F.when(~gate_fail, redirect)
         fail_times = F.coalesce(F.col("fail_times"), F.lit(0))
         exhausted = fail_times >= F.lit(spec.retry_limit)
         status = F.when(exhausted, F.lit(0)).otherwise(raw_status)
         invalid = (status < 100) | (status > 400)
-        joined = (
-            joined.withColumn("_final_status", status)
-            .withColumn(
-                "n_attempts",
-                F.when(invalid, F.lit(spec.retry_limit))
-                .otherwise(fail_times + 1)
-                .cast("int"),
-            )
-            .withColumn(
-                "content_type",
-                F.when(~exhausted, F.col("content_type")),
-            )
-            .withColumn("body", F.when(~exhausted, F.col("body")))
-            .withColumn(
-                "set_cookies", F.when(~exhausted, F.col("set_cookies"))
-            )
-            .withColumn(
-                "redirect_to", F.when(~exhausted, F.col("redirect_to"))
-            )
-            .drop("status", "fail_times")
-            .withColumnRenamed("_final_status", "status")
+        n_attempts = (
+            F.when(invalid, F.lit(spec.retry_limit))
+            .otherwise(fail_times + 1)
+            .cast("int")
         )
+        content_type = F.when(~exhausted, F.col("content_type"))
+        body = F.when(~exhausted, body)
+        set_cookies = F.when(~exhausted, set_cookies)
+        redirect = F.when(~exhausted, redirect)
+        # F10/F11/C6/C10/E5 post-fetch projection, composed closed-form
+        # over the final status/content_type/body
+        ct = F.coalesce(content_type, F.lit(""))
+        received = (
+            status.between(200, 299)
+            & _rlike_any(ct, spec.content_type_receive_rules)
+        )
+        exprs = {
+            "benchmarks": benchmarks,
+            "status": status,
+            "n_attempts": n_attempts,
+            "content_type": content_type,
+            "body": body,
+            "set_cookies": set_cookies,
+            "received": received,
+            "bytes_received": F.when(received, F.length(body)).otherwise(
+                F.lit(0)
+            ),
+            "body_text": F.when(
+                received & _rlike_any(ct, spec.link_search_content_types),
+                decode_body_udf(body, content_type),
+            ).otherwise(F.lit(None).cast("string")),
+            "redirect_to": F.when(status.between(300, 399), redirect),
+        }
+        self._out_exprs[has_cookie_header] = exprs
+        return exprs
+
+    def fetch(self, work: DataFrame) -> DataFrame:
+        exprs = self._output_exprs("cookie_header" in work.columns)
+        joined = work.join(self.web, self._join_cond, "left")
+        out = joined.withColumns(exprs).drop("_w_url", "fail_times")
         if self._has_cookie_gate:
-            joined = joined.drop("_gate_fail")
-        return _with_decoded_columns(joined, spec)
+            out = out.drop("requires_cookie")
+        return out
 
 
 class HttpFetcher:
