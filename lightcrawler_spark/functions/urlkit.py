@@ -127,6 +127,14 @@ def split_url(url: str) -> UrlParts | None:
     # url, breaking normalize idempotence → reject like parse_url does.
     if path and not path.startswith("/"):
         return None
+    # '@' can never appear in a real host — it arises only when an empty
+    # userinfo consumed the first '@' of a malformed authority like
+    # "http://@@" (host='@'). Rebuilding would drop the empty userinfo
+    # and yield "http://@", which re-splits to host='' → normalize would
+    # not be idempotent (found by the hypothesis fuzz suite). PHP
+    # parse_url also returns false for these.
+    if "@" in host:
+        return None
     query = ("?" + m.group("query")) if m.group("query") is not None else ""
     port: object = m.group("port") or ""
     user = m.group("user") or ""

@@ -323,7 +323,7 @@ class CrawlEngine:
             "url string, url_md5 string, host string, depth int, "
             "referer string, link_raw string, linktext string, "
             "is_redirect boolean, priority_level int, insert_seq long",
-        )
+        ).coalesce(1)  # a seed list is tiny; don't fan the scan out
         return scheduler.assign_priority(df, self.spec.priority_rules)
 
     # -- unified round-table projections -------------------------------------
@@ -760,6 +760,15 @@ class CrawlEngine:
         # move a handful of rows (driver latency dominates at fixture
         # scale). Scales with the round budget so production budgets keep
         # the session's configured parallelism. Restored after the run.
+        # constraint propagation is O(n²) in predicate size and the
+        # admission battery is a ~100-node regex tree re-planned every
+        # round; the inference it buys (IsNotNull on join keys) is
+        # worthless here — url_md5 is never null by construction.
+        # Engine-scoped: restored after the run.
+        cp_before = self.spark.conf.get(
+            "spark.sql.constraintPropagation.enabled", "true"
+        )
+        self.spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
         shuffle_before = self.spark.conf.get("spark.sql.shuffle.partitions")
         clamp = min(int(shuffle_before), max(4, spec.budget_per_round // 4))
         if spec.per_host_politeness:
@@ -794,6 +803,9 @@ class CrawlEngine:
                     break
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+            self.spark.conf.set(
+                "spark.sql.constraintPropagation.enabled", cp_before
+            )
 
         wm = self.store.last_complete_round()
         return CrawlResult(

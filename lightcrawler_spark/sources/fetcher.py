@@ -212,8 +212,10 @@ class SyntheticFetcher:
         if self._has_cookie_gate:
             cols.append("requires_cookie")
         # fixture webs are small by construction — broadcast so each
-        # round's fetch is shuffle-free on the work side
-        self.web = F.broadcast(webgraph_df.select(*cols))
+        # round's fetch is shuffle-free on the work side; coalesce(1)
+        # first so the per-job broadcast-build stage is one task, not
+        # defaultParallelism near-empty ones
+        self.web = F.broadcast(webgraph_df.select(*cols).coalesce(1))
         self.spec = spec
         self._join_cond = F.col("url") == F.col("_w_url")
         # the output expressions are pure functions of the joined input

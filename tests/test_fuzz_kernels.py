@@ -4,7 +4,7 @@ kernels run inside Arrow batches on executors — an unhandled exception
 there kills a whole task, so total robustness is a correctness property.
 """
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from lightcrawler_spark.functions.urlkit import (
@@ -45,6 +45,7 @@ def test_format_url_total(base, link):
 
 @settings(max_examples=200, deadline=None)
 @given(TEXT)
+@example("@@")  # userinfo eats the first '@' -> host '@' (regression)
 def test_normalize_and_md5_total(s):
     out = normalize_url(s)
     if out is not None:
