@@ -317,6 +317,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → per-document cluster assignment
+    (operators/graph.py): min-label-propagation connected components
+    over the lang-blocked n-gram Jaccard pairs, one shuffle-bounded job
+    per iteration, convergence detected via Observation (label sum is
+    strictly decreasing until the fixpoint). The canonical flag marks
+    the row a corpus-scale dedup pass keeps."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, k=8, threshold=0.1, block_cols=["lang"]
+    )
+    return dedup_cluster_assignments(pairs, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_lang_id(docs).select(
@@ -1315,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1532,6 +1553,43 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        min(md5('6' || chr(31) || sh)) AS sig_6,
        min(md5('7' || chr(31) || sh)) AS sig_7
 FROM g GROUP BY doc_id
+""",
+        "dedup_clusters": """
+WITH RECURSIVE
+d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT DISTINCT doc_id, lang, substr(text, i, 8) AS sh
+  FROM (SELECT doc_id, lang, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM d)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    AND a.lang = b.lang
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.1
+),
+sym AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(comp) AS BIGINT) AS cluster,
+       (node = min(comp)) AS is_canonical
+FROM reach GROUP BY node
 """,
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 200),
