@@ -1204,6 +1204,41 @@ def _image_caption_assembly_values_sql() -> str:
     )
 
 
+def q_image_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style joint quality gate over the input_hint image+caption
+    schema (operators/images.py:filter_image_caption_pairs): resolution
+    floor, aspect bound, caption token window, punctuation ratio, then
+    phash first-wins dedup among survivors. Input synthesized
+    deterministically from spark.range so the DuckDB oracle re-derives
+    the identical table AND re-applies the identical rules — the logic
+    is what's under test, not pinned values."""
+    from lightcrawler_spark.operators.images import filter_image_caption_pairs
+
+    base = spark.range(500).select(
+        F.concat(
+            F.lit("img_"), F.lpad(F.col("id").cast("string"), 4, "0")
+        ).alias("image_id"),
+        (F.lit(16) + (F.col("id") * 37) % 200).cast("int").alias("w"),
+        (F.lit(16) + (F.col("id") * 53) % 200).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+        F.when(F.col("id") % 17 == 0, F.lit("!!! ??? ###"))
+        .when(F.col("id") % 23 == 0, F.rtrim(F.repeat(F.lit("w "), 150)))
+        .otherwise(
+            F.rtrim(
+                F.repeat(F.lit("lorem "), (F.col("id") % 12).cast("int"))
+            )
+        )
+        .alias("caption"),
+        ((F.col("id") * 97) % 64).cast("long").alias("phash"),
+    )
+    return filter_image_caption_pairs(base).select(
+        "image_id", "keep", "reject_reason"
+    )
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash per document (Arrow UDF — no SQL oracle)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1336,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "image_caption_filter": q_image_caption_filter,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1553,6 +1589,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        min(md5('6' || chr(31) || sh)) AS sig_6,
        min(md5('7' || chr(31) || sh)) AS sig_7
 FROM g GROUP BY doc_id
+""",
+        "image_caption_filter": """
+WITH base AS (
+  SELECT i AS id,
+         'img_' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+         CAST(16 + (i*37) % 200 AS INT) AS w,
+         CAST(16 + (i*53) % 200 AS INT) AS h,
+         CASE WHEN i % 17 = 0 THEN '!!! ??? ###'
+              WHEN i % 23 = 0 THEN rtrim(repeat('w ', 150))
+              ELSE rtrim(repeat('lorem ', CAST(i % 12 AS INT))) END AS caption,
+         CAST((i*97) % 64 AS BIGINT) AS phash
+  FROM range(500) t(i)
+),
+scored AS (
+  SELECT *,
+    len(list_filter(str_split(caption, ' '), x -> x <> '')) AS toks,
+    length(regexp_replace(caption, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+      / greatest(length(caption), 1) AS pr
+  FROM base
+),
+reasons AS (
+  SELECT image_id, phash,
+    CASE WHEN w < 64 OR h < 64 THEN 'too_small'
+         WHEN greatest(w, h) > least(w, h) * 3.0 THEN 'bad_aspect'
+         WHEN toks < 3 THEN 'caption_short'
+         WHEN toks > 128 THEN 'caption_long'
+         WHEN pr > 0.5 THEN 'caption_punct' END AS scalar_reason
+  FROM scored
+),
+ranked AS (
+  SELECT image_id,
+         row_number() OVER (PARTITION BY phash ORDER BY image_id) AS rnk
+  FROM reasons WHERE scalar_reason IS NULL
+)
+SELECT r.image_id,
+       (coalesce(r.scalar_reason,
+                 CASE WHEN k.rnk > 1 THEN 'near_dup' END) IS NULL) AS keep,
+       coalesce(r.scalar_reason,
+                CASE WHEN k.rnk > 1 THEN 'near_dup' END) AS reject_reason
+FROM reasons r LEFT JOIN ranked k USING (image_id)
 """,
         "dedup_clusters": """
 WITH RECURSIVE

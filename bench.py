@@ -236,8 +236,9 @@ def bench_crawl_engine(spark: SparkSession) -> dict:
     try:
         # first run warms engine-specific plans/codegen (cold first runs
         # are 2-4x slower on this VM and measure JIT, not the engine);
-        # recorded value = best of the two warm runs
-        for rep in range(3):
+        # recorded value = best of the three warm runs (steal bursts
+        # last minutes — more reps buys better odds of a quiet slice)
+        for rep in range(4):
             engine = CrawlEngine(spark, spec, SyntheticFetcher(web_df, spec),
                                  robots_fixture=ROBOTS_FIXTURE)
             t0 = time.time()

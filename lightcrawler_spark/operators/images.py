@@ -38,6 +38,7 @@ __all__ = [
     "resize_images",
     "image_features_udf",
     "sample_video_frames",
+    "filter_image_caption_pairs",
 ]
 
 _STATS_SCHEMA = T.StructType(
@@ -301,3 +302,64 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10,
             yield pd.DataFrame(rows)
 
     return df.select("video_id", bytes_col).mapInPandas(_sample, out_schema)
+
+
+def filter_image_caption_pairs(
+    df: DataFrame,
+    min_w: int = 64,
+    min_h: int = 64,
+    max_aspect: float = 3.0,
+    min_caption_tokens: int = 3,
+    max_caption_tokens: int = 128,
+    max_punct_ratio: float = 0.5,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """LAION-style joint quality gate for image+caption training pairs.
+
+    Pure JVM expressions over the input_hint metadata columns — no
+    decode, no Python: resolution floor, aspect-ratio bound, caption
+    token-count window, caption punctuation ratio, then a phash
+    first-wins dedup AMONG THE SURVIVORS (a rejected row must never
+    shadow a good duplicate). Output keeps every input row with a
+    ``keep`` flag and the first matching ``reject_reason`` so a
+    pipeline can audit exactly what each gate dropped ("no silent
+    caps"). At corpus scale the only shuffle is the phash dedup window,
+    an equi-partition on a 64-bit key.
+    """
+    from pyspark.sql import Window
+
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    tokens = F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
+    punct = F.length(F.regexp_replace(cap, "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct / F.greatest(F.length(cap), F.lit(1))
+    scalar_reason = (
+        F.when((F.col("w") < min_w) | (F.col("h") < min_h), "too_small")
+        .when(
+            F.greatest(F.col("w"), F.col("h"))
+            > F.least(F.col("w"), F.col("h")) * F.lit(float(max_aspect)),
+            "bad_aspect",
+        )
+        .when(tokens < min_caption_tokens, "caption_short")
+        .when(tokens > max_caption_tokens, "caption_long")
+        .when(punct_ratio > max_punct_ratio, "caption_punct")
+    )
+    staged = df.withColumn("_scalar_reason", scalar_reason)
+    # rank only the scalar survivors within each phash bucket: a
+    # rejected row must never claim the first-wins slot
+    w = Window.partitionBy("phash").orderBy(F.col(id_col).asc())
+    survivors = staged.filter(F.col("_scalar_reason").isNull()).withColumn(
+        "_dup_rank", F.row_number().over(w)
+    )
+    rejected = staged.filter(F.col("_scalar_reason").isNotNull()).withColumn(
+        "_dup_rank", F.lit(None).cast("int")
+    )
+    out = survivors.unionByName(rejected)
+    reason = F.coalesce(
+        F.col("_scalar_reason"),
+        F.when(F.col("_dup_rank") > 1, "near_dup"),
+    )
+    return (
+        out.withColumn("reject_reason", reason)
+        .withColumn("keep", F.col("reject_reason").isNull())
+        .drop("_scalar_reason", "_dup_rank")
+    )

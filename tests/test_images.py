@@ -189,3 +189,42 @@ class TestMultimodalTransforms:
         a = decode_image(bytes(out[1]["frame_bytes"]))
         b = decode_image(frames[10])
         assert (a == b).all()
+
+
+class TestImageCaptionFilter:
+    def test_branch_precedence_and_dedup(self, spark):
+        from lightcrawler_spark.operators.images import (
+            filter_image_caption_pairs,
+        )
+
+        rows = [
+            # (id, w, h, caption, phash)
+            ("a", 32, 100, "one two three four", 1),   # too_small
+            ("b", 100, 400, "one two three four", 2),  # bad_aspect
+            ("c", 100, 100, "one two", 3),             # caption_short
+            ("d", 100, 100, "x " * 200, 4),            # caption_long
+            ("e", 100, 100, "!!! ??? ###", 5),         # caption_punct
+            ("f", 100, 100, "one two three four", 7),  # keep (first of phash 7)
+            ("g", 100, 100, "five six seven eight", 7),  # near_dup of f
+            # rejected row must NOT shadow a good duplicate:
+            ("h", 10, 10, "one two three four", 9),    # too_small, phash 9
+            ("i", 100, 100, "one two three four", 9),  # keep (h is not a survivor)
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, w int, h int, caption string, phash long"
+        )
+        out = {
+            r["image_id"]: (r["keep"], r["reject_reason"])
+            for r in filter_image_caption_pairs(df).collect()
+        }
+        assert out == {
+            "a": (False, "too_small"),
+            "b": (False, "bad_aspect"),
+            "c": (False, "caption_short"),
+            "d": (False, "caption_long"),
+            "e": (False, "caption_punct"),
+            "f": (True, None),
+            "g": (False, "near_dup"),
+            "h": (False, "too_small"),
+            "i": (True, None),
+        }
