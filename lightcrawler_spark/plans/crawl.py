@@ -215,6 +215,9 @@ class CrawlEngine:
         # and DataFrame-independent — reuse across rounds)
         self._battery_pred_cache: dict = {}
         self._stat_cols_cache: dict = {}
+        # frontier-size bookkeeping for the drained-skip: None = unknown
+        # (resume, or any slow-path round ran without observing n_new)
+        self._frontier_total: int | None = None
 
     # -- S6: live robots.txt acquisition -------------------------------------
     def _fetch_robots_live(self, host_roots: list[tuple[str, str]]) -> None:
@@ -324,6 +327,7 @@ class CrawlEngine:
             "referer string, link_raw string, linktext string, "
             "is_redirect boolean, priority_level int, insert_seq long",
         ).coalesce(1)  # a seed list is tiny; don't fan the scan out
+        self._frontier_total = len(rows)  # drained-skip baseline
         return scheduler.assign_priority(df, self.spec.priority_rules)
 
     # -- unified round-table projections -------------------------------------
@@ -464,6 +468,9 @@ class CrawlEngine:
             stats = None
         else:
             links_src = results
+            # slow path doesn't observe new-frontier counts — the
+            # drained-skip bookkeeping goes dark for the rest of the run
+            self._frontier_total = None
             stats = results.agg(*stat_cols).first()
             if int(stats["n"]) == 0:
                 return self._empty_round(pending_before_cooldown)
@@ -587,6 +594,14 @@ class CrawlEngine:
             frontier.select("url_md5"), "url_md5", "left_anti"
         ).select(*FRONTIER_COLS)
 
+        # second observation: count of NEW frontier rows, so the driver
+        # can track total frontier size and skip the terminal probe
+        # round entirely (run() breaks when claimed == frontier total)
+        obs_new: Observation | None = None
+        if fused:
+            obs_new = Observation()
+            new = new.observe(obs_new, F.count("*").alias("n_new"))
+
         # materialize now: `new` feeds every later round's cumulative
         # frontier — keeping it lazy chains plans across rounds. Durable
         # stores materialize in their own write instead. On the fused
@@ -598,6 +613,11 @@ class CrawlEngine:
             stats = _observed_stats(obs)
             if stats is None:  # listener lost — re-aggregate (rare)
                 stats = results.agg(*stat_cols).first()
+            new_stats = _observed_stats(obs_new)
+            if self._frontier_total is not None and new_stats is not None:
+                self._frontier_total += int(new_stats["n_new"] or 0)
+            else:
+                self._frontier_total = None  # unknown → disable the skip
             if int(stats["n"]) == 0:
                 # nothing fetched: `new` is necessarily empty too, so no
                 # store rows exist for this round — same contract as the
@@ -783,6 +803,16 @@ class CrawlEngine:
         r = start_round
         try:
             while r < start_round + max_rounds:
+                if (
+                    self._frontier_total is not None
+                    and base_seq >= self._frontier_total
+                ):
+                    # every frontier row is claimed → pending is provably
+                    # empty; skip the terminal probe round (its action
+                    # would fetch nothing). Counted driver-side from the
+                    # per-round n_new Observation — zero extra jobs.
+                    abort_reason = ABORT_PASSEDTHROUGH
+                    break
                 fetched, keep_going = self._run_round(r, base_seq)
                 if fetched == 0 and not keep_going:
                     abort_reason = ABORT_PASSEDTHROUGH
