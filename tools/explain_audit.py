@@ -74,7 +74,48 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("header parse fully codegen'd (no UDF)", r"!BatchEvalPython|ArrowEvalPython"),
         ("generator explode of set_cookies", r"Generate posexplode"),
     ],
+    # LAION-style joint gate: pure JVM expressions, single phash window
+    "image_caption_filter": [
+        ("no Python in the gate", r"!BatchEvalPython|ArrowEvalPython"),
+        ("phash-partitioned dedup window", r"hashpartitioning\(phash"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
+    # one connected-components propagation step (see _cc_iteration_plan:
+    # the dedup_clusters entry query returns a post-run checkpoint scan,
+    # so the per-iteration plan shape is audited on a synthetic graph)
+    "cc_iteration": [
+        ("equi join on node id", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("map-side partial min", r"partial_min"),
+    ],
 }
+
+
+def _cc_iteration_plan(spark):
+    """The plan operators/graph.py runs per CC iteration."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    )
+    labels = spark.range(100).select(
+        F.col("id").alias("node"), F.col("id").alias("component")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    neighbor = sym.join(labels, sym["dst"] == labels["node"]).select(
+        F.col("src").alias("node"), "component"
+    )
+    return (
+        labels.unionByName(neighbor)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+# plans audited outside the entry-query registry
+EXTRA_PLANS = {"cc_iteration": _cc_iteration_plan}
 
 
 def main() -> int:
@@ -91,7 +132,10 @@ def main() -> int:
     for name, checks in CHECKS.items():
         if only and name not in only:
             continue
-        df = queries[name](spark, SF_DIR)
+        if name in EXTRA_PLANS:
+            df = EXTRA_PLANS[name](spark)
+        else:
+            df = queries[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
