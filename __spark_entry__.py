@@ -337,6 +337,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.py:with_pii_scrub): URLs →
+    emails → phones scrubbed sequentially with JVM regexp_replace,
+    per-category counts from regexp_count. Deterministic PII is
+    appended to each document so every pattern fires; the DuckDB oracle
+    applies the identical regexes (ASCII classes only — same meaning in
+    Java regex and RE2)."""
+    from lightcrawler_spark.operators.text import with_pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.test/p?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call +1 (555) 010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return with_pii_scrub(aug).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "text_scrubbed",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_lang_id(docs).select(
@@ -1372,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "image_caption_filter": q_image_caption_filter,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1589,6 +1620,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        min(md5('6' || chr(31) || sh)) AS sig_6,
        min(md5('7' || chr(31) || sh)) AS sig_7
 FROM g GROUP BY doc_id
+""",
+        "pii_scrub": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.test/p?id='
+              || CAST(doc_id AS VARCHAR)
+              || ' or call +1 (555) 010-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+  FROM documents WHERE doc_id < 300
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_url,
+         regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         len(regexp_extract_all(
+             t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(
+             t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t2
+  FROM s1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_url AS BIGINT) AS n_url,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+            AS BIGINT) AS n_phone,
+       regexp_replace(t2, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')
+         AS text_scrubbed
+FROM s2
 """,
         "image_caption_filter": """
 WITH base AS (

@@ -26,6 +26,7 @@ __all__ = [
     "with_quality_score",
     "with_token_counts",
     "with_fingerprint",
+    "with_pii_scrub",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -145,3 +146,32 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
         lambda i: F.md5(c.substr(i, F.lit(k))),
     )
     return df.withColumn("fingerprint", F.array_min(grams))
+
+
+# PII scrub patterns, applied in order (URLs first so an address inside
+# a query string is redacted as part of the URL, not left behind as a
+# bare email; placeholders contain no digits, so the phone pass cannot
+# re-match inside an earlier replacement). ASCII classes only — the
+# same pattern text must mean the same thing to Java regex (Spark) and
+# RE2 (the DuckDB oracle).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ \t\n\r]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / URLs from a text column — the
+    standard pre-training PII pass — entirely in JVM ``regexp_replace``
+    / ``regexp_count`` (whole-stage codegen, no Python). Adds
+    ``n_url``/``n_email``/``n_phone`` (occurrences counted on the text
+    as it stood before that category's replacement, so the counts
+    deterministically match the sequential scrub) and ``text_scrubbed``.
+    """
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumns({**counts, "text_scrubbed": cur})

@@ -297,3 +297,23 @@ class TestIvfTopk:
         full = {(r["query_id"], r["rank"]): r["neighbor_id"]
                 for r in ivf_topk(emb, q, k=2, n_centroids=4, n_probe=4).collect()}
         assert full == exact
+
+
+class TestPiiScrub:
+    def test_scrub_order_and_counts(self, spark):
+        from lightcrawler_spark.operators.text import with_pii_scrub
+
+        rows = [
+            (1, "mail a@b.com and http://x.test/u?e=c@d.org now"),
+            (2, "call +1 (555) 010-1234 or 02212345678"),
+            (3, "clean text with number 42"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+        # the email inside the URL is swallowed by the URL pass
+        assert out[1]["n_url"] == 1 and out[1]["n_email"] == 1
+        assert out[1]["text_scrubbed"] == "mail <EMAIL> and <URL> now"
+        assert out[2]["n_phone"] == 2
+        assert out[2]["text_scrubbed"] == "call <PHONE> or <PHONE>"
+        assert out[3]["n_url"] == out[3]["n_email"] == out[3]["n_phone"] == 0
+        assert out[3]["text_scrubbed"] == rows[2][1]
