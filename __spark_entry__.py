@@ -367,6 +367,74 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals
+    (operators/text.py:with_repetition_stats): duplicated-line fraction,
+    duplicated-line CHAR fraction, and top word-2/3-gram char coverage —
+    all per-row array expressions (split → sort_array → aggregate), so
+    the pass is a shuffle-free scan. Deterministic boilerplate lines are
+    appended so the dup metrics fire; the DuckDB oracle computes the
+    same quantities relationally (unnest → group-and-count)."""
+    from lightcrawler_spark.operators.text import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nboiler plate nav line\nboiler plate nav line"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nrepeat me\nrepeat me")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_repetition_stats(aug).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2gram_char_frac",
+        "top3gram_char_frac",
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/textdedup.py:decontaminate):
+    flag training docs sharing any word 5-gram with a (deterministic)
+    eval slice — doc_id % 7 == 0 plays the benchmark set, everything
+    else is the training corpus. Scale shape: the eval n-gram set is
+    broadcast; the training side is a scan + broadcast-hash probe, the
+    only shuffle being the partial-aggregated per-doc hit count."""
+    from lightcrawler_spark.operators.textdedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(train, ev, n=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_eval_ngram_hits").cast("long").alias("n_eval_ngram_hits"),
+        "contaminated",
+    )
+
+
+def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix assembly
+    (operators/sampling.py): keep each doc iff the first 32 md5 bits of
+    its doc_id map below the per-language rate — a single codegen'd
+    filter next to the scan (no shuffle, resume-stable, nested across
+    rate changes). The oracle replicates the hash with
+    ('0x'||substr(md5(..),1,8))::uint64 / 2^32."""
+    from lightcrawler_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "zh": 0.25, "es": 0.75}
+    return stratified_sample(docs, rates, keep_u=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_lang_id(docs).select(
@@ -1403,6 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "image_caption_filter": q_image_caption_filter,
         "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "training_mix_sample": q_training_mix_sample,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1621,7 +1692,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        min(md5('7' || chr(31) || sh)) AS sig_7
 FROM g GROUP BY doc_id
 """,
-        "pii_scrub": """
+        "pii_scrub": r"""
 WITH aug AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1654,6 +1725,116 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        regexp_replace(t2, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')
          AS text_scrubbed
 FROM s2
+""",
+        "repetition_stats": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'boiler plate nav line'
+              || chr(10) || 'boiler plate nav line'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                      ELSE '' END AS text
+  FROM documents WHERE doc_id < 300
+),
+lines AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                    x -> len(trim(x)) > 0)) AS line
+  FROM aug
+),
+lgrp AS (
+  SELECT doc_id, line, count(*) AS c, len(line) AS l
+  FROM lines GROUP BY doc_id, line
+),
+lstats AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         count(*) AS n_distinct,
+         sum(c * l) AS tot_chars,
+         sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_chars
+  FROM lgrp GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) > 0) AS ws
+  FROM aug
+),
+twc AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS twc
+  FROM words
+),
+g2 AS (
+  SELECT doc_id, g, count(*) * (len(g) - 1) AS cover
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                                     i -> array_to_string(ws[i:i+1], ' '))) AS g
+        FROM words)
+  GROUP BY doc_id, g
+),
+b2 AS (SELECT doc_id, max(cover) AS best FROM g2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, g, count(*) * (len(g) - 2) AS cover
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                                     i -> array_to_string(ws[i:i+2], ' '))) AS g
+        FROM words)
+  GROUP BY doc_id, g
+),
+b3 AS (SELECT doc_id, max(cover) AS best FROM g3 GROUP BY doc_id)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+                  THEN (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN coalesce(ls.tot_chars, 0) > 0
+                  THEN ls.dup_chars / CAST(ls.tot_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN t.twc > 0
+                  THEN coalesce(b2.best, 0) / CAST(t.twc AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top2gram_char_frac,
+       round(CASE WHEN t.twc > 0
+                  THEN coalesce(b3.best, 0) / CAST(t.twc AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top3gram_char_frac
+FROM aug a
+LEFT JOIN lstats ls USING (doc_id)
+LEFT JOIN twc t USING (doc_id)
+LEFT JOIN b2 USING (doc_id)
+LEFT JOIN b3 USING (doc_id)
+""",
+        "decontaminate": """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS g
+  FROM words
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0) tr
+  JOIN ev USING (g)
+  GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_ngram_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+""",
+        "training_mix_sample": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT64)
+        / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                  WHEN 'es' THEN 0.75 ELSE 0.0 END
 """,
         "image_caption_filter": """
 WITH base AS (

@@ -271,7 +271,8 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "per_host_rounds", "admission_filter", "sessionize",
         "events_hourly", "dedup_exact", "token_counts", "quality_score",
         "lang_id", "doc_fingerprint", "embedding_topk", "embedding_lsh",
-        "minhash_signatures",
+        "minhash_signatures", "repetition_stats", "decontaminate",
+        "training_mix_sample",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -1,0 +1,62 @@
+"""Deterministic stratified sampling for training-mix assembly.
+
+A pre-training corpus is rarely used whole: the mix recipe says "40% of
+the en web text, 100% of books, 5% of low-quality tier …". This module
+implements the sampling step the way a 100 TB pipeline must: as a pure
+row-local predicate — hash the row's stable key to a uniform number in
+[0, 1) and keep it iff u < rate(stratum). No shuffle, no sort, no
+driver-side randomness; re-running the job (or resuming half of it)
+keeps exactly the same rows, and upsampling a stratum later keeps every
+previously-kept row (rates are nested: u < 0.2 ⊂ u < 0.5).
+
+The uniform comes from md5 so the DuckDB oracle reproduces it
+bit-for-bit: u = int(hex(md5(key‖salt))[:8], 16) / 2^32 — Spark's
+``conv(substring(md5(..), 1, 8), 16, 10)`` ≡ DuckDB's
+``('0x' || substr(md5(..), 1, 8))::uint64``. Graft context: the
+reference has no sampling stage (it crawls everything); this is one of
+the training-data operators the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["uniform_hash", "stratified_sample"]
+
+
+def uniform_hash(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): first 32 md5 bits of key‖salt.
+    Oracle-replicable (see module docstring); changing `salt` draws an
+    independent sample."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+    keep_u: bool = True,
+) -> DataFrame:
+    """Keep each row with probability `rates[stratum]` (else
+    `default_rate`), decided by the row's own key hash. The rate lookup
+    folds into one literal CASE expression — the whole operator is a
+    single codegen'd filter over the scan, the plan you want on 100 TB
+    (predicate evaluated next to the parquet reader; nothing moves).
+
+    `keep_u` surfaces the uniform as ``sample_u`` (rounded to 9 places)
+    so audits — and the oracle — can verify the decision per row."""
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    u = uniform_hash(F.col(key_col), salt=salt)
+    out = df.withColumn("sample_u", F.round(u, 9)).filter(u < rate)
+    return out if keep_u else out.drop("sample_u")

@@ -27,6 +27,7 @@ __all__ = [
     "with_token_counts",
     "with_fingerprint",
     "with_pii_scrub",
+    "with_repetition_stats",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -175,3 +176,126 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, repl)
     return df.withColumns({**counts, "text_scrubbed": cur})
+
+
+def _nonempty_lines(c: Column) -> Column:
+    return F.filter(
+        F.split(F.coalesce(c, F.lit("")), "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+
+
+def _words(c: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def _top_ngram_best(words: Column, n: int) -> Column:
+    """max over word n-grams of (#occurrences × summed word chars).
+
+    Shuffle-free: build the gram array, ``sort_array`` it so equal
+    grams are adjacent, then one ``aggregate`` pass with a struct
+    accumulator tracking (prev, current run, best run×charlen). O(G log
+    G) per row inside codegen — no explode, no groupBy, so a 100 TB
+    scan stays a scan. charlen counts the words' characters only
+    (length(gram) − (n−1) joiner spaces), per the Gopher definition."""
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice(_, 0, n)
+    # throws — so docs with < n words must short-circuit to an empty
+    # gram array (CaseWhen evaluates branches lazily per row)
+    n_grams = F.size(words) - (n - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        charlen = (F.length(x) - (n - 1)).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * charlen).alias("best"),
+        )
+
+    return F.aggregate(F.sort_array(grams), init, step, lambda acc: acc["best"])
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", ngram_ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher/MassiveText repetition-removal signals (Rae et al. 2021,
+    §A1.1): fraction of duplicated lines, fraction of characters inside
+    duplicated lines, and — per requested n — the fraction of word
+    characters covered by the single most-repeated word n-gram
+    (``top{n}gram_char_frac``). Boilerplate-heavy and degenerate pages
+    (nav link farms, keyword stuffing) light these up; a training
+    pipeline drops rows above thresholds (Gopher: dup_line_frac > 0.30,
+    top2gram_char_frac > 0.20).
+
+    All metrics are per-row array expressions (split → sort_array →
+    aggregate), so the pass is a pure map over the corpus: no shuffle,
+    no Python, whole-stage codegen end-to-end. Duplicated-line chars use
+    sorted-neighbour adjacency (a line instance is duplicated iff it
+    equals its predecessor or successor in the sorted line array) — an
+    O(L log L) equivalent of the group-and-count definition the DuckDB
+    oracle computes relationally. Fractions are rounded to 6 places;
+    empty/degenerate docs yield 0.0, never null."""
+    c = F.col(text_col)
+    lines = _nonempty_lines(c)
+    srt = F.sort_array(lines)
+    n_lines = F.size(lines).cast("long")
+    n_distinct = F.size(F.array_distinct(lines)).cast("long")
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_chars = F.aggregate(
+        F.sequence(F.lit(1), F.size(srt)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            (
+                F.get(srt, i - 2).isNotNull()
+                & (F.get(srt, i - 2) == F.get(srt, i - 1))
+            )
+            | (
+                F.get(srt, i).isNotNull()
+                & (F.get(srt, i) == F.get(srt, i - 1))
+            ),
+            F.length(F.get(srt, i - 1)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    words = _words(c)
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
+
+    cols = {
+        "n_lines": n_lines,
+        "dup_line_frac": frac(n_lines - n_distinct, n_lines),
+        "dup_line_char_frac": frac(dup_line_chars, total_line_chars),
+    }
+    for n in ngram_ns:
+        cols[f"top{n}gram_char_frac"] = frac(
+            _top_ngram_best(words, n), total_word_chars
+        )
+    return df.withColumns(cols)

@@ -35,6 +35,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "word_ngrams",
+    "decontaminate",
 ]
 
 
@@ -269,4 +271,77 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def word_ngrams(c, n: int):
+    """Lowercased word n-grams as space-joined strings, JVM-side.
+
+    Tokenization = lowercase, split on non-alphanumeric runs (the same
+    rule operators/text.py uses), identical to the oracle's
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``. Guarded
+    against Spark's descending sequence(1, 0) quirk."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    cnt = F.size(words) - (n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set (the GPT-3 appendix-C /
+    PaLM-style 13-gram rule, parameterized). Returns the input plus
+    ``n_eval_ngram_hits`` (distinct contaminating n-grams) and a
+    ``contaminated`` flag.
+
+    Scale shape: the eval set is small by definition, so its distinct
+    n-grams build once and BROADCAST to every executor — the 100 TB
+    training side is a scan (ngrams → explode → distinct-per-doc) that
+    probes the broadcast hash table with zero shuffle of the big side;
+    the only shuffle is the final partial-aggregated groupBy(doc_id),
+    whose input is already collapsed to the (rare) hit rows. The rider
+    join back to `docs` is id-keyed on rows ≤ #contaminated docs, also
+    broadcast."""
+    gram_sets = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        gram_sets.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_eval_ngram_hits"))
+    )
+    return (
+        docs.join(
+            F.broadcast(hits),
+            docs[id_col] == hits["doc_id"],
+            "left",
+        )
+        .drop(hits["doc_id"])
+        .withColumn(
+            "n_eval_ngram_hits",
+            F.coalesce(F.col("n_eval_ngram_hits"), F.lit(0).cast("long")),
+        )
+        .withColumn("contaminated", F.col("n_eval_ngram_hits") > 0)
     )

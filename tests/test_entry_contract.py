@@ -46,6 +46,9 @@ FAST_ORACLE_QUERIES = [
     "cookie_lookup",
     "send_data",
     "requeue_list",
+    "repetition_stats",
+    "decontaminate",
+    "training_mix_sample",
 ]
 
 

@@ -317,3 +317,149 @@ class TestPiiScrub:
         assert out[2]["text_scrubbed"] == "call <PHONE> or <PHONE>"
         assert out[3]["n_url"] == out[3]["n_email"] == out[3]["n_phone"] == 0
         assert out[3]["text_scrubbed"] == rows[2][1]
+
+
+class TestRepetitionStats:
+    CASES = [
+        "a\nb\na\n\nc b c b c b",
+        "one line only",
+        "",
+        "x\nx\nx\nx",
+        "alpha beta alpha beta alpha beta gamma",
+        "L1\nl1\nL1\n  \nL2",
+        "word",
+        "a b\na b\nc d e f g h",
+    ]
+
+    @staticmethod
+    def _py_stats(text):
+        lines = [x for x in text.split("\n") if x.strip()]
+        words = [w for w in __import__("re").split(r"[^a-z0-9]+", text.lower()) if w]
+        from collections import Counter
+
+        lc = Counter(lines)
+        n_lines = len(lines)
+        dup_line_frac = (n_lines - len(lc)) / n_lines if n_lines else 0.0
+        tot = sum(len(x) for x in lines)
+        dup_chars = sum(len(x) * c for x, c in lc.items() if c > 1)
+        dup_line_char_frac = dup_chars / tot if tot else 0.0
+        twc = sum(len(w) for w in words)
+        out = {
+            "n_lines": n_lines,
+            "dup_line_frac": round(dup_line_frac, 6),
+            "dup_line_char_frac": round(dup_line_char_frac, 6),
+        }
+        for n in (2, 3):
+            grams = Counter(
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            )
+            best = max(
+                (c * (len(g) - (n - 1)) for g, c in grams.items()), default=0
+            )
+            out[f"top{n}gram_char_frac"] = round(best / twc, 6) if twc else 0.0
+        return out
+
+    def test_matches_python_oracle_on_cases(self, spark):
+        from lightcrawler_spark.operators.text import with_repetition_stats
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in with_repetition_stats(df).collect()
+        }
+        for i, t in enumerate(self.CASES):
+            want = self._py_stats(t)
+            got = rows[i]
+            for k, v in want.items():
+                assert got[k] == pytest.approx(v, abs=1e-9), (i, k, t)
+
+    def test_real_docs_no_nulls_and_bounded(self, spark, docs):
+        from lightcrawler_spark.operators.text import with_repetition_stats
+
+        out = with_repetition_stats(docs).select(
+            "dup_line_frac", "dup_line_char_frac",
+            "top2gram_char_frac", "top3gram_char_frac",
+        )
+        for r in out.collect():
+            for k, v in r.asDict().items():
+                assert v is not None
+                assert 0.0 <= v <= 1.0, (k, v)
+
+
+class TestDecontaminate:
+    def test_flags_shared_ngrams_only(self, spark):
+        from lightcrawler_spark.operators.textdedup import decontaminate
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely unrelated sentence about spark physical plans"),
+                (3, "Quick Brown FOX jumps over the lazy dog again and again"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "we ask whether the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["contaminated"], r["n_eval_ngram_hits"])
+            for r in decontaminate(train, ev, n=5).collect()
+        }
+        assert got[1][0] and got[1][1] > 0
+        assert got[2] == (False, 0)
+        # case-insensitive tokenization: doc 3 shares the 5-gram too
+        assert got[3][0]
+
+    def test_short_docs_never_crash(self, spark):
+        from lightcrawler_spark.operators.textdedup import decontaminate
+
+        train = spark.createDataFrame(
+            [(1, "tiny"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "also small")], "doc_id long, text string")
+        rows = decontaminate(train, ev, n=8).collect()
+        assert len(rows) == 3
+        assert all(not r["contaminated"] for r in rows)
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_python_parity(self, spark, docs):
+        import hashlib
+
+        from lightcrawler_spark.operators.sampling import stratified_sample
+
+        rates = {"en": 0.5, "zh": 0.25, "es": 1.0}
+        a = stratified_sample(docs, rates).select("doc_id").collect()
+        b = stratified_sample(docs, rates).select("doc_id").collect()
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+
+        def u(key):
+            return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+        all_rows = docs.select("doc_id", "lang").collect()
+        want = sorted(
+            r["doc_id"]
+            for r in all_rows
+            if u(r["doc_id"]) < rates.get(r["lang"], 0.0)
+        )
+        assert sorted(r["doc_id"] for r in a) == want
+
+    def test_nested_rates_upsampling_keeps_prior_rows(self, spark, docs):
+        from lightcrawler_spark.operators.sampling import stratified_sample
+
+        small = {"en": 0.2, "zh": 0.2, "es": 0.2}
+        big = {"en": 0.6, "zh": 0.6, "es": 0.6}
+        s = {r["doc_id"] for r in stratified_sample(docs, small).select("doc_id").collect()}
+        b = {r["doc_id"] for r in stratified_sample(docs, big).select("doc_id").collect()}
+        assert s <= b
+
+    def test_salt_draws_independent_sample(self, spark, docs):
+        from lightcrawler_spark.operators.sampling import stratified_sample
+
+        rates = {"en": 0.5, "zh": 0.5, "es": 0.5}
+        a = {r["doc_id"] for r in stratified_sample(docs, rates).select("doc_id").collect()}
+        b = {r["doc_id"] for r in stratified_sample(docs, rates, salt="v2").select("doc_id").collect()}
+        assert a != b

@@ -80,6 +80,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("phash-partitioned dedup window", r"hashpartitioning\(phash"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # Gopher repetition signals: a pure map over the scan — no shuffle,
+    # no Python, doc slice pushed down
+    "repetition_stats": [
+        ("doc slice pushed to scan", r"PushedFilters: \[.*LessThan\(doc_id"),
+        ("no shuffle (pure scan pass)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # decontamination: eval n-gram set broadcast; the big training side
+    # must probe it with a broadcast hash join, never sort-merge
+    "decontaminate": [
+        ("eval grams broadcast-joined", r"BroadcastHashJoin"),
+        ("no sort-merge of the corpus side", r"!SortMergeJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # stratified sampling: one codegen'd filter next to the scan —
+    # nothing moves, nothing shuffles
+    "training_mix_sample": [
+        ("no shuffle (pure filter)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
     # one connected-components propagation step (see _cc_iteration_plan:
     # the dedup_clusters entry query returns a post-run checkpoint scan,
     # so the per-iteration plan shape is audited on a synthetic graph)
