@@ -223,6 +223,25 @@ def q_per_host_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return work.select("host", "insert_seq", "pop_rank", "fetch_rank")
 
 
+def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 extension: robots Crawl-delay as per-host budget overrides
+    (operators/scheduler.py pop_per_host host_budgets dim — hosts that
+    declared a delay get floor(round_duration/delay), others the
+    default). The dim is one tiny broadcast row per declaring host, so
+    the scale shape stays the host-partitioned rank window + filter."""
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias("host"),
+        F.col("event_id").cast("long").alias("insert_seq"),
+        (F.col("user_id") % 3).cast("int").alias("priority_level"),
+    )
+    budgets = spark.createDataFrame(
+        [("h0", 1), ("h1", 2), ("h2", 6)], "host string, host_budget int"
+    )
+    work = scheduler.pop_per_host(frontier, 4, host_budgets=budgets)
+    return work.select("host", "insert_seq", "pop_rank")
+
+
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E17: pagination synthesis from the JS page counter."""
     part = _t(spark, sf_dir, "part")
@@ -1461,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "politeness_rounds": q_politeness_rounds,
         "per_host_rounds": q_per_host_rounds,
+        "crawl_delay_budgets": q_crawl_delay_budgets,
         "pagination": q_pagination,
         "status_report": q_status_report,
         "events_hourly": q_events_hourly,
@@ -1623,6 +1643,27 @@ SELECT host, insert_seq, pop_rank,
          ORDER BY pop_rank ASC, priority_level DESC, insert_seq ASC
        ) AS INT) AS fetch_rank
 FROM kept
+""",
+        "crawl_delay_budgets": """
+WITH frontier AS (
+  SELECT 'h' || (user_id % 25) AS host,
+         CAST(event_id AS BIGINT) AS insert_seq,
+         CAST(user_id % 3 AS INT) AS priority_level
+  FROM events
+),
+b(host, hb) AS (
+  SELECT * FROM (VALUES ('h0', 1), ('h1', 2), ('h2', 6)) t(host, hb)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority_level DESC, insert_seq ASC
+         ) AS INT) AS pop_rank
+  FROM frontier
+)
+SELECT host, insert_seq, pop_rank
+FROM ranked LEFT JOIN b USING (host)
+WHERE pop_rank <= coalesce(hb, 4)
 """,
         "pagination": """
 WITH pages AS (

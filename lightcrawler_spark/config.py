@@ -83,6 +83,13 @@ class CrawlSpec:
     crawl_delay_s: float = 5.0         # libs/CrawlerSettings.class.php:43
     round_duration_s: float = 5.0      # BSP round = one politeness window
     per_host_politeness: bool = False  # scale generalization of the global budget
+    # robots Crawl-delay → per-host budgets (extension beyond the
+    # reference parser, which honors only Disallow): with
+    # per_host_politeness + obey_robots_txt, a host whose robots.txt
+    # declares "Crawl-delay: D" gets a per-round budget of
+    # budget_for_delay(D) instead of budget_per_round. Off by default
+    # (reference parity).
+    honor_crawl_delay: bool = False
     # cross-round host cooldown: a host fetched in round r is ineligible
     # until round r + host_delay_rounds (0 = off). The stateful
     # "last-fetch-per-host carries over" politeness (SURVEY §7) — state
@@ -127,3 +134,12 @@ class CrawlSpec:
         if self.crawl_delay_s <= 0:
             return 2 ** 31 - 1
         return max(1, int(self.round_duration_s / self.crawl_delay_s))
+
+    def budget_for_delay(self, delay_s: float) -> int:
+        """Per-host per-round budget for a robots-declared Crawl-delay:
+        floor(round_duration / delay), at least 1 (a Crawl-delay slows a
+        host down but never starves it — the host still advances every
+        round, like the reference's single-pop floor)."""
+        if delay_s is None or delay_s <= 0:
+            return self.budget_per_round
+        return max(1, int(self.round_duration_s / delay_s))

@@ -28,7 +28,7 @@ from .functions.urlkit import url_md5
 from .imagecodec import decode_image, encode_image, phash64
 from .operators.extract import extract_meta_tags, find_links
 from .operators.admission import _NOFOLLOW_LINKCODE as _NOFOLLOW_LINKCODE_PY
-from .operators.admission import parse_robots_body
+from .operators.admission import parse_robots_body, parse_robots_crawl_delay
 
 __all__ = [
     "make_images",
@@ -398,9 +398,14 @@ def simulate_reference_crawl(
     web = {p["url"]: p for p in webgraph}
     robots = robots if robots is not None else []
     deny_prefixes: list[str] = []
+    host_budgets: dict[str, int] = {}
     if spec.obey_robots_txt:
         for host, body in robots:
             deny_prefixes += parse_robots_body(body, spec.user_agent, f"http://{host}")
+            if spec.honor_crawl_delay:
+                d = parse_robots_crawl_delay(body, spec.user_agent)
+                if d is not None:
+                    host_budgets[host] = spec.budget_for_delay(d)
 
     state = {"base_parts": urlkit.split_url(spec.seeds[0]),
              "first_content_url": None}
@@ -501,13 +506,14 @@ def simulate_reference_crawl(
         first pick fetches before any host's second pick."""
         if not spec.per_host_politeness:
             return [min(pending, key=lambda f: (-f["priority_level"], f["insert_seq"]))]
-        per_host_budget = spec.budget_per_round
         counts: dict[str, int] = {}
         ranked: list[tuple] = []
         for f in sorted(pending, key=lambda f: (-f["priority_level"], f["insert_seq"])):
             k = counts.get(f["host"], 0) + 1
             counts[f["host"]] = k
-            if k <= per_host_budget:
+            # robots Crawl-delay override (honor_crawl_delay): hosts with
+            # a declared delay get budget_for_delay(D), others the default
+            if k <= host_budgets.get(f["host"], spec.budget_per_round):
                 ranked.append((k, -f["priority_level"], f["insert_seq"], f))
         ranked.sort(key=lambda t: t[:3])
         return [t[3] for t in ranked]

@@ -34,6 +34,7 @@ __all__ = [
     "robots_rules_df",
     "apply_robots_filter",
     "robots_deny_predicate",
+    "parse_robots_crawl_delay",
 ]
 
 # rel=nofollow on the linkcode (URLFilter:171-175); branch-reset emulated
@@ -179,6 +180,44 @@ def parse_robots_body(body: str, user_agent: str, base_url: str) -> list[str]:
                         path = "/" + path
                     prefixes.append(base + path)
     return prefixes
+
+
+def parse_robots_crawl_delay(body: str, user_agent: str) -> float | None:
+    """``Crawl-delay:`` seconds from the sections applying to
+    `user_agent` (same section rule as parse_robots_body: UA line '*' or
+    case-insensitive equality). Last applicable value wins; malformed or
+    non-positive values are ignored.
+
+    EXTENSION beyond the reference (its parser honors only Disallow —
+    PHPCrawlerRobotsTxtParser.class.php:63-151): the north-star
+    politeness scheduler budgets per host, and Crawl-delay is the
+    standard per-host budget signal, so the engine maps it to a per-host
+    per-round budget (CrawlSpec.budget_for_delay) when
+    honor_crawl_delay is set."""
+    if body is None:
+        return None
+    current_ua = None
+    delay: float | None = None
+    for raw in body.split("\n"):
+        line = raw.strip()
+        if line == "":
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            current_ua = line[len("user-agent:"):].strip()
+            continue
+        if current_ua is not None and (
+            current_ua == "*" or current_ua.lower() == user_agent.lower()
+        ):
+            if low.startswith("crawl-delay:"):
+                val = line[len("crawl-delay:"):].strip()
+                try:
+                    parsed = float(val)
+                except ValueError:
+                    continue
+                if parsed > 0:
+                    delay = parsed
+    return delay
 
 
 def robots_rules_df(spark, robots_fixture: list[tuple[str, str]], user_agent: str) -> DataFrame:

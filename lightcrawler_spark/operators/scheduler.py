@@ -81,14 +81,29 @@ def pop_global(frontier: DataFrame, budget: int) -> DataFrame:
 
 
 def pop_per_host(frontier: DataFrame, per_host_budget: int,
-                 host_col: str = "host") -> DataFrame:
+                 host_col: str = "host",
+                 host_budgets: DataFrame | None = None) -> DataFrame:
     """P8 at scale: per-host politeness — top-B per host per round.
     One hash-partitioned window; hosts are independent so this
-    parallelizes across the cluster."""
+    parallelizes across the cluster.
+
+    `host_budgets` (host, host_budget) overrides the default budget for
+    listed hosts — the robots Crawl-delay path (a host declaring
+    Crawl-delay D gets floor(round_duration/D)). The dim is tiny (one
+    row per host WITH a declared delay) and broadcast; unlisted hosts
+    fall back to `per_host_budget`, so the common case stays a plain
+    window + filter."""
     w = Window.partitionBy(host_col).orderBy(*pop_order())
+    ranked = frontier.withColumn("pop_rank", F.row_number().over(w))
+    if host_budgets is None:
+        return ranked.filter(F.col("pop_rank") <= per_host_budget)
     return (
-        frontier.withColumn("pop_rank", F.row_number().over(w))
-        .filter(F.col("pop_rank") <= per_host_budget)
+        ranked.join(F.broadcast(host_budgets), host_col, "left")
+        .filter(
+            F.col("pop_rank")
+            <= F.coalesce(F.col("host_budget"), F.lit(per_host_budget))
+        )
+        .drop("host_budget")
     )
 
 
@@ -133,9 +148,11 @@ def interleave_rank(work: DataFrame, rank_col: str = "pop_rank") -> DataFrame:
     )
 
 
-def pop_batch(frontier: DataFrame, spec: CrawlSpec) -> DataFrame:
+def pop_batch(frontier: DataFrame, spec: CrawlSpec,
+              host_budgets: DataFrame | None = None) -> DataFrame:
     if spec.per_host_politeness:
-        return pop_per_host(frontier, spec.budget_per_round)
+        return pop_per_host(frontier, spec.budget_per_round,
+                            host_budgets=host_budgets)
     return pop_global(frontier, spec.budget_per_round)
 
 

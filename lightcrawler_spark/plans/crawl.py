@@ -75,6 +75,7 @@ from ..operators.admission import (
     apply_robots_filter,
     host_expr,
     parse_robots_body,
+    parse_robots_crawl_delay,
     robots_deny_predicate,
     robots_rules_df,
 )
@@ -193,12 +194,21 @@ class CrawlEngine:
         # new host its links introduce (once, cached driver-side).
         self._robots_live = spec.obey_robots_txt and robots_fixture is None
         self._robots_hosts_fetched: set[str] = set()
+        # P8 extension: robots Crawl-delay → per-host budgets (used only
+        # with per_host_politeness + honor_crawl_delay). Filled from the
+        # fixture here and from live robots fetches as hosts appear.
+        self._host_delays: dict[str, float] = {}
+        self._host_budgets_cache: tuple | None = None
         if spec.obey_robots_txt and robots_fixture:
             pairs = [
                 (host, p)
                 for host, body in robots_fixture
                 for p in parse_robots_body(body, spec.user_agent, f"http://{host}")
             ]
+            for host, body in robots_fixture:
+                d = parse_robots_crawl_delay(body, spec.user_agent)
+                if d is not None:
+                    self._host_delays[host] = d
             if len(pairs) <= 64:
                 self.robots_pairs = pairs
             else:
@@ -272,6 +282,9 @@ class CrawlEngine:
                         body, self.spec.user_agent, row["_rb_root"]
                     )
                 ]
+                d = parse_robots_crawl_delay(body, self.spec.user_agent)
+                if d is not None:
+                    self._host_delays[row["_rb_host"]] = d
         if not new_pairs:
             return
         if self.robots_pairs is not None and len(self.robots_pairs) + len(new_pairs) <= 64:
@@ -286,6 +299,28 @@ class CrawlEngine:
             if self.robots_rules is not None:
                 fresh = self.robots_rules.unionByName(fresh)
             self.robots_rules = fresh.localCheckpoint(eager=True)
+
+    def _host_budgets_df(self) -> DataFrame | None:
+        """(host, host_budget) override dim for pop_per_host, from the
+        robots Crawl-delay map (fixture-parsed at init, live-fetched as
+        hosts appear). Tiny by construction — one row per host that
+        DECLARED a delay — and rebuilt only when the map changes."""
+        spec = self.spec
+        if not (
+            spec.per_host_politeness
+            and spec.honor_crawl_delay
+            and self._host_delays
+        ):
+            return None
+        snapshot = tuple(sorted(self._host_delays.items()))
+        if self._host_budgets_cache and self._host_budgets_cache[0] == snapshot:
+            return self._host_budgets_cache[1]
+        df = self.spark.createDataFrame(
+            [(h, spec.budget_for_delay(d)) for h, d in snapshot],
+            "host string, host_budget int",
+        )
+        self._host_budgets_cache = (snapshot, df)
+        return df
 
     def _seed_hosts(self) -> list[tuple[str, str]]:
         import re as _re
@@ -379,7 +414,8 @@ class CrawlEngine:
             remaining = 2 ** 31 - 1
 
         budget = min(spec.budget_per_round, remaining)
-        work = scheduler.pop_batch(pending, spec)
+        work = scheduler.pop_batch(pending, spec,
+                                   host_budgets=self._host_budgets_df())
         if spec.per_host_politeness:
             # P8 at scale: budget_per_round is PER HOST — a round fetches
             # up to B × hosts pages. fetch_rank is the deterministic host

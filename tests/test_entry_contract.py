@@ -49,6 +49,7 @@ FAST_ORACLE_QUERIES = [
     "repetition_stats",
     "decontaminate",
     "training_mix_sample",
+    "crawl_delay_budgets",
 ]
 
 
