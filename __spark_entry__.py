@@ -454,6 +454,42 @@ def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-corpus build, composed purely from
+    the verified operators: PII scrub → Gopher repetition gate
+    (dup_line_frac ≤ 0.3, top2gram_char_frac ≤ 0.2) → exact dedup
+    (lowest-id canonical) → benchmark decontamination (word 5-grams vs
+    the doc_id % 7 eval slice, raw text) → deterministic stratified
+    sample (en 0.5 / zh 0.25 / es 0.75). Every stage keeps the scale
+    shape it was audited with (scan-local maps, one hash-groupBy, a
+    broadcast probe, a codegen'd filter); the oracle re-derives the
+    whole chain as one CTE pipeline."""
+    from lightcrawler_spark.operators.sampling import stratified_sample
+    from lightcrawler_spark.operators.text import (
+        with_pii_scrub,
+        with_repetition_stats,
+    )
+    from lightcrawler_spark.operators.textdedup import decontaminate, exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    scrub = with_pii_scrub(train).select(
+        "doc_id", "lang", "source", F.col("text_scrubbed").alias("text")
+    )
+    rep = with_repetition_stats(scrub).filter(
+        (F.col("dup_line_frac") <= 0.3) & (F.col("top2gram_char_frac") <= 0.2)
+    )
+    ded = exact_dedup(rep.select("doc_id", "lang", "source", "text"))
+    clean = decontaminate(ded, ev, n=5).filter(~F.col("contaminated"))
+    out = stratified_sample(
+        clean, {"en": 0.5, "zh": 0.25, "es": 0.75}, keep_u=False
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_lang_id(docs).select(
@@ -1494,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "training_mix_sample": q_training_mix_sample,
+        "corpus_pipeline": q_corpus_pipeline,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1876,6 +1913,106 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT64)
         / 4294967296.0
       < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
                   WHEN 'es' THEN 0.75 ELSE 0.0 END
+""",
+        "corpus_pipeline": r"""
+WITH train AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 7 <> 0
+),
+scrub AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text
+  FROM train
+),
+slines AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                    x -> len(trim(x)) > 0)) AS line
+  FROM scrub
+),
+slgrp AS (
+  SELECT doc_id, line, count(*) AS c, len(line) AS l
+  FROM slines GROUP BY doc_id, line
+),
+slstats AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+         sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_chars,
+         sum(c * l) AS tot_chars
+  FROM slgrp GROUP BY doc_id
+),
+swords AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) > 0) AS ws
+  FROM scrub
+),
+stwc AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS twc
+  FROM swords
+),
+sg2 AS (
+  SELECT doc_id, g, count(*) * (len(g) - 1) AS cover
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                                     i -> array_to_string(ws[i:i+1], ' '))) AS g
+        FROM swords)
+  GROUP BY doc_id, g
+),
+sb2 AS (SELECT doc_id, max(cover) AS best FROM sg2 GROUP BY doc_id),
+rep AS (
+  SELECT s.doc_id, s.lang, s.source, s.text
+  FROM scrub s
+  LEFT JOIN slstats ls USING (doc_id)
+  LEFT JOIN stwc t USING (doc_id)
+  LEFT JOIN sb2 USING (doc_id)
+  WHERE round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+                   THEN (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
+                   ELSE 0.0 END, 6) <= 0.3
+    AND round(CASE WHEN t.twc > 0
+                   THEN coalesce(sb2.best, 0) / CAST(t.twc AS DOUBLE)
+                   ELSE 0.0 END, 6) <= 0.2
+),
+ded AS (
+  SELECT doc_id, lang, source, text
+  FROM (SELECT r.*, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM rep r)
+  WHERE rn = 1
+),
+evwords AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+evg AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS g
+  FROM evwords
+),
+dwords AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     x -> len(x) > 0) AS ws
+  FROM ded
+),
+dgrams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS g
+  FROM dwords
+),
+bad AS (SELECT DISTINCT doc_id FROM dgrams JOIN evg USING (g))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+FROM ded d ANTI JOIN bad USING (doc_id)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UINT64)
+        / 4294967296.0
+      < CASE d.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                    WHEN 'es' THEN 0.75 ELSE 0.0 END
 """,
         "image_caption_filter": """
 WITH base AS (

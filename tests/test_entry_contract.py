@@ -50,6 +50,7 @@ FAST_ORACLE_QUERIES = [
     "decontaminate",
     "training_mix_sample",
     "crawl_delay_budgets",
+    "corpus_pipeline",
 ]
 
 
