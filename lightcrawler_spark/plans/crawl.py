@@ -361,7 +361,7 @@ class CrawlEngine:
             "url string, url_md5 string, host string, depth int, "
             "referer string, link_raw string, linktext string, "
             "is_redirect boolean, priority_level int, insert_seq long",
-        ).coalesce(1)  # a seed list is tiny; don't fan the scan out
+        )  # bare LocalTableScan: keep the broadcast/collect fast paths
         self._frontier_total = len(rows)  # drained-skip baseline
         return scheduler.assign_priority(df, self.spec.priority_rules)
 

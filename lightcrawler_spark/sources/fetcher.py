@@ -212,10 +212,12 @@ class SyntheticFetcher:
         if self._has_cookie_gate:
             cols.append("requires_cookie")
         # fixture webs are small by construction — broadcast so each
-        # round's fetch is shuffle-free on the work side; coalesce(1)
-        # first so the per-job broadcast-build stage is one task, not
-        # defaultParallelism near-empty ones
-        self.web = F.broadcast(webgraph_df.select(*cols).coalesce(1))
+        # round's fetch is shuffle-free on the work side. Do NOT wrap the
+        # local-rows scan in coalesce(1): BroadcastExchange over a bare
+        # LocalTableScan collects driver-side without scheduling a job,
+        # and inserting Coalesce forces a real 1-task job per broadcast
+        # per round (measured 3x engine-bench slowdown, A/B-bisected)
+        self.web = F.broadcast(webgraph_df.select(*cols))
         self.spec = spec
         self._join_cond = F.col("url") == F.col("_w_url")
         # the output expressions are pure functions of the joined input
