@@ -490,6 +490,60 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line-level exact dedup
+    (operators/textdedup.py:dedup_lines): a line survives only in its
+    first occurrence across the corpus, ordered by (doc_id, position);
+    lines under 30 chars never participate. Deterministic boilerplate
+    lines are appended so the pass fires. Scale shape: winner selection
+    is a partial-aggregating groupBy(md5(line)).agg(min(struct)) — NOT a
+    rank window — so a 10^8-occurrence boilerplate line collapses
+    map-side; the mark-join is a binary-key equi-join AQE can
+    skew-split."""
+    from lightcrawler_spark.operators.textdedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nFollow us on social media for the latest updates"
+                  " and news"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nSubscribe to our newsletter to never miss an"
+                      " update again"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_lines(aug, min_chars=30, keep_text=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_lines_removed",
+        "text_deduped",
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (operators/sampling.py:cap_per_key): at most
+    20 docs per source, preferring the longest (n_chars desc, doc_id
+    tiebreak). Scale shape: salted two-stage top-k — a hot domain's rows
+    spread over 8 local window partitions whose per-partition top-20
+    bound the exact final rank's input at 160 rows/key, so no single
+    window partition ever holds a whole domain."""
+    from lightcrawler_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_key(
+        docs, key_col="source", k=20,
+        order_by=[F.col("n_chars").desc()], salt_partitions=8,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("key_rank").cast("long").alias("key_rank"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_lang_id(docs).select(
@@ -1531,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "training_mix_sample": q_training_mix_sample,
         "corpus_pipeline": q_corpus_pipeline,
+        "line_dedup": q_line_dedup,
+        "domain_cap": q_domain_cap,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -2013,6 +2069,45 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UINT64)
         / 4294967296.0
       < CASE d.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
                     WHEN 'es' THEN 0.75 ELSE 0.0 END
+""",
+        "line_dedup": """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         'Follow us on social media for the latest updates and news' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) ||
+                   'Subscribe to our newsletter to never miss an update again'
+              ELSE '' END AS text
+  FROM documents WHERE doc_id < 300
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls)+1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug)
+),
+marked AS (
+  SELECT doc_id, pos, line,
+         (len(line) < 30) OR
+         (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+          AND len(line) >= 30) AS keep
+  FROM lines
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_removed,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep),
+                '') AS text_deduped
+FROM marked GROUP BY doc_id
+""",
+        "domain_cap": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(key_rank AS BIGINT) AS key_rank
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS key_rank
+      FROM documents)
+WHERE key_rank <= 20
 """,
         "image_caption_filter": """
 WITH base AS (

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["uniform_hash", "stratified_sample"]
+__all__ = ["uniform_hash", "stratified_sample", "cap_per_key"]
 
 
 def uniform_hash(key: Column, salt: str = "") -> Column:
@@ -60,3 +60,53 @@ def stratified_sample(
     u = uniform_hash(F.col(key_col), salt=salt)
     out = df.withColumn("sample_u", F.round(u, 9)).filter(u < rate)
     return out if keep_u else out.drop("sample_u")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str = "source",
+    k: int = 100,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+    salt_partitions: int = 16,
+    keep_rank: bool = True,
+) -> DataFrame:
+    """Keep at most `k` rows per `key_col` value, preferring rows first
+    in `order_by` (default: ascending `id_col`) — the per-domain quota
+    cap every corpus-mix recipe needs ("at most K docs per host so one
+    SEO farm can't dominate the corpus").
+
+    Scale shape: an exact top-k per key with a SKEWED key (a giant
+    domain can hold 10^8 docs) must not become one rank-window
+    partition. Two stages: (1) rank within (key, salt-of-row-id) — the
+    hot key's rows spread over `salt_partitions` window partitions, each
+    keeping its local top-k, bounding survivors at k·S per key; (2)
+    exact rank over that ≤ k·S remnant. Both orders end with the row id,
+    so the total order is deterministic and the result equals the
+    single-window top-k. `salt_partitions=1` collapses to the plain
+    window for small inputs.
+
+    Adds `key_rank` (1-based within key) unless `keep_rank=False`.
+    """
+    from pyspark.sql import Window
+
+    order = list(order_by) if order_by else []
+    order.append(F.col(id_col).asc())
+    s = max(int(salt_partitions), 1)
+    work = df
+    if s > 1:
+        w_local = Window.partitionBy(key_col, "_salt").orderBy(*order)
+        work = (
+            work.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
+            )
+            .withColumn("_lr", F.row_number().over(w_local))
+            .filter(F.col("_lr") <= k)
+            .drop("_salt", "_lr")
+        )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    out = (
+        work.withColumn("key_rank", F.row_number().over(w))
+        .filter(F.col("key_rank") <= k)
+    )
+    return out if keep_rank else out.drop("key_rank")

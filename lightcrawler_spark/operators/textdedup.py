@@ -37,6 +37,7 @@ __all__ = [
     "simhash_pairs",
     "word_ngrams",
     "decontaminate",
+    "dedup_lines",
 ]
 
 
@@ -345,3 +346,67 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_eval_ngram_hits") > 0)
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 30,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Corpus-global line-level exact dedup (C4/Dolma-style): a line
+    survives only in its FIRST occurrence across the whole corpus
+    (ordered by (doc_id, position)); later copies — boilerplate, nav
+    text, license banners — are dropped from the document body. Lines
+    shorter than `min_chars` never participate (too generic to be
+    meaningful duplicates) and are always kept.
+
+    Scale shape (this is the one to get right at 100 TB): winner
+    selection is `groupBy(line_md5).agg(min(struct(doc_id, pos)))` — a
+    partial-aggregating (map-side combine) hash aggregate, NOT a rank
+    window, so a boilerplate line with 10^8 occurrences collapses to one
+    row per map task before the shuffle instead of landing in a single
+    window partition. The join back to mark winners is a binary(16)
+    equi-join AQE can skew-split; reassembly is one groupBy(doc_id) of
+    pre-filtered rows. Graft context: the reference dedups whole
+    products only (DaoXlegalLawContentRecord.class.php:96-121); this is
+    the finer-grained corpus-curation pass the brief adds.
+
+    Returns `df` plus `text_deduped`, `n_lines` and `n_lines_removed`.
+    """
+    pos_lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = F.length(F.col("line")) >= min_chars
+    keyed = pos_lines.withColumn("_k", F.unhex(F.md5(F.col("line"))))
+    winners = (
+        keyed.filter(eligible)
+        .groupBy("_k")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_w"))
+    )
+    marked = keyed.join(winners, "_k", "left").withColumn(
+        "_keep",
+        (~eligible)
+        | (F.struct(F.col(id_col), F.col("pos")) == F.col("_w")),
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text_deduped"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+    out = df.join(rebuilt, id_col)
+    return out if keep_text else out.drop(text_col)

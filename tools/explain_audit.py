@@ -101,6 +101,24 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # line-level corpus dedup: winner selection must be a PARTIAL hash
+    # aggregate (map-side combine collapses hot boilerplate lines), not
+    # a rank window over the line key; no Python anywhere
+    "line_dedup": [
+        ("doc slice pushed to scan", r"PushedFilters: \[.*LessThan\(doc_id"),
+        ("map-side partial min of (doc_id,pos)", r"partial_min"),
+        ("no window over the line key", r"!windowspecdefinition\(_k#"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # per-domain quota cap: both rank windows must be partitioned (the
+    # salted local stage and the exact final stage) — no global sort,
+    # no unpartitioned window
+    "domain_cap": [
+        ("salted local window", r"windowspecdefinition\(source#\d+, _salt#"),
+        ("exact final window on source", r"Window.*\[source#\d+\]"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # one connected-components propagation step (see _cc_iteration_plan:
     # the dedup_clusters entry query returns a post-run checkpoint scan,
     # so the per-iteration plan shape is audited on a synthetic graph)
