@@ -272,7 +272,8 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "events_hourly", "dedup_exact", "token_counts", "quality_score",
         "lang_id", "doc_fingerprint", "embedding_topk", "embedding_lsh",
         "minhash_signatures", "repetition_stats", "decontaminate",
-        "training_mix_sample", "corpus_pipeline",
+        "training_mix_sample", "corpus_pipeline", "line_dedup",
+        "domain_cap",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
