@@ -192,6 +192,28 @@ def _words(c: Column) -> Column:
     )
 
 
+def _word_ngrams_zipped(words: Column, n: int) -> Column:
+    """Positional word n-grams (space-joined) built ONLY from whole-array
+    operations: fold ``zip_with(grams, slice(words, k+1, L), concat)``
+    n−1 times, then drop the null tail. zip_with/slice ARGUMENTS are
+    evaluated once per row, unlike a ``transform(sequence(...), i ->
+    slice(words, i, n))`` whose lambda re-evaluates the captured `words`
+    subtree per element — O(W²) per row once predicate pushdown inlines
+    the alias into a filter condition (measured 40× on the
+    corpus_pipeline gate)."""
+    grams = words
+    for k in range(1, n):
+        nxt = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1)))
+        grams = F.zip_with(
+            grams,
+            nxt,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    return F.filter(grams, lambda x: x.isNotNull())
+
+
 def _top_ngram_best(words: Column, n: int) -> Column:
     """max over word n-grams of (#occurrences × summed word chars).
 
@@ -201,17 +223,7 @@ def _top_ngram_best(words: Column, n: int) -> Column:
     G) per row inside codegen — no explode, no groupBy, so a 100 TB
     scan stays a scan. charlen counts the words' characters only
     (length(gram) − (n−1) joiner spaces), per the Gopher definition."""
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice(_, 0, n)
-    # throws — so docs with < n words must short-circuit to an empty
-    # gram array (CaseWhen evaluates branches lazily per row)
-    n_grams = F.size(words) - (n - 1)
-    grams = F.when(
-        n_grams > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams_zipped(words, n)
     init = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -251,32 +263,54 @@ def with_repetition_stats(
     equals its predecessor or successor in the sorted line array) — an
     O(L log L) equivalent of the group-and-count definition the DuckDB
     oracle computes relationally. Fractions are rounded to 6 places;
-    empty/degenerate docs yield 0.0, never null."""
+    empty/degenerate docs yield 0.0, never null.
+
+    The split/sort arrays are staged as real (temp) columns, NOT
+    captured expression trees: a lambda inside a higher-order function
+    re-evaluates every captured subtree per element, so an aggregate
+    doing `get(sort_array(split(text)), i)` per i is O(L² log L) per
+    row (measured 10× on the corpus_pipeline bench). As attributes they
+    evaluate once per row, and CollapseProject keeps multiply-referenced
+    non-cheap aliases staged instead of re-inlining them."""
     c = F.col(text_col)
-    lines = _nonempty_lines(c)
-    srt = F.sort_array(lines)
+    staged = df.withColumns(
+        {"_rl": _nonempty_lines(c), "_rw": _words(c)}
+    ).withColumn("_rs", F.sort_array(F.col("_rl")))
+    lines, srt, words = F.col("_rl"), F.col("_rs"), F.col("_rw")
     n_lines = F.size(lines).cast("long")
     n_distinct = F.size(F.array_distinct(lines)).cast("long")
     total_line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    dup_line_chars = F.aggregate(
-        F.sequence(F.lit(1), F.size(srt)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            (
-                F.get(srt, i - 2).isNotNull()
-                & (F.get(srt, i - 2) == F.get(srt, i - 1))
-            )
-            | (
-                F.get(srt, i).isNotNull()
-                & (F.get(srt, i) == F.get(srt, i - 1))
-            ),
-            F.length(F.get(srt, i - 1)).cast("long"),
+    # neighbour-adjacency via zip_with against the shifted copies: the
+    # array arguments evaluate once per row, so the expression stays
+    # linear even when predicate pushdown inlines it into a filter
+    # (a per-element get(srt, i) lambda re-evaluates the captured sort
+    # per element — quadratic after inlining)
+    prev_arr = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(srt, 1, F.greatest(F.size(srt) - 1, F.lit(1))),
+    )
+    next_arr = F.slice(srt, 2, F.greatest(F.size(srt) - 1, F.lit(1)))
+    with_prev = F.zip_with(
+        srt,
+        prev_arr,
+        lambda cur, prv: F.struct(
+            cur.alias("cur"),
+            (prv.isNotNull() & (prv == cur)).alias("dup"),
+        ),
+    )
+    dup_flagged = F.zip_with(
+        with_prev,
+        next_arr,
+        lambda s, nxt: F.when(
+            s["dup"] | (nxt.isNotNull() & (nxt == s["cur"])),
+            F.length(s["cur"]).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
-    words = _words(c)
+    dup_line_chars = F.aggregate(
+        dup_flagged, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
     total_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -298,4 +332,4 @@ def with_repetition_stats(
         cols[f"top{n}gram_char_frac"] = frac(
             _top_ngram_best(words, n), total_word_chars
         )
-    return df.withColumns(cols)
+    return staged.withColumns(cols).drop("_rl", "_rs", "_rw")
