@@ -356,6 +356,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup clusters: phash pigeonhole band pairs
+    (operators/images.py:phash_near_dup_pairs — 16-bit-chunk equi-join,
+    exact popcount ≤ 6 after) → min-label connected components
+    (operators/graph.py). Input synthesized relationally (60 groups of
+    5 phashes whose members differ in ≤ 2 low bits, bases spread across
+    chunks via shifted xors) so the DuckDB oracle re-derives the table,
+    the band-join semantics AND the clusters. Scale shape: candidate
+    pairs come from a chunk equi-join (never all-pairs), clusters from
+    one shuffle-bounded job per CC iteration."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.images import phash_near_dup_pairs
+
+    imgs = (
+        spark.range(300)
+        .select(
+            F.col("id").alias("image_id"),
+            (F.col("id") % 60).alias("_g"),
+            F.floor(F.col("id") / 60).cast("long").alias("_j"),
+        )
+        .select(
+            "image_id",
+            "_j",
+            (F.col("_g") * F.lit(2654435761))
+            .bitwiseXOR(F.shiftleft(F.col("_g") * F.lit(40503), 32))
+            .alias("_base"),
+        )
+        .select(
+            "image_id",
+            F.when(
+                F.col("_j") > 0,
+                F.col("_base").bitwiseXOR(
+                    F.pow(F.lit(2.0), (F.col("_j") * 2).cast("double"))
+                    .cast("long")
+                ),
+            )
+            .otherwise(F.col("_base"))
+            .alias("phash"),
+        )
+    )
+    pairs = phash_near_dup_pairs(imgs, max_hamming=6, id_col="image_id")
+    return dedup_cluster_assignments(pairs, imgs, id_col="image_id").select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (operators/text.py:with_pii_scrub): URLs →
     emails → phones scrubbed sequentially with JVM regexp_replace,
@@ -1580,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "image_caption_filter": q_image_caption_filter,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -2069,6 +2118,38 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UINT64)
         / 4294967296.0
       < CASE d.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
                     WHEN 'es' THEN 0.75 ELSE 0.0 END
+""",
+        "image_dedup_clusters": """
+WITH RECURSIVE
+imgs AS (
+  SELECT i AS image_id,
+         CASE WHEN i // 60 > 0
+              THEN xor(xor((i % 60) * 2654435761, ((i % 60) * 40503) << 32),
+                       CAST(power(2, (i // 60) * 2) AS BIGINT))
+              ELSE xor((i % 60) * 2654435761, ((i % 60) * 40503) << 32)
+         END AS ph
+  FROM generate_series(0, 299) t(i)
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 6
+    AND ((a.ph >> 0) & 65535 = (b.ph >> 0) & 65535
+      OR (a.ph >> 16) & 65535 = (b.ph >> 16) & 65535
+      OR (a.ph >> 32) & 65535 = (b.ph >> 32) & 65535
+      OR (a.ph >> 48) & 65535 = (b.ph >> 48) & 65535)
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT image_id, image_id FROM imgs
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+)
+SELECT CAST(node AS BIGINT) AS image_id,
+       CAST(min(comp) AS BIGINT) AS cluster,
+       (node = min(comp)) AS is_canonical
+FROM reach GROUP BY node
 """,
         "line_dedup": """
 WITH aug AS (
