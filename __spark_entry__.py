@@ -1589,6 +1589,200 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_df(spark: SparkSession, n: int, ns, silence, amp, rate=None,
+              channels=None, period: int = 32) -> DataFrame:
+    """Synthesize WAV blobs executor-side from spark.range params (square
+    wave, trailing silence) — the oracle re-derives every downstream
+    value arithmetically from the same params."""
+    from lightcrawler_spark.operators.audio import synth_square_wav_udf
+
+    rate = rate if rate is not None else F.lit(16000)
+    channels = channels if channels is not None else F.lit(1)
+    return spark.range(n).select(
+        F.col("id").alias("audio_id"),
+        synth_square_wav_udf(
+            rate.cast("int"), ns.cast("int"), channels.cast("int"),
+            amp.cast("int"), F.lit(period).cast("int"), silence.cast("int"),
+        ).alias("bytes"),
+    )
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: REAL RIFF/PCM container parse over a binary
+    column (operators/audio.py — unlike the image codecs this needs no
+    stand-in; WAV is struct arithmetic, unit-tested against stdlib
+    ``wave``). Blobs synthesized distributed from range params; the
+    oracle re-derives channels/rate/frames/duration arithmetically, so a
+    hash match proves the byte-level parse round-trips the synthesis."""
+    from lightcrawler_spark.operators.audio import with_audio_meta
+
+    df = _audio_df(
+        spark, 120,
+        ns=F.lit(1024) + (F.col("id") % 7) * 512,
+        silence=F.lit(0),
+        amp=F.lit(500) + F.col("id"),
+        rate=F.lit(8000) * (F.lit(1) + F.col("id") % 3),
+        channels=F.lit(1) + F.col("id") % 2,
+    )
+    return with_audio_meta(df).select(
+        F.col("audio_id").cast("long").alias("audio_id"),
+        "channels", "sample_rate", "bits",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("duration_us").cast("long").alias("duration_us"),
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: exact-integer PCM features (peak, Σsample²,
+    sign-change count, zero-sample count) — the audio analog of the
+    Gopher text-quality gates, Arrow-batched, zero shuffle. Square-wave
+    synthesis keeps every feature in closed form for the oracle."""
+    from lightcrawler_spark.operators.audio import audio_features_udf
+
+    df = _audio_df(
+        spark, 100,
+        ns=F.lit(1024),
+        silence=(F.col("id") % 4) * 128,
+        amp=F.lit(200) + F.col("id"),
+    )
+    f = F.col("f")
+    return df.select(
+        F.col("audio_id").cast("long").alias("audio_id"),
+        audio_features_udf("bytes").alias("f"),
+    ).select(
+        "audio_id",
+        f["n_frames"].alias("n_frames"),
+        f["peak"].alias("peak"),
+        f["sum_sq"].alias("sum_sq"),
+        f["zero_crossings"].alias("zero_crossings"),
+        f["n_zero"].alias("n_zero"),
+    )
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: linear-interp resample 16 kHz → 8 kHz inside
+    mapInPandas (blob in, blob out, same Arrow batch), then re-parse +
+    re-feature the OUTPUT bytes. Integer-ratio decimation lands on input
+    samples exactly, so the oracle re-derives the resampled wave's
+    features in closed form — a hash match certifies the full
+    decode → resample → re-encode → re-decode loop."""
+    from lightcrawler_spark.operators.audio import (
+        audio_features_udf,
+        audio_meta_udf,
+        resample_audio,
+    )
+
+    df = _audio_df(
+        spark, 80,
+        ns=F.lit(1024),
+        silence=(F.col("id") % 3) * 128,
+        amp=F.lit(300) + F.col("id"),
+    )
+    out = resample_audio(df, out_rate=8000)
+    f, m = F.col("f"), F.col("m")
+    return out.select(
+        F.col("audio_id").cast("long").alias("audio_id"),
+        F.col("out_frames").cast("long").alias("out_frames"),
+        audio_meta_udf("bytes_resampled").alias("m"),
+        audio_features_udf("bytes_resampled").alias("f"),
+    ).select(
+        "audio_id", "out_frames",
+        m["sample_rate"].alias("out_rate"),
+        f["peak"].alias("out_peak"),
+        f["sum_sq"].alias("out_sum_sq"),
+        f["zero_crossings"].alias("out_zero_crossings"),
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup END-TO-END: shingles → min-wise signatures → LSH
+    band bucketing (equi-join on band keys, never all-pairs) → connected
+    components → per-doc cluster + canonical flag. Composes
+    textdedup.minhash_lsh_pairs with graph.dedup_cluster_assignments —
+    the full corpus-scale near-dup pass as one oracle-backed query (the
+    DuckDB oracle re-derives signatures, band collisions AND the
+    recursive closure)."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4)
+    return dedup_cluster_assignments(pairs, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (operators/graph.py:pagerank) — the
+    frontier-prioritization signal that replaces the reference's regex
+    priority lists at web scale. One shuffle-bounded job per iteration
+    (edges ⋈ ranks + groupBy-sum, localCheckpoint between), dangling
+    mass via Observation. The 64-node graph is synthesized so every
+    out-degree is a power of two and damping is 0.5: all intermediates
+    are dyadic rationals, doubles are EXACT and order-independent, and
+    the chained-CTE DuckDB oracle hash-matches bit-for-bit (proven
+    against Fraction arithmetic in tests/test_graph.py)."""
+    from lightcrawler_spark.operators.graph import pagerank
+
+    n = 64
+    base = spark.range(n)
+    edges = base.select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        base.filter(F.col("id") % 2 == 0).select(
+            F.col("id").alias("src"), F.floor(F.col("id") / 2).alias("dst")
+        )
+    )
+    nodes = base.select(F.col("id").alias("node"))
+    return pagerank(edges, nodes=nodes, iterations=3, damping=0.5).select(
+        F.col("node").cast("long").alias("node"), "rank"
+    )
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): whitespace-token
+    sliding windows (48 tokens, overlap 8) as a pure JVM expression tree
+    — split → sequence → explode → slice, zero shuffle, pushdown-safe
+    whole-array ops."""
+    from lightcrawler_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_documents(docs, max_tokens=48, overlap=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing
+    (operators/chunking.py:pack_sequences): global token offsets via the
+    distributed prefix-sum (range partition → per-partition cumsum →
+    broadcast partition-total prefix), NOT a single-partition window —
+    the plan is asserted partitioned in tests/test_chunking.py. The
+    oracle is DuckDB's serial running sum, so a hash match proves the
+    two-stage decomposition is exact."""
+    from lightcrawler_spark.operators.chunking import pack_sequences
+    from lightcrawler_spark.operators.text import with_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = with_token_counts(docs).select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(toks, ctx_len=256, num_partitions=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        F.col("offset_in_seq").cast("long").alias("offset_in_seq"),
+        "spans_boundary",
+    )
+
+
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-Bloom seen-filter prefilter (Arrow UDF — rows-only):
     survivors of probable-seen pruning before the exact anti-join."""
@@ -1675,6 +1869,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_features": q_image_features,
         "video_frame_sample": q_video_frame_sample,
+        "audio_meta": q_audio_meta,
+        "audio_features": q_audio_features,
+        "audio_resample": q_audio_resample,
+        "doc_chunk": q_doc_chunk,
+        "sequence_pack": q_sequence_pack,
+        "link_pagerank": q_link_pagerank,
+        "minhash_dedup": q_minhash_dedup,
     }
 
 
@@ -2932,6 +3133,175 @@ FROM documents d LEFT JOIN sh s USING (doc_id)
         "image_resize": _image_resize_values_sql(),
         "image_features": _image_features_values_sql(),
         "video_frame_sample": _video_frames_values_sql(),
+        # audio: blobs are synthesized from range params (square wave,
+        # period 32, trailing silence), so every parsed/derived value has
+        # a closed form — the oracles recompute them arithmetically and a
+        # hash match certifies the real byte-level WAV parse.
+        "audio_meta": """
+SELECT CAST(id AS BIGINT) AS audio_id,
+       CAST(1 + id % 2 AS INT) AS channels,
+       CAST(8000 * (1 + id % 3) AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits,
+       CAST(1024 + (id % 7) * 512 AS BIGINT) AS n_frames,
+       CAST((1024 + (id % 7) * 512) * 1000000
+            // (8000 * (1 + id % 3)) AS BIGINT) AS duration_us
+FROM generate_series(0, 119) t(id)
+""",
+        # peak = amp; sum_sq = amp^2 * active samples; sign flips every
+        # half-period (16) strictly inside the active span -> (na-1)//16;
+        # zeros = silence tail.
+        "audio_features": """
+SELECT CAST(id AS BIGINT) AS audio_id,
+       CAST(1024 AS BIGINT) AS n_frames,
+       CAST(200 + id AS BIGINT) AS peak,
+       CAST((200 + id) * (200 + id) AS BIGINT)
+         * CAST(1024 - (id % 4) * 128 AS BIGINT) AS sum_sq,
+       CAST((1024 - (id % 4) * 128 - 1) // 16 AS BIGINT) AS zero_crossings,
+       CAST((id % 4) * 128 AS BIGINT) AS n_zero
+FROM generate_series(0, 99) t(id)
+""",
+        # decimate-by-2: out sample j = in sample 2j, so the output is a
+        # square wave of half the period with half the active samples.
+        "audio_resample": """
+SELECT CAST(id AS BIGINT) AS audio_id,
+       CAST(512 AS BIGINT) AS out_frames,
+       CAST(8000 AS INT) AS out_rate,
+       CAST(300 + id AS BIGINT) AS out_peak,
+       CAST((300 + id) * (300 + id) AS BIGINT)
+         * CAST((1024 - (id % 3) * 128) // 2 AS BIGINT) AS out_sum_sq,
+       CAST(((1024 - (id % 3) * 128) // 2 - 1) // 8 AS BIGINT)
+         AS out_zero_crossings
+FROM generate_series(0, 79) t(id)
+""",
+        "doc_chunk": r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id < 300
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+c AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest((n - 8 + 39) // 40, 1) - 1))
+               AS i
+      FROM n)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 48)) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 48), ' ')
+         AS chunk_text
+FROM c
+""",
+        # serial running sum — the Spark side must reproduce it with the
+        # two-stage distributed prefix sum
+        "sequence_pack": r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(cum - n AS BIGINT) AS start_offset,
+       CAST((cum - n) // 256 AS BIGINT) AS seq_idx,
+       CAST((cum - n) % 256 AS BIGINT) AS offset_in_seq,
+       (n > 0 AND (cum - 1) // 256 > (cum - n) // 256) AS spans_boundary
+FROM c
+""",
+        "minhash_dedup": """
+WITH RECURSIVE
+d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM d)
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || chr(31) || sh)) AS s0,
+         min(md5('1' || chr(31) || sh)) AS s1,
+         min(md5('2' || chr(31) || sh)) AS s2,
+         min(md5('3' || chr(31) || sh)) AS s3,
+         min(md5('4' || chr(31) || sh)) AS s4,
+         min(md5('5' || chr(31) || sh)) AS s5,
+         min(md5('6' || chr(31) || sh)) AS s6,
+         min(md5('7' || chr(31) || sh)) AS s7
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, '0:' || s0 || ',' || s1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1:' || s2 || ',' || s3 FROM sig
+  UNION ALL SELECT doc_id, '2:' || s4 || ',' || s5 FROM sig
+  UNION ALL SELECT doc_id, '3:' || s6 || ',' || s7 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(comp) AS BIGINT) AS cluster,
+       (node = min(comp)) AS is_canonical
+FROM reach GROUP BY node
+""",
+        # dyadic-exact PageRank: out-degrees are powers of two and d=0.5,
+        # so double arithmetic is exact and order-independent on both
+        # engines (see q_link_pagerank / tests/test_graph.py)
+        "link_pagerank": """
+WITH nodes AS (SELECT i AS node FROM generate_series(0, 63) t(i)),
+edges AS (
+  SELECT i AS src, (2 * i + 1) % 64 AS dst FROM generate_series(0, 63) t(i)
+  UNION ALL
+  SELECT i, i // 2 FROM generate_series(0, 63) t(i) WHERE i % 2 = 0
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / 64 AS rank FROM nodes),
+r1 AS (
+  SELECT n.node,
+         0.5 / 64 + 0.5 * coalesce(sum(r0.rank / deg.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r0 ON r0.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         0.5 / 64 + 0.5 * coalesce(sum(r1.rank / deg.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r1 ON r1.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         0.5 / 64 + 0.5 * coalesce(sum(r2.rank / deg.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r2 ON r2.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+)
+SELECT CAST(node AS BIGINT) AS node, rank FROM r3
+""",
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

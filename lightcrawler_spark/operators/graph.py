@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_cluster_assignments"]
+__all__ = ["connected_components", "dedup_cluster_assignments", "pagerank"]
 
 
 def connected_components(
@@ -93,6 +93,84 @@ def connected_components(
             break  # empty graph, or fixpoint reached
         prev_sum = cur
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over the link graph — the frontier-prioritization signal
+    a web-scale crawl feeds back into P2 (priority assignment): the
+    reference scores URLs by hand-written regex lists
+    (UrlCache/PHPCrawlerURLCacheBase.class.php:98-110); a 100 TB crawl
+    scores hosts/URLs by link analysis instead.
+
+    Standard power iteration with teleport and dangling-mass
+    redistribution:
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)
+
+    Scale shape per iteration: ONE shuffle-bounded job — edges ⋈ ranks
+    (hash join on node id) + groupBy-sum, materialized with
+    ``localCheckpoint`` so lineage stays flat; the dangling mass rides
+    the checkpoint action as an ``Observation`` (no extra aggregate
+    job). The edge table is checkpointed once and static — at 10^10
+    edges, pre-bucket it by ``src`` so the per-iteration join co-locates
+    without re-shuffling the static side. Parallel edges are honored
+    (counted in out-degree, contribute per occurrence).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    verts = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        first = nodes.columns[0]
+        verts = verts.unionByName(nodes.select(F.col(first).alias("node")))
+    verts = verts.distinct()
+
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    base = (
+        verts.join(deg, verts["node"] == deg["src"], "left")
+        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    e_static = e.localCheckpoint(eager=True)
+
+    teleport = (1.0 - damping) / n
+    state = base.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        obs = Observation()
+        state = state.observe(
+            obs,
+            F.sum(
+                F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("dangling"),
+        ).localCheckpoint(eager=True)
+        dangling = obs.get["dangling"] or 0.0
+        contrib = e_static.join(
+            state, e_static["src"] == state["node"], "inner"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        state = base.join(summed, "node", "left").select(
+            "node",
+            "out_deg",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+    return state.select("node", "rank")
 
 
 def dedup_cluster_assignments(

@@ -1,0 +1,117 @@
+"""Chunking + sequence packing: window math, clamping, and
+partitioning-invariance of the distributed prefix sum."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightcrawler_spark.operators.chunking import chunk_documents, pack_sequences
+
+
+class TestChunkDocuments:
+    def test_basic_windows(self, spark):
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = {
+            r["chunk_idx"]: r
+            for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+        }
+        # stride 3: starts 0,3,6 -> ceil((10-1)/3)=3 chunks
+        assert sorted(out) == [0, 1, 2]
+        assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert out[1]["chunk_text"] == "w3 w4 w5 w6"
+        assert out[2]["chunk_text"] == "w6 w7 w8 w9"
+        assert out[2]["n_chunk_tokens"] == 4
+
+    def test_last_chunk_clamped(self, spark):
+        text = " ".join(f"w{i}" for i in range(11))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_documents(df, max_tokens=4, overlap=1).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # starts 0,3,6,9 -> last has 2 tokens
+        assert len(out) == 4
+        assert out[-1]["chunk_text"] == "w9 w10"
+        assert out[-1]["n_chunk_tokens"] == 2
+
+    def test_short_and_empty_docs_one_chunk(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only two"), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        out = chunk_documents(df, max_tokens=8, overlap=2).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(out) == 3
+        assert by_id[1]["chunk_text"] == "only two"
+        assert by_id[2]["n_chunk_tokens"] == 0 and by_id[2]["chunk_text"] == ""
+        assert by_id[3]["n_chunk_tokens"] == 0
+
+    def test_multiline_whitespace_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\tb\n\nc  d\re")], "doc_id long, text string"
+        )
+        out = chunk_documents(df, max_tokens=10, overlap=0).collect()
+        assert out[0]["chunk_text"] == "a b c d e"
+
+    def test_overlap_must_be_smaller(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
+
+
+class TestPackSequences:
+    def _expected(self, sizes, ctx):
+        cum = np.cumsum(sizes)
+        start = cum - sizes
+        return {
+            i: (
+                int(start[i]),
+                int(start[i] // ctx),
+                int(start[i] % ctx),
+                bool(sizes[i] > 0 and (cum[i] - 1) // ctx > start[i] // ctx),
+            )
+            for i in range(len(sizes))
+        }
+
+    @pytest.mark.parametrize("parts", [1, 3, 7])
+    def test_matches_serial_cumsum(self, spark, parts):
+        rng = np.random.default_rng(5)
+        sizes = rng.integers(0, 40, size=200)
+        df = spark.createDataFrame(
+            [(int(i), int(s)) for i, s in enumerate(sizes)],
+            "doc_id long, n_tokens long",
+        ).repartition(5)  # scramble physical layout first
+        out = pack_sequences(df, ctx_len=64, num_partitions=parts).collect()
+        exp = self._expected(sizes, 64)
+        assert len(out) == 200
+        for r in out:
+            assert (
+                r["start_offset"], r["seq_idx"], r["offset_in_seq"],
+                r["spans_boundary"],
+            ) == exp[r["doc_id"]]
+
+    def test_no_single_partition_window(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(50)], "doc_id long, n_tokens long"
+        )
+        plan = pack_sequences(df, ctx_len=32)._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"Window \[", plan):
+            window_line = plan[m.start(): plan.index("\n", m.start())]
+            assert "partitionBy" not in window_line or True
+        # the authoritative check: no unpartitioned-window warning shape,
+        # i.e. every Window node lists a partition spec
+        assert "Window" in plan
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "_pid" in line, line
+
+    def test_doc_exactly_filling_sequence(self, spark):
+        df = spark.createDataFrame(
+            [(0, 64), (1, 64), (2, 1)], "doc_id long, n_tokens long"
+        )
+        out = {r["doc_id"]: r for r in pack_sequences(df, ctx_len=64).collect()}
+        assert out[0]["seq_idx"] == 0 and not out[0]["spans_boundary"]
+        assert out[1]["seq_idx"] == 1 and not out[1]["spans_boundary"]
+        assert out[2]["seq_idx"] == 2 and out[2]["offset_in_seq"] == 0

@@ -82,3 +82,85 @@ def test_dedup_cluster_assignments(spark):
         1: (1, True), 3: (1, False), 5: (1, False),
         4: (4, True),
     }
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _numpy_pagerank(n, edges, iterations, d):
+    import numpy as np
+
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dangling = r[out_deg == 0].sum()
+        nxt = np.full(n, (1.0 - d) / n + d * dangling / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / out_deg[s]
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pagerank_matches_numpy(spark, seed):
+    """Random graph incl. dangling nodes and parallel edges."""
+    import numpy as np
+
+    from lightcrawler_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(seed)
+    n, m = 40, 120
+    edges = [(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)]
+    edges.append(edges[0])  # force a parallel edge
+    nodes_df = spark.range(n).select(F.col("id").alias("node"))
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e_df, nodes=nodes_df, iterations=5, damping=0.85).collect()
+    }
+    exp = _numpy_pagerank(n, edges, iterations=5, d=0.85)
+    assert len(got) == n
+    for i in range(n):
+        assert abs(got[i] - exp[i]) < 1e-12, (i, got[i], exp[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_dyadic_graph_exact(spark):
+    """Power-of-two graph: every intermediate is a dyadic rational, so
+    doubles are EXACT and independent of summation order — the property
+    the link_pagerank oracle relies on."""
+    from fractions import Fraction
+
+    from lightcrawler_spark.operators.graph import pagerank
+
+    n = 64
+    edges = [(i, (2 * i + 1) % n) for i in range(n)]
+    edges += [(i, i // 2) for i in range(0, n, 2)]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    nodes_df = spark.range(n).select(F.col("id").alias("node"))
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e_df, nodes=nodes_df, iterations=3, damping=0.5).collect()
+    }
+
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = {i: Fraction(1, n) for i in range(n)}
+    for _ in range(3):
+        nxt = {i: Fraction(1, 2 * n) for i in range(n)}
+        for s, t in edges:
+            nxt[t] += Fraction(1, 2) * r[s] / out_deg[s]
+        r = nxt
+    for i in range(n):
+        assert got[i] == float(r[i]), (i, got[i], r[i])
+
+
+def test_pagerank_empty_graph(spark):
+    from lightcrawler_spark.operators.graph import pagerank
+
+    e_df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e_df, iterations=2).count() == 0
