@@ -1694,6 +1694,29 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (operators/ranking.py) — the scorer behind
+    the S10 index sink's consumer (the reference delegates to xunsearch,
+    worker/IndexManager.class.php:41-132). Scale shape: corpus stats
+    (N, avgdl, per-QUERY-term df) collapse to driver scalars in one
+    aggregate, then scoring is a single codegen'd scan with the scalars
+    inlined as literals — no join. The oracle recomputes the identical
+    expression tree (same literal forms, same associativity) in DuckDB;
+    scores rounded to 6dp on both sides."""
+    from lightcrawler_spark.operators.ranking import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["spark", "query", "join"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("tf_spark").cast("long").alias("tf_spark"),
+        F.col("tf_query").cast("long").alias("tf_query"),
+        F.col("tf_join").cast("long").alias("tf_join"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash dedup END-TO-END: shingles → min-wise signatures → LSH
     band bucketing (equi-join on band keys, never all-pairs) → connected
@@ -1748,7 +1771,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-array ops."""
     from lightcrawler_spark.operators.chunking import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, max_tokens=48, overlap=8).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
@@ -1876,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "link_pagerank": q_link_pagerank,
         "minhash_dedup": q_minhash_dedup,
+        "bm25_rank": q_bm25_rank,
     }
 
 
@@ -3178,7 +3202,7 @@ WITH d AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(text), '\s+'),
                      x -> length(x) > 0) AS toks
-  FROM documents WHERE doc_id < 300
+  FROM documents
 ),
 n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
 c AS (SELECT doc_id, toks, n,
@@ -3215,6 +3239,47 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((cum - n) % 256 AS BIGINT) AS offset_in_seq,
        (n > 0 AND (cum - 1) // 256 > (cum - n) // 256) AS spans_boundary
 FROM c
+""",
+        # mirrors the Spark expression tree literal-for-literal: (1.2+1.0)
+        # not 2.2, (1.0-0.75) not 0.25, same associativity — so the only
+        # cross-engine wiggle is ln()'s last ulp, absorbed by round(,6)
+        "bm25_rank": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+st AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df2
+  FROM base
+),
+tf AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         len(list_filter(toks, x -> x = 'query')) AS tf1,
+         len(list_filter(toks, x -> x = 'join')) AS tf2
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(dl AS BIGINT) AS dl,
+       CAST(tf0 AS BIGINT) AS tf_spark,
+       CAST(tf1 AS BIGINT) AS tf_query,
+       CAST(tf2 AS BIGINT) AS tf_join,
+       round(
+           0.0
+         + ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+             / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+             / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         + ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+             / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)),
+       6) AS score
+FROM tf, st
 """,
         "minhash_dedup": """
 WITH RECURSIVE

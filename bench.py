@@ -43,6 +43,7 @@ N_SEEN = _env_n("SPARK_GRAFT_DEDUP_N", int(2_000_000 * SCALE))
 N_NEW = N_SEEN
 N_PAGES = _env_n("SPARK_GRAFT_PAGES_N", int(60_000 * SCALE))
 N_IMAGES = _env_n("SPARK_GRAFT_IMAGES_N", int(20_000 * SCALE))
+N_AUDIO = _env_n("SPARK_GRAFT_AUDIO_N", int(20_000 * SCALE))
 
 
 def log(msg: str) -> None:
@@ -183,6 +184,36 @@ def bench_image_decode(spark: SparkSession) -> dict:
     return {"sec": dt, "images_per_sec": n / dt, "ok": ok}
 
 
+def bench_audio_pipeline(spark: SparkSession) -> dict:
+    """Audio leg of the multimodal pipeline at volume: WAV encode →
+    container parse → exact-integer PCM features, all executor-side
+    (synthesis via pandas UDF from range params — no driver funnel)."""
+    from lightcrawler_spark.operators.audio import (
+        audio_features_udf,
+        synth_square_wav_udf,
+    )
+
+    n = N_AUDIO
+    df = spark.range(n).repartition(CPUS * 2).select(
+        F.col("id"),
+        synth_square_wav_udf(
+            F.lit(16000), (F.lit(4096) + (F.col("id") % 4) * 1024).cast("int"),
+            F.lit(1), (F.lit(300) + F.col("id") % 100).cast("int"),
+            F.lit(32), ((F.col("id") % 8) * 128).cast("int"),
+        ).alias("bytes"),
+    )
+    t0 = time.time()
+    ok = (
+        df.select(audio_features_udf("bytes").alias("f"))
+        .filter(F.col("f.ok") & (F.col("f.sum_sq") > 0))
+        .count()
+    )
+    dt = time.time() - t0
+    log(f"audio_pipeline: {n} clips ({ok} ok) in {dt:.1f}s = "
+        f"{n / dt:,.0f} clips/s")
+    return {"sec": dt, "clips_per_sec": n / dt, "ok": ok}
+
+
 def bench_per_host_schedule(spark: SparkSession) -> dict:
     """P8 scale mode (fixed in r3): per-host politeness pop + the
     deterministic host interleave over a synthetic frontier — the round
@@ -284,7 +315,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "lang_id", "doc_fingerprint", "embedding_topk", "embedding_lsh",
         "minhash_signatures", "repetition_stats", "decontaminate",
         "training_mix_sample", "corpus_pipeline", "line_dedup",
-        "domain_cap",
+        "domain_cap", "doc_chunk", "sequence_pack",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -321,6 +352,10 @@ def run(spark: SparkSession) -> dict:
     r = best_of(bench_image_decode)
     queries["image_decode_verify"] = round(r["sec"], 3)
     extra["images_per_sec"] = round(r["images_per_sec"])
+
+    r = best_of(bench_audio_pipeline)
+    queries["audio_pipeline"] = round(r["sec"], 3)
+    extra["audio_clips_per_sec"] = round(r["clips_per_sec"])
 
     r = best_of(bench_per_host_schedule)
     queries["per_host_schedule_synthetic"] = round(r["sec"], 3)
