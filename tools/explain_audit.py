@@ -119,6 +119,42 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # chunking: a pure generator pass over the scan — explode of the
+    # chunk-index sequence, whole-array slices, nothing moves
+    "doc_chunk": [
+        ("generator explode of chunk starts", r"Generate explode"),
+        ("no shuffle (pure scan pass)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # sequence packing: the global prefix sum must decompose — every
+    # window partitioned by _pid, partition-total prefix broadcast back,
+    # never a single-partition window over the corpus
+    "sequence_pack": [
+        ("cumsum window partitioned by _pid", r"Window.*\[_pid#\d+\]"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("partition-total prefix broadcast", r"BroadcastHashJoin"),
+    ],
+    # BM25: corpus stats were collapsed to literals at plan-build time —
+    # the scoring pass is one codegen'd scan, no join, no shuffle
+    "bm25_rank": [
+        ("no join (stats inlined as literals)", r"!Join"),
+        ("no shuffle (single scan)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
+    # audio: Arrow-batched UDFs over the binary column, zero shuffle
+    "audio_features": [
+        ("Arrow-batched UDF", r"ArrowEvalPython"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+        ("no shuffle", r"!Exchange"),
+    ],
+    # one PageRank power-iteration step (audited on a synthetic graph —
+    # the entry query returns a post-run checkpoint scan)
+    "pagerank_iteration": [
+        ("ranks equi-joined to edges", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("map-side partial sum of contributions", r"partial_sum"),
+    ],
     # one connected-components propagation step (see _cc_iteration_plan:
     # the dedup_clusters entry query returns a post-run checkpoint scan,
     # so the per-iteration plan shape is audited on a synthetic graph)
@@ -153,8 +189,35 @@ def _cc_iteration_plan(spark):
     )
 
 
+def _pagerank_iteration_plan(spark):
+    """The plan operators/graph.py:pagerank runs per power iteration."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    )
+    state = spark.range(100).select(
+        F.col("id").alias("node"),
+        F.lit(2).alias("out_deg"),
+        F.lit(0.01).alias("rank"),
+    )
+    base = state.select("node", "out_deg")
+    contrib = edges.join(state, edges["src"] == state["node"]).select(
+        F.col("dst").alias("node"),
+        (F.col("rank") / F.col("out_deg")).alias("c"),
+    )
+    summed = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+    return base.join(summed, "node", "left").select(
+        "node",
+        (F.lit(0.005) + F.lit(0.5) * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
+    )
+
+
 # plans audited outside the entry-query registry
-EXTRA_PLANS = {"cc_iteration": _cc_iteration_plan}
+EXTRA_PLANS = {
+    "cc_iteration": _cc_iteration_plan,
+    "pagerank_iteration": _pagerank_iteration_plan,
+}
 
 
 def main() -> int:

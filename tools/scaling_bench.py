@@ -41,7 +41,7 @@ REPS = int(os.environ.get("SCALING_REPS", "8"))
 # Spark workloads so every report carries its contemporaneous
 # environmental bound. Spark efficiency ÷ hostcpu efficiency =
 # environment-normalized efficiency.
-WORKLOADS = ("dedup", "pages", "images", "hostcpu", "hostbw")
+WORKLOADS = ("dedup", "pages", "images", "audio", "hostcpu", "hostbw")
 
 
 class _HostCeiling:
@@ -112,6 +112,7 @@ def serve(cpus: int) -> None:
         "dedup": lambda: bench.bench_frontier_dedup(spark)["ops_per_sec"],
         "pages": lambda: bench.bench_page_pipeline(spark)["pages_per_sec"],
         "images": lambda: bench.bench_image_decode(spark)["images_per_sec"],
+        "audio": lambda: bench.bench_audio_pipeline(spark)["clips_per_sec"],
         "hostcpu": lambda: ceiling.run("hostcpu"),
         "hostbw": lambda: ceiling.run("hostbw"),
     }
