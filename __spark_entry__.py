@@ -1694,6 +1694,27 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (operators/similarity.py:ann_recall):
+    recall@3 of SRP-LSH against the exact cosine top-k, per query — the
+    measurement loop that justifies the bucketed scale path. Both sides
+    are k·Q-row tables, so the evaluator is broadcast-sized regardless
+    of corpus size; the oracle re-derives BOTH rankings (deterministic
+    tie-break sim DESC, neighbor ASC) and the set intersection."""
+    from lightcrawler_spark.operators.similarity import ann_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=3)
+    approx = lsh_topk(emb, q, k=3, n_bits=4)
+    return ann_recall(exact, approx).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "recall",
+    )
+
+
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance scoring (operators/ranking.py) — the scorer behind
     the S10 index sink's consumer (the reference delegates to xunsearch,
@@ -1900,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "minhash_dedup": q_minhash_dedup,
         "bm25_rank": q_bm25_rank,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -3239,6 +3261,69 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((cum - n) % 256 AS BIGINT) AS offset_in_seq,
        (n > 0 AND (cum - 1) // 256 > (cum - n) // 256) AS spans_boundary
 FROM c
+""",
+        # recall@3 of SRP-LSH vs exact cosine: both rankings re-derived
+        # with the deterministic tie-break, then set-intersected
+        "ann_recall": """
+WITH w AS (
+  SELECT b, i, CAST(ascii(substr(md5(b || '_' || i), 1, 1)) - 79 AS DOUBLE) AS wt
+  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+       (SELECT unnest(generate_series(1, 64)) AS i)
+),
+ux AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN sum(x * wt) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM ux JOIN w USING (i) GROUP BY vec_id, b
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id
+),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, bk.bucket
+      FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id
+      WHERE e.vec_id < 10),
+expairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM expairs) WHERE rank <= 3
+),
+appairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q
+  JOIN buckets bk ON bk.bucket = q.bucket
+  JOIN embeddings e ON e.vec_id = bk.vec_id
+  WHERE e.vec_id <> q.query_id
+),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM appairs) WHERE rank <= 3
+)
+SELECT CAST(ex.query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) * 1.0 / count(*), 6) AS recall
+FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+                    AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id
 """,
         # mirrors the Spark expression tree literal-for-literal: (1.2+1.0)
         # not 2.2, (1.0-0.75) not 0.25, same associativity — so the only

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk",
-           "ivf_topk", "cosine_near_dup_pairs"]
+           "ivf_topk", "cosine_near_dup_pairs", "ann_recall"]
 
 
 def _dot(a, b):
@@ -257,4 +257,40 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
         )
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame,
+               query_col: str = "query_id",
+               neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Recall of an ANN result against the exact top-k — the evaluation
+    loop that justifies shipping LSH/IVF instead of brute force at
+    corpus scale.
+
+    Both inputs are per-query top-k tables (e.g. ``brute_force_topk``
+    vs ``lsh_topk``/``ivf_topk``). Returns per query:
+    ``(query_id, n_exact, n_hits, recall)`` with
+    recall = |approx ∩ exact| / |exact| (|exact| may be < k on small
+    corpora). Scale: inputs are k·Q rows — everything here is a
+    broadcast-sized join regardless of corpus size."""
+    ex = exact.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    ap = approx.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
     )

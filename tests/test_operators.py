@@ -348,3 +348,31 @@ class TestCuckooFilter:
         # survivors ⊆ fresh (no false negatives on seen), nearly all fresh kept
         assert got <= fresh
         assert len(got) >= len(fresh) - 2
+
+
+class TestAnnRecall:
+    def test_recall_fraction(self, spark):
+        from lightcrawler_spark.operators.similarity import ann_recall
+
+        exact = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5)],
+            "query_id long, neighbor_id long",
+        )
+        approx = spark.createDataFrame(
+            [(0, 2), (0, 9), (1, 4), (1, 5)],
+            "query_id long, neighbor_id long",
+        )
+        got = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+        assert got[0]["n_exact"] == 3 and got[0]["n_hits"] == 1
+        assert got[0]["recall"] == pytest.approx(1 / 3, abs=1e-6)
+        assert got[1]["n_hits"] == 2 and got[1]["recall"] == 1.0
+
+    def test_identical_inputs_full_recall(self, spark):
+        from lightcrawler_spark.operators.similarity import ann_recall
+
+        t = spark.createDataFrame(
+            [(q, n) for q in range(3) for n in range(5)],
+            "query_id long, neighbor_id long",
+        )
+        out = ann_recall(t, t).collect()
+        assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in out)
