@@ -831,8 +831,19 @@ class CrawlEngine:
             # per-host rounds move B × hosts rows, not B — the micro-round
             # clamp would throttle the scale mode's real parallelism
             clamp = int(shuffle_before)
+        codegen_before = self.spark.conf.get(
+            "spark.sql.codegen.wholeStage", "true"
+        )
         if clamp < int(shuffle_before):
             self.spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
+            # micro-round regime: every round's plan is NEW (round
+            # literal, growing frontier unions), so whole-stage codegen
+            # compiles fresh classes per round — ~35% of round latency at
+            # fixture budgets, measured by interleaved A/B (BENCH.md) —
+            # to execute a budget's worth of rows. Interpreted eval wins
+            # below the clamp threshold; production budgets (and the
+            # per-host scale mode) keep codegen on.
+            self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
         abort_reason = ABORT_ROUNDLIMIT
         rounds_run = 0
@@ -872,6 +883,7 @@ class CrawlEngine:
             self.spark.conf.set(
                 "spark.sql.constraintPropagation.enabled", cp_before
             )
+            self.spark.conf.set("spark.sql.codegen.wholeStage", codegen_before)
 
         wm = self.store.last_complete_round()
         return CrawlResult(
