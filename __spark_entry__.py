@@ -1758,6 +1758,30 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment
+    (operators/chunking.py:assign_shards): multimodal samples laid out
+    in id order, binned by byte offset into ~1 MiB shards, samples never
+    split (overflow-by-one-sample semantics flagged). Runs on the same
+    distributed prefix sum as sequence_pack; the oracle is the serial
+    byte cumsum."""
+    from lightcrawler_spark.operators.chunking import assign_shards
+
+    samples = spark.range(2000).select(
+        F.col("id").alias("image_id"),
+        (F.lit(5000) + (F.col("id") % 37) * 301).alias("n_bytes"),
+    )
+    out = assign_shards(samples, shard_bytes=1 << 20, num_partitions=8)
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+        F.col("shard_idx").cast("long").alias("shard_idx"),
+        F.col("offset_in_shard").cast("long").alias("offset_in_shard"),
+        "overflows_shard",
+    )
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph PageRank (operators/graph.py:pagerank) — the
     frontier-prioritization signal that replaces the reference's regex
@@ -1922,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "bm25_rank": q_bm25_rank,
         "ann_recall": q_ann_recall,
+        "shard_assign": q_shard_assign,
     }
 
 
@@ -3237,6 +3262,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AS n_chunk_tokens,
        array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 48), ' ')
          AS chunk_text
+FROM c
+""",
+        "shard_assign": """
+WITH d AS (
+  SELECT id AS image_id, 5000 + (id % 37) * 301 AS n_bytes
+  FROM generate_series(0, 1999) t(id)
+),
+c AS (
+  SELECT image_id, n_bytes,
+         SUM(n_bytes) OVER (ORDER BY image_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(cum - n_bytes AS BIGINT) AS byte_offset,
+       CAST((cum - n_bytes) // 1048576 AS BIGINT) AS shard_idx,
+       CAST((cum - n_bytes) % 1048576 AS BIGINT) AS offset_in_shard,
+       (n_bytes > 0 AND (cum - 1) // 1048576 > (cum - n_bytes) // 1048576)
+         AS overflows_shard
 FROM c
 """,
         # serial running sum — the Spark side must reproduce it with the

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "pack_sequences", "assign_shards"]
 
 
 def chunk_documents(
@@ -131,4 +131,33 @@ def pack_sequences(
             (n > 0) & (F.floor((start + n - F.lit(1)) / ctx_len) > seq_idx),
         )
         .drop("_pid", "_cum", "_offset")
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_bytes: int,
+    order_col: str = "image_id",
+    size_col: str = "n_bytes",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """WebDataset-style shard assignment for multimodal samples: lay the
+    samples out in ``order_col`` order and bin by byte offset —
+    ``shard_idx = floor(start_byte / shard_bytes)``.
+
+    Samples are never split (a tar member is atomic): a sample whose
+    span crosses the bin boundary stays in the shard of its first byte,
+    so a shard overflows by at most one sample (``overflows_shard``
+    marks them). Same distributed prefix sum as ``pack_sequences`` —
+    nothing centralizes beyond the P partition totals."""
+    out = pack_sequences(
+        df, ctx_len=shard_bytes, order_col=order_col,
+        tokens_col=size_col, num_partitions=num_partitions,
+    )
+    return out.select(
+        *df.columns,
+        F.col("start_offset").alias("byte_offset"),
+        F.col("seq_idx").alias("shard_idx"),
+        F.col("offset_in_seq").alias("offset_in_shard"),
+        F.col("spans_boundary").alias("overflows_shard"),
     )

@@ -115,3 +115,30 @@ class TestPackSequences:
         assert out[0]["seq_idx"] == 0 and not out[0]["spans_boundary"]
         assert out[1]["seq_idx"] == 1 and not out[1]["spans_boundary"]
         assert out[2]["seq_idx"] == 2 and out[2]["offset_in_seq"] == 0
+
+
+class TestAssignShards:
+    def test_whole_sample_bins(self, spark):
+        from lightcrawler_spark.operators.chunking import assign_shards
+
+        # sizes 600,600,600 with shard 1000: sample 1 starts at 600
+        # (shard 0, overflows), sample 2 starts at 1200 (shard 1)
+        df = spark.createDataFrame(
+            [(0, 600), (1, 600), (2, 600)], "image_id long, n_bytes long"
+        )
+        out = {r["image_id"]: r for r in assign_shards(df, 1000).collect()}
+        assert (out[0]["shard_idx"], out[0]["byte_offset"]) == (0, 0)
+        assert out[0]["overflows_shard"] is False
+        assert (out[1]["shard_idx"], out[1]["overflows_shard"]) == (0, True)
+        assert (out[2]["shard_idx"], out[2]["offset_in_shard"]) == (1, 200)
+
+    def test_original_columns_preserved(self, spark):
+        from lightcrawler_spark.operators.chunking import assign_shards
+
+        df = spark.createDataFrame(
+            [(i, 100, f"cap{i}") for i in range(10)],
+            "image_id long, n_bytes long, caption string",
+        )
+        out = assign_shards(df, 250, num_partitions=3).collect()
+        assert {r["caption"] for r in out} == {f"cap{i}" for i in range(10)}
+        assert {r["shard_idx"] for r in out} == {0, 1, 2, 3}
