@@ -1436,6 +1436,42 @@ def q_image_caption_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _image_augment_values_sql() -> str:
+    """Expected augmentations computed driver-side with the same numpy
+    permutations + codec: (w, h, encoded length, phash) per (image, op)."""
+    import numpy as np
+
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, encode_image, phash64
+
+    def apply(arr, op):
+        if op == "hflip":
+            return arr[:, ::-1]
+        if op == "vflip":
+            return arr[::-1, :]
+        if op == "rot90":
+            return np.rot90(arr)
+        return arr[::-1, ::-1]
+
+    rows = []
+    for r in make_images(64):
+        arr = decode_image(r["bytes"])
+        for op in ("hflip", "vflip", "rot90", "rot180"):
+            aug = np.ascontiguousarray(apply(arr, op))
+            enc = encode_image(aug, r["fmt"])
+            rows.append(
+                f"('{r['image_id']}', '{op}', {aug.shape[1]}, {aug.shape[0]}, "
+                f"{len(enc)}, {phash64(aug)})"
+            )
+    return (
+        "SELECT image_id, op, CAST(aug_w AS INT) AS aug_w, "
+        "CAST(aug_h AS INT) AS aug_h, CAST(aug_len AS BIGINT) AS aug_len, "
+        "CAST(aug_phash AS BIGINT) AS aug_phash FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(image_id, op, aug_w, aug_h, aug_len, aug_phash)"
+    )
+
+
 def _image_caption_assembly_values_sql() -> str:
     from lightcrawler_spark.fixtures import make_image_array, make_images
     from lightcrawler_spark.imagecodec import decode_image, encode_image, phash64
@@ -1851,6 +1887,27 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: geometric augmentation fan-out
+    (operators/images.py:augment_images) — op list exploded
+    relationally, pixels permuted in one mapInPandas pass (exact
+    flips/rotations, bit-reproducible). The VALUES oracle pins byte
+    length AND phash of every augmented image, computed driver-side with
+    the same numpy ops — orientation-sensitive, so a transposed or
+    mis-flipped kernel cannot hash-match."""
+    from lightcrawler_spark.operators.images import augment_images, phash_udf
+
+    df = _image_df(spark)
+    out = augment_images(df.select("image_id", "bytes", "fmt"))
+    return out.select(
+        "image_id", "op",
+        F.col("aug_w").cast("int").alias("aug_w"),
+        F.col("aug_h").cast("int").alias("aug_h"),
+        F.length("bytes_aug").cast("long").alias("aug_len"),
+        phash_udf(F.col("bytes_aug")).alias("aug_phash"),
+    )
+
+
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-Bloom seen-filter prefilter (Arrow UDF — rows-only):
     survivors of probable-seen pruning before the exact anti-join."""
@@ -1947,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "ann_recall": q_ann_recall,
         "shard_assign": q_shard_assign,
+        "image_augment": q_image_augment,
     }
 
 
@@ -3204,6 +3262,7 @@ FROM documents d LEFT JOIN sh s USING (doc_id)
         "image_resize": _image_resize_values_sql(),
         "image_features": _image_features_values_sql(),
         "video_frame_sample": _video_frames_values_sql(),
+        "image_augment": _image_augment_values_sql(),
         # audio: blobs are synthesized from range params (square wave,
         # period 32, trailing silence), so every parsed/derived value has
         # a closed form — the oracles recompute them arithmetically and a

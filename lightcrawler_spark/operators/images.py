@@ -39,6 +39,7 @@ __all__ = [
     "image_features_udf",
     "sample_video_frames",
     "filter_image_caption_pairs",
+    "augment_images",
 ]
 
 _STATS_SCHEMA = T.StructType(
@@ -363,3 +364,68 @@ def filter_image_caption_pairs(
         .withColumn("keep", F.col("reject_reason").isNull())
         .drop("_scalar_reason", "_dup_rank")
     )
+
+
+AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180")
+
+
+def augment_images(df: DataFrame, ops: tuple[str, ...] = AUGMENT_OPS,
+                   bytes_col: str = "bytes",
+                   fmt_col: str = "fmt") -> DataFrame:
+    """Deterministic geometric augmentations — one output row per
+    (input image, op). The op list is exploded relationally (so Catalyst
+    sees the fan-out and sizes partitions for it); the pixel work is one
+    ``mapInPandas`` pass per batch. Exact permutations only (flips /
+    right-angle rotations) — no interpolation, so every augmented image
+    is bit-reproducible and VALUES-oracle-able. Swap the numpy lines for
+    PIL/opencv affine ops in production; schema and batch shape are the
+    tested contract."""
+    unknown = set(ops) - set(AUGMENT_OPS)
+    if unknown:
+        raise ValueError(f"unknown augment ops: {sorted(unknown)}")
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("op", T.StringType()),
+            T.StructField("bytes_aug", T.BinaryType()),
+            T.StructField("aug_w", T.IntegerType()),
+            T.StructField("aug_h", T.IntegerType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+    with_ops = df.withColumn(
+        "op", F.explode(F.array(*[F.lit(o) for o in ops]))
+    )
+
+    def _apply(arr: np.ndarray, op: str) -> np.ndarray:
+        if op == "hflip":
+            return arr[:, ::-1]
+        if op == "vflip":
+            return arr[::-1, :]
+        if op == "rot90":
+            return np.rot90(arr)
+        return arr[::-1, ::-1]  # rot180
+
+    def _augment(batches):
+        from ..imagecodec import encode_image
+
+        for pdf in batches:
+            outs, ws, hs = [], [], []
+            for b, fmt, op in zip(pdf[bytes_col], pdf[fmt_col], pdf["op"]):
+                try:
+                    arr = decode_image(bytes(b))
+                    aug = np.ascontiguousarray(_apply(arr, op))
+                    outs.append(encode_image(aug, fmt))
+                    ws.append(aug.shape[1])
+                    hs.append(aug.shape[0])
+                except Exception:
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            out = pdf[in_cols + ["op"]].copy()
+            out["bytes_aug"] = outs
+            out["aug_w"] = pd.array(ws, dtype="Int32")
+            out["aug_h"] = pd.array(hs, dtype="Int32")
+            yield out
+
+    return with_ops.mapInPandas(_augment, out_schema)

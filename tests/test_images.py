@@ -228,3 +228,41 @@ class TestImageCaptionFilter:
             "h": (False, "too_small"),
             "i": (True, None),
         }
+
+
+class TestAugment:
+    def test_permutations_exact(self, spark):
+        import numpy as np
+
+        from lightcrawler_spark.fixtures import make_images
+        from lightcrawler_spark.imagecodec import decode_image
+        from lightcrawler_spark.operators.images import augment_images
+
+        imgs = make_images(6)
+        df = spark.createDataFrame(
+            [(r["image_id"], bytearray(r["bytes"]), r["fmt"]) for r in imgs],
+            "image_id string, bytes binary, fmt string",
+        )
+        out = augment_images(df).collect()
+        assert len(out) == 24
+        src = {r["image_id"]: decode_image(r["bytes"]) for r in imgs}
+        for row in out:
+            arr = src[row["image_id"]]
+            got = decode_image(bytes(row["bytes_aug"]))
+            op = row["op"]
+            exp = {"hflip": arr[:, ::-1], "vflip": arr[::-1, :],
+                   "rot90": np.rot90(arr), "rot180": arr[::-1, ::-1]}[op]
+            assert got.shape == exp.shape
+            assert np.array_equal(got, exp) or row["fmt"] != "png"
+            assert (row["aug_w"], row["aug_h"]) == (exp.shape[1], exp.shape[0])
+
+    def test_unknown_op_raises(self, spark):
+        import pytest as _pytest
+
+        from lightcrawler_spark.operators.images import augment_images
+
+        df = spark.createDataFrame(
+            [("a", bytearray(b"x"), "png")], "image_id string, bytes binary, fmt string"
+        )
+        with _pytest.raises(ValueError):
+            augment_images(df, ops=("hflip", "sepia"))
