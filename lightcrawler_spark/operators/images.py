@@ -39,6 +39,7 @@ __all__ = [
     "image_features_udf",
     "sample_video_frames",
     "filter_image_caption_pairs",
+    "image_caption_reject_expr",
     "augment_images",
 ]
 
@@ -305,6 +306,34 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10,
     return df.select("video_id", bytes_col).mapInPandas(_sample, out_schema)
 
 
+def image_caption_reject_expr(
+    min_w: int = 64,
+    min_h: int = 64,
+    max_aspect: float = 3.0,
+    min_caption_tokens: int = 3,
+    max_caption_tokens: int = 128,
+    max_punct_ratio: float = 0.5,
+):
+    """The stateless (per-row) half of the LAION gate as ONE JVM
+    expression — shared by the batch filter and the streaming gate so
+    both execution modes apply identical rules. NULL = scalar-pass."""
+    cap = F.coalesce(F.col("caption"), F.lit(""))
+    tokens = F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
+    punct = F.length(F.regexp_replace(cap, "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct / F.greatest(F.length(cap), F.lit(1))
+    return (
+        F.when((F.col("w") < min_w) | (F.col("h") < min_h), "too_small")
+        .when(
+            F.greatest(F.col("w"), F.col("h"))
+            > F.least(F.col("w"), F.col("h")) * F.lit(float(max_aspect)),
+            "bad_aspect",
+        )
+        .when(tokens < min_caption_tokens, "caption_short")
+        .when(tokens > max_caption_tokens, "caption_long")
+        .when(punct_ratio > max_punct_ratio, "caption_punct")
+    )
+
+
 def filter_image_caption_pairs(
     df: DataFrame,
     min_w: int = 64,
@@ -329,20 +358,11 @@ def filter_image_caption_pairs(
     """
     from pyspark.sql import Window
 
-    cap = F.coalesce(F.col("caption"), F.lit(""))
-    tokens = F.size(F.filter(F.split(cap, " "), lambda x: x != ""))
-    punct = F.length(F.regexp_replace(cap, "[a-zA-Z0-9 ]", ""))
-    punct_ratio = punct / F.greatest(F.length(cap), F.lit(1))
-    scalar_reason = (
-        F.when((F.col("w") < min_w) | (F.col("h") < min_h), "too_small")
-        .when(
-            F.greatest(F.col("w"), F.col("h"))
-            > F.least(F.col("w"), F.col("h")) * F.lit(float(max_aspect)),
-            "bad_aspect",
-        )
-        .when(tokens < min_caption_tokens, "caption_short")
-        .when(tokens > max_caption_tokens, "caption_long")
-        .when(punct_ratio > max_punct_ratio, "caption_punct")
+    scalar_reason = image_caption_reject_expr(
+        min_w=min_w, min_h=min_h, max_aspect=max_aspect,
+        min_caption_tokens=min_caption_tokens,
+        max_caption_tokens=max_caption_tokens,
+        max_punct_ratio=max_punct_ratio,
     )
     staged = df.withColumn("_scalar_reason", scalar_reason)
     # rank only the scalar survivors within each phash bucket: a

@@ -182,3 +182,52 @@ def test_host_politeness_gate_stateful(spark, tmp_path):
     urls = {r["url"] for r in spark.read.parquet(out).collect()}
     assert "http://h1/16" not in urls   # 16 s: only 1 s after 15 → blocked
     assert "http://h1/21" in urls       # 21 s: 6 s after 15 → admitted
+
+
+def test_image_caption_stream_gate_matches_batch(spark, tmp_path):
+    """Streaming gate == batch gate on scalar rules; phash dedup keeps
+    exactly one row per surviving phash (bounded state variant)."""
+    import datetime
+
+    from lightcrawler_spark.operators.images import filter_image_caption_pairs
+    from lightcrawler_spark.streaming.corpus import (
+        gate_image_caption_stream, start_corpus_sink,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(120):
+        w, h = (16, 16) if i % 5 == 0 else (128, 96)       # too_small every 5th
+        cap = "a" if i % 7 == 0 else f"caption words here {i % 30}"
+        rows.append((
+            f"img_{i}", bytearray(b"\x00" * 8), w, h, "png", cap,
+            1000 + (i % 30),                                # duplicate phashes
+            t0 + datetime.timedelta(seconds=i),
+        ))
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long, event_ts timestamp")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "pairs_in")
+    df.coalesce(1).write.parquet(src)  # one file -> one micro-batch,
+    # stream order == id order within the batch
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = start_corpus_sink(
+        gate_image_caption_stream(stream),
+        str(tmp_path / "kept_out"), str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "kept_out")).collect()
+
+    batch = filter_image_caption_pairs(df.drop("event_ts")).filter("keep")
+    batch_rows = batch.collect()
+    # same number of kept rows, same surviving phash set, and every
+    # streamed row passes the batch scalar rules
+    assert len(got) == len(batch_rows)
+    assert {r["phash"] for r in got} == {r["phash"] for r in batch_rows}
+    batch_ok_ids = {r["image_id"] for r in
+                    filter_image_caption_pairs(df.drop("event_ts"))
+                    .filter(F.col("reject_reason").isNull()
+                            | (F.col("reject_reason") == "near_dup"))
+                    .collect()}
+    assert all(r["image_id"] in batch_ok_ids for r in got)
