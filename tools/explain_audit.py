@@ -148,6 +148,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no row-at-a-time Python", r"!BatchEvalPython"),
         ("no shuffle", r"!Exchange"),
     ],
+    # minhash end-to-end: candidates from the band-key equi-join (the
+    # final CC-assignment scan is checkpoint-backed; the BAND join shape
+    # is what must never regress to all-pairs)
+    "minhash_band_join": [
+        ("band-key equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+    ],
+    # ANN recall evaluator: the exact side's query×corpus crossing is the
+    # DOCUMENTED bounded shape (broadcast K-row query side); the rankings
+    # must stay query-partitioned and the LSH side an equi-join
+    "ann_recall": [
+        ("query side broadcast", r"Broadcast"),
+        ("bucket equi-join on the LSH side", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("rank windows partitioned by query", r"Window.*\[query_id#\d+L?\]"),
+    ],
+    # augmentation: relational op fan-out above one Arrow pass
+    "image_augment": [
+        ("relational explode of the op list", r"Generate explode"),
+        ("Arrow-batched pixel pass", r"ArrowEvalPython|MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+    ],
     # one PageRank power-iteration step (audited on a synthetic graph —
     # the entry query returns a post-run checkpoint scan)
     "pagerank_iteration": [
@@ -213,10 +234,24 @@ def _pagerank_iteration_plan(spark):
     )
 
 
+def _minhash_band_join_plan(spark):
+    """The candidate-pair stage of minhash_dedup (pre-CC)."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), (F.col("id") % 40).cast("string")).alias("text"),
+    )
+    return minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4)
+
+
 # plans audited outside the entry-query registry
 EXTRA_PLANS = {
     "cc_iteration": _cc_iteration_plan,
     "pagerank_iteration": _pagerank_iteration_plan,
+    "minhash_band_join": _minhash_band_join_plan,
 }
 
 
