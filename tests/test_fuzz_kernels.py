@@ -89,3 +89,45 @@ def test_html_kernels_total(html):
 def test_gzip_total(b):
     if is_gzip_encoded(b):
         assert isinstance(decode_gzip_content(b), bytes)
+
+
+# --- audio kernel (pure Python — no Spark session needed) -------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([8000, 11025, 16000, 44100]),
+    st.integers(1, 4),
+)
+def test_wav_roundtrip_exact(samples, rate, channels):
+    import numpy as np
+
+    from lightcrawler_spark.operators.audio import make_wav_bytes, parse_wav
+
+    frames = len(samples) // channels
+    arr = np.array(samples[: frames * channels] or [0], dtype=np.int64)
+    if frames == 0:
+        frames, channels = len(arr), 1
+    blob = make_wav_bytes(arr, rate, channels)
+    m = parse_wav(blob)
+    assert m is not None
+    assert m["channels"] == channels and m["sample_rate"] == rate
+    assert m["n_frames"] == frames and m["bits"] == 16
+    got = np.frombuffer(
+        blob, dtype="<i2", offset=m["data_off"], count=frames * channels
+    ).astype(np.int64)
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_wav_parser_total_on_garbage(blob):
+    """parse_wav never raises — returns None or a well-formed dict whose
+    spans stay inside the blob."""
+    from lightcrawler_spark.operators.audio import parse_wav
+
+    m = parse_wav(blob)
+    if m is not None:
+        assert 0 < m["channels"] and 0 < m["sample_rate"]
+        assert m["data_off"] + m["data_len"] <= len(blob)
+        assert m["n_frames"] >= 0
