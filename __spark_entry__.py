@@ -1730,6 +1730,36 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation: recall/precision of the MinHash-LSH
+    candidate generator (8 hashes × 4 bands, the corpus-scale path)
+    against exact n-gram Jaccard ≥ 0.5 ground truth (the all-pairs
+    baseline, bounded input). The measurement loop that justifies the
+    banding parameters — same role for text dedup that ann_recall plays
+    for similarity search. One row: counts + ratios."""
+    from lightcrawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    truth = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    joined = truth.join(cand.drop("_hit"), ["id_a", "id_b"], "inner")
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hits = joined.count()
+    base = spark.createDataFrame(
+        [(n_truth, n_cand, n_hits)],
+        "n_truth long, n_candidates long, n_hits long",
+    )
+    # F.round (HALF_UP) matches DuckDB round; Python round() would not
+    return base.select(
+        "n_truth", "n_candidates", "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation (operators/similarity.py:ann_recall):
     recall@3 of SRP-LSH against the exact cosine top-k, per query — the
@@ -2003,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "bm25_rank": q_bm25_rank,
         "ann_recall": q_ann_recall,
+        "dedup_recall": q_dedup_recall,
         "shard_assign": q_shard_assign,
         "image_augment": q_image_augment,
     }
@@ -3366,6 +3397,62 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((cum - n) % 256 AS BIGINT) AS offset_in_seq,
        (n > 0 AND (cum - 1) // 256 > (cum - n) // 256) AS spans_boundary
 FROM c
+""",
+        # MinHash-LSH candidates scored against exact Jaccard >= 0.5
+        # ground truth (same 5-char shingle family on both sides)
+        "dedup_recall": """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM d)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0' || chr(31) || sh)) AS s0,
+         min(md5('1' || chr(31) || sh)) AS s1,
+         min(md5('2' || chr(31) || sh)) AS s2,
+         min(md5('3' || chr(31) || sh)) AS s3,
+         min(md5('4' || chr(31) || sh)) AS s4,
+         min(md5('5' || chr(31) || sh)) AS s5,
+         min(md5('6' || chr(31) || sh)) AS s6,
+         min(md5('7' || chr(31) || sh)) AS s7
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, '0:' || s0 || ',' || s1 AS bk FROM sig
+  UNION ALL SELECT doc_id, '1:' || s2 || ',' || s3 FROM sig
+  UNION ALL SELECT doc_id, '2:' || s4 || ',' || s5 FROM sig
+  UNION ALL SELECT doc_id, '3:' || s6 || ',' || s7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM truth), 6) AS recall,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM cand), 6) AS precision
 """,
         # recall@3 of SRP-LSH vs exact cosine: both rankings re-derived
         # with the deterministic tie-break, then set-intersected
