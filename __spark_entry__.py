@@ -1953,6 +1953,138 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter(new, shards, num_shards=16).select("url")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup to CLUSTERS
+    (operators/similarity.py:semantic_dedup_assignments): SRP-bucketed
+    cosine near-dup pairs (equi-join on the 4-bit bucket, never
+    all-pairs) → min-label connected components → canonical flags —
+    the embedding counterpart of `minhash_dedup`. The recursive-CTE
+    oracle re-derives buckets, pairs and the closure."""
+    from lightcrawler_spark.operators.similarity import (
+        semantic_dedup_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_assignments(emb, threshold=0.35, block_bits=4).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target
+    (operators/indexing.py:aggregate_anchor_text): groupBy(target, text)
+    with map-side combine, then rank window + final rollup both
+    partitioned by target — one shuffle boundary, deterministic '|'
+    serialization of the top-3 anchor variants."""
+    from lightcrawler_spark.operators.indexing import aggregate_anchor_text
+
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(
+        F.concat(
+            F.lit("http://t"), (F.col("l_partkey") % 40).cast("string"),
+            F.lit(".test/p/"), (F.col("l_partkey") % 120).cast("string"),
+        ).alias("target_url"),
+        F.concat(
+            F.lit("anchor "), (F.col("l_suppkey") % 5).cast("string")
+        ).alias("linktext"),
+    )
+    return aggregate_anchor_text(links, top_n=3).select(
+        "target_url",
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("n_variants").cast("long").alias("n_variants"),
+        "top_anchors",
+    )
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-frequency recrawl scheduling
+    (operators/scheduler.py:recrawl_schedule — Cho & Garcia-Molina
+    freshness policy): per-URL lag window over the fetch history counts
+    content-hash changes; the revisit interval is the clamped mean
+    change period. Fetch history synthesized from `events` (ts = fetch
+    time, md5(event_type) = content hash, event_id = deterministic
+    tie-break)."""
+    from lightcrawler_spark.operators.scheduler import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("http://recrawl.test/p/"),
+            (F.col("event_id") % 300).cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        F.md5(F.col("event_type")).alias("content_hash"),
+        F.col("event_id").alias("seq"),
+    )
+    return recrawl_schedule(hist, seq_col="seq").select(
+        "url",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        "change_rate",
+        F.col("next_interval_sec").cast("long").alias("next_interval_sec"),
+        F.col("next_fetch_unix").cast("long").alias("next_fetch_unix"),
+    )
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap/sitemap-index parsing (operators/sitemap.py): lazy
+    dot-all block split + per-field extraction, pure JVM regexp. Bodies
+    are synthesized relationally (3-entry urlsets with optional-field
+    variation + 2-entry index docs), so the DuckDB oracle re-builds the
+    identical XML and re-parses it with the same RE2-compatible
+    patterns — the hash certifies the parse, not a fixture."""
+    from lightcrawler_spark.operators.sitemap import parse_sitemaps
+
+    base = spark.range(12)
+    sid = F.col("id").cast("string")
+    month = ((F.col("id") % 9) + 1).cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n <url>\n  <loc>\n   http://s'),
+        sid, F.lit(".test/p/"), (F.col("id") * 10).cast("string"),
+        F.lit("\n  </loc>\n  <lastmod>2024-0"), month,
+        F.lit("-15</lastmod>\n  <changefreq>daily</changefreq>\n  <priority>0."),
+        (F.col("id") % 10).cast("string"),
+        F.lit("</priority>\n </url>\n <url><loc>http://s"),
+        sid, F.lit(".test/p/"), (F.col("id") * 10 + 1).cast("string"),
+        F.lit("</loc></url>\n <url><loc>http://s"),
+        sid, F.lit(".test/p/"), (F.col("id") * 10 + 2).cast("string"),
+        F.lit("</loc><priority>1.0</priority></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex>\n <sitemap>\n  <loc>http://s"), sid,
+        F.lit(".test/sitemap1.xml</loc>\n  <lastmod>2024-02-0"), month,
+        F.lit("</lastmod>\n </sitemap>\n <sitemap><loc> http://s"), sid,
+        F.lit(".test/sitemap2.xml </loc></sitemap>\n</sitemapindex>"),
+    )
+    pages = base.select(
+        F.concat(F.lit("http://s"), sid, F.lit(".test/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        F.when(F.col("id") % 4 == 3, index).otherwise(urlset).alias("body"),
+    )
+    return parse_sitemaps(pages).select(
+        "sitemap_url", "kind", "seq", "loc", "lastmod", "changefreq",
+        "priority",
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram LM score (operators/text.py:unigram_logprob) — the
+    model-free perplexity filter. Integer micro-nat summation makes the
+    per-doc aggregate exact and order-independent, so Spark and DuckDB
+    agree without tolerance."""
+    from lightcrawler_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_logprob",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2036,6 +2168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": q_dedup_recall,
         "shard_assign": q_shard_assign,
         "image_augment": q_image_augment,
+        "semantic_dedup": q_semantic_dedup,
+        "anchor_text_agg": q_anchor_text_agg,
+        "recrawl_schedule": q_recrawl_schedule,
+        "sitemap_parse": q_sitemap_parse,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -3643,6 +3780,199 @@ r3 AS (
   GROUP BY n.node
 )
 SELECT CAST(node AS BIGINT) AS node, rank FROM r3
+""",
+        "semantic_dedup": """
+WITH RECURSIVE
+w AS (
+  SELECT b, i, CAST(ascii(substr(md5(b || '_' || i), 1, 1)) - 79 AS DOUBLE) AS wt
+  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+       (SELECT unnest(generate_series(1, 64)) AS i)
+),
+ux AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN sum(x * wt) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM ux JOIN w USING (i) GROUP BY vec_id, b
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id
+),
+e AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, bk.bucket
+  FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+),
+sym AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(min(comp) AS BIGINT) AS cluster,
+       (node = min(comp)) AS is_canonical
+FROM reach GROUP BY node
+""",
+        "anchor_text_agg": """
+WITH links AS (
+  SELECT 'http://t' || (l_partkey % 40) || '.test/p/' || (l_partkey % 120)
+           AS target_url,
+         'anchor ' || (l_suppkey % 5) AS anchor
+  FROM lineitem
+),
+counts AS (
+  SELECT target_url, anchor, count(*) AS cnt
+  FROM links GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY target_url ORDER BY cnt DESC, anchor ASC
+  ) AS r FROM counts
+)
+SELECT target_url,
+       CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       coalesce(
+         string_agg(CASE WHEN r <= 3 THEN anchor END, '|'
+                    ORDER BY cnt DESC, anchor ASC),
+         '') AS top_anchors
+FROM ranked GROUP BY target_url
+""",
+        "recrawl_schedule": """
+WITH hist AS (
+  SELECT 'http://recrawl.test/p/' || (event_id % 300) AS url,
+         ts AS fetch_ts,
+         md5(event_type) AS content_hash,
+         event_id AS seq
+  FROM events
+),
+flagged AS (
+  SELECT url,
+         CAST(floor(epoch(fetch_ts)) AS BIGINT) AS unix_s,
+         CASE WHEN lag(content_hash) OVER (
+                  PARTITION BY url ORDER BY fetch_ts, seq
+              ) IS NOT NULL
+              AND lag(content_hash) OVER (
+                  PARTITION BY url ORDER BY fetch_ts, seq
+              ) <> content_hash
+              THEN 1 ELSE 0 END AS chg
+  FROM hist
+),
+agg AS (
+  SELECT url, count(*) AS n_fetches, sum(chg) AS n_changes,
+         min(unix_s) AS first_unix, max(unix_s) AS last_unix
+  FROM flagged GROUP BY url
+),
+iv AS (
+  SELECT *,
+         CASE WHEN n_fetches <= 1 THEN 2592000
+              ELSE least(greatest(
+                     CAST(floor((last_unix - first_unix)::DOUBLE
+                                / (n_changes + 1)) AS BIGINT),
+                     3600), 2592000)
+         END AS next_interval_sec
+  FROM agg
+)
+SELECT url,
+       CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       round(n_changes::DOUBLE / greatest(n_fetches - 1, 1), 6)
+         AS change_rate,
+       CAST(next_interval_sec AS BIGINT) AS next_interval_sec,
+       CAST(last_unix + next_interval_sec AS BIGINT) AS next_fetch_unix
+FROM iv
+""",
+        "sitemap_parse": """
+WITH base AS (SELECT unnest(generate_series(0, 11)) AS id),
+pages AS (
+  SELECT 'http://s' || id || '.test/sitemap.xml' AS sitemap_url,
+         CASE WHEN id % 4 = 3 THEN
+           '<sitemapindex>' || chr(10) || ' <sitemap>' || chr(10)
+           || '  <loc>http://s' || id || '.test/sitemap1.xml</loc>'
+           || chr(10) || '  <lastmod>2024-02-0' || ((id % 9) + 1)
+           || '</lastmod>' || chr(10) || ' </sitemap>' || chr(10)
+           || ' <sitemap><loc> http://s' || id
+           || '.test/sitemap2.xml </loc></sitemap>' || chr(10)
+           || '</sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
+           || ' <url>' || chr(10) || '  <loc>' || chr(10)
+           || '   http://s' || id || '.test/p/' || (id * 10) || chr(10)
+           || '  </loc>' || chr(10) || '  <lastmod>2024-0' || ((id % 9) + 1)
+           || '-15</lastmod>' || chr(10)
+           || '  <changefreq>daily</changefreq>' || chr(10)
+           || '  <priority>0.' || (id % 10) || '</priority>' || chr(10)
+           || ' </url>' || chr(10)
+           || ' <url><loc>http://s' || id || '.test/p/' || (id * 10 + 1)
+           || '</loc></url>' || chr(10)
+           || ' <url><loc>http://s' || id || '.test/p/' || (id * 10 + 2)
+           || '</loc><priority>1.0</priority></url>' || chr(10)
+           || '</urlset>'
+         END AS body
+  FROM base
+),
+kinds AS (
+  SELECT sitemap_url, body,
+         CASE WHEN regexp_matches(body, '<sitemapindex') THEN 'index'
+              ELSE 'urlset' END AS kind,
+         CASE WHEN regexp_matches(body, '<sitemapindex')
+              THEN regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)
+              ELSE regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)
+         END AS blocks
+  FROM pages
+),
+exploded AS (
+  SELECT sitemap_url, kind, i - 1 AS seq, blocks[i] AS block
+  FROM kinds, (SELECT unnest(generate_series(1, 3)) AS i)
+  WHERE i <= len(blocks)
+)
+SELECT sitemap_url, kind, CAST(seq AS INT) AS seq,
+       nullif(regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '')
+         AS loc,
+       nullif(regexp_extract(block, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '')
+         AS lastmod,
+       nullif(regexp_extract(block, '(?s)<changefreq>\\s*(.*?)\\s*</changefreq>', 1), '')
+         AS changefreq,
+       CAST(nullif(regexp_extract(block, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '')
+            AS DOUBLE) AS priority
+FROM exploded
+WHERE nullif(regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '')
+      IS NOT NULL
+""",
+        "unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, w AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> len(x) > 0)) AS w
+    FROM documents
+  )
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM counts)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(
+         (CAST(sum(CAST(round(ln(c) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+          / count(*)) / 1000000.0
+         - ln(CAST((SELECT n FROM tot) AS DOUBLE)),
+       6) AS mean_logprob
+FROM toks JOIN counts USING (tok)
+GROUP BY doc_id
 """,
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only

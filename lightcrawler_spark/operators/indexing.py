@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["extract_doc_text", "build_search_docs"]
+__all__ = ["extract_doc_text", "build_search_docs", "aggregate_anchor_text"]
 
 FAKE_DOC_MAGIC = b"LCTX"   # deterministic test container: magic + utf-8
 
@@ -168,3 +168,52 @@ def build_search_docs(products: DataFrame, id_col: str = "doc_id",
         cols.append(F.substring(F.col(tags_col), 1, 256).alias("tags"))
     out = products.select(*cols)
     return out.withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def aggregate_anchor_text(links: DataFrame, target_col: str = "target_url",
+                          text_col: str = "linktext",
+                          top_n: int = 3) -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic web-index
+    signal (anchor words describe the page they point AT better than the
+    page itself; Brin & Page 1998 §2.2). The reference carries linktext
+    per link row (PHPCrawlerURLDescriptor.class.php:14-50) and filters on
+    it (F6/F7) but never aggregates it; an index/caption pipeline at
+    corpus scale wants the per-target rollup.
+
+    Scale shape: one groupBy(target, text) — map-side combine collapses
+    repeated anchors before the shuffle — then a row_number window and
+    final groupBy both partitioned by target (same key: single shuffle
+    boundary, no unpartitioned window). The top-N anchor variants are
+    serialized deterministically (count DESC, text ASC) into a '|'
+    string so the result hashes stably.
+
+    Output: ``(target_url, n_inlinks, n_variants, top_anchors)``.
+    """
+    from pyspark.sql import Window
+
+    counts = links.groupBy(
+        F.col(target_col).alias("target_url"),
+        F.col(text_col).alias("anchor"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("target_url").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    top = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("r") <= top_n,
+                F.struct(
+                    (F.lit(0) - F.col("cnt")).alias("neg_cnt"),
+                    F.col("anchor").alias("t"),
+                ),
+            )
+        )
+    )
+    return ranked.groupBy("target_url").agg(
+        F.sum("cnt").alias("n_inlinks"),
+        F.count("*").alias("n_variants"),
+        F.concat_ws("|", F.transform(top, lambda s: s["t"])).alias(
+            "top_anchors"
+        ),
+    )

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk",
-           "ivf_topk", "cosine_near_dup_pairs", "ann_recall"]
+           "ivf_topk", "cosine_near_dup_pairs", "semantic_dedup_assignments",
+           "ann_recall"]
 
 
 def _dot(a, b):
@@ -257,6 +258,33 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
         )
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")
+    )
+
+
+def semantic_dedup_assignments(embeddings: DataFrame, threshold: float = 0.35,
+                               block_bits: int | None = 4,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               allow_all_pairs: bool = False) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): collapse
+    embedding-cosine near-duplicate PAIRS into CLUSTERS and flag the one
+    canonical row per cluster — the vector-payload counterpart of
+    ``textdedup.minhash`` → ``graph.dedup_cluster_assignments``.
+
+    Stage shapes at 10^9 vectors: SRP-bucket equi-join for candidate
+    pairs (never all-pairs — ``cosine_near_dup_pairs(block_bits=k)``),
+    then one shuffle-bounded job per connected-components iteration
+    (near-dup clusters have tiny diameters). Output:
+    ``(vec_id, cluster, is_canonical)`` with cluster = min reachable id.
+    """
+    from .graph import dedup_cluster_assignments
+
+    pairs = cosine_near_dup_pairs(
+        embeddings, threshold=threshold, block_bits=block_bits,
+        vec_col=vec_col, id_col=id_col, allow_all_pairs=allow_all_pairs,
+    )
+    return dedup_cluster_assignments(
+        pairs, embeddings.select(id_col), id_col=id_col
     )
 
 

@@ -1,0 +1,96 @@
+"""Sitemap ingestion: sitemap.xml / sitemap-index parsing into frontier
+seed rows (sitemaps.org protocol).
+
+The reference discovers URLs only by scraping anchor tags
+(vendor/PHPCrawl_083/libs/PHPCrawlerLinkFinder.class.php:140-239) and by
+hand-written pagination synthesis (worker/SpiderCsrcGov.class.php:117-199);
+it never reads /sitemap.xml. A web-scale crawl treats sitemaps as the
+cheapest high-precision frontier source — one fetch yields up to 50k
+canonical URLs with freshness (`lastmod`) and site-declared `priority`,
+which feed straight into P2 (priority assignment) and the
+change-frequency recrawl scheduler (operators/scheduler.py:
+recrawl_schedule).
+
+Shapes: pure JVM regexp (`regexp_extract_all` block split + per-field
+`regexp_extract`) — the same lazy-dot-all patterns run under Java regex
+and RE2, so the DuckDB oracle parses byte-identically. A sitemap body is
+≤50 MB uncompressed by spec, so per-row extraction stays a map; the
+explode fans out ≤50k rows per sitemap and the result is a plain
+DataFrame ready for the admission battery (F1-F9) and the frontier
+anti-join (P1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_sitemaps"]
+
+# (?s): '.' spans newlines; lazy quantifiers keep blocks minimal. Both
+# supported identically by Java regex (Spark) and RE2 (DuckDB oracle).
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_INDEX_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
+_LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+_CHANGEFREQ = r"(?s)<changefreq>\s*(.*?)\s*</changefreq>"
+_PRIORITY = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+
+def parse_sitemaps(pages: DataFrame, url_col: str = "sitemap_url",
+                   body_col: str = "body") -> DataFrame:
+    """Parse fetched sitemap bodies into one row per referenced URL.
+
+    Handles both document kinds:
+      - ``<urlset>``       → kind='urlset', one row per ``<url>`` entry
+        with loc / lastmod / changefreq / priority (missing optional
+        fields are NULL; priority parses to double — string→double is
+        correctly rounded, so any SQL engine yields the same bits).
+      - ``<sitemapindex>`` → kind='index', one row per child ``<sitemap>``
+        entry (loc + lastmod); the caller feeds these back through the
+        fetcher — sitemap recursion is a frontier loop, not a parser
+        loop, exactly like pagination synthesis (E17).
+
+    ``seq`` preserves document order (posexplode), which the protocol
+    allows publishers to use as an implicit priority. Entries without a
+    ``<loc>`` are dropped (mandatory field).
+
+    Output: ``(sitemap_url, kind, seq, loc, lastmod, changefreq,
+    priority)``.
+    """
+    body = F.col(body_col)
+    kind = F.when(
+        body.rlike("<sitemapindex"), F.lit("index")
+    ).otherwise(F.lit("urlset"))
+    blocks = F.when(
+        F.col("kind") == "index",
+        F.regexp_extract_all(body, F.lit(_INDEX_BLOCK), F.lit(1)),
+    ).otherwise(F.regexp_extract_all(body, F.lit(_URL_BLOCK), F.lit(1)))
+
+    exploded = (
+        pages.select(
+            F.col(url_col).alias("sitemap_url"), kind.alias("kind"), body
+        )
+        .select(
+            "sitemap_url",
+            "kind",
+            F.posexplode(blocks).alias("seq", "block"),
+        )
+    )
+
+    def field(pat):
+        ex = F.regexp_extract(F.col("block"), pat, 1)
+        return F.when(ex != "", ex)
+
+    return (
+        exploded.select(
+            "sitemap_url",
+            "kind",
+            F.col("seq").cast("int").alias("seq"),
+            field(_LOC).alias("loc"),
+            field(_LASTMOD).alias("lastmod"),
+            field(_CHANGEFREQ).alias("changefreq"),
+            field(_PRIORITY).cast("double").alias("priority"),
+        )
+        .filter(F.col("loc").isNotNull())
+    )

@@ -28,6 +28,7 @@ __all__ = [
     "with_fingerprint",
     "with_pii_scrub",
     "with_repetition_stats",
+    "unigram_logprob",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -189,6 +190,70 @@ def _words(c: Column) -> Column:
     return F.filter(
         F.split(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+"),
         lambda x: F.length(x) > 0,
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus unigram language-model score per document — the model-free
+    stand-in for the perplexity filters (CCNet / Wenzek et al. 2020) a
+    training pipeline runs before the expensive LM pass: documents whose
+    tokens are corpus-typical score high, gibberish and boilerplate-rare
+    token soups score low.
+
+    mean_logprob(d) = (Σ_{t ∈ d} ln c_t) / |d| − ln N, where c_t is the
+    corpus count of token t and N the corpus token total (every scored
+    token exists in the corpus, so c_t ≥ 1 and no smoothing is needed).
+
+    Scale shape: explode → one groupBy(token) count (map-side combine
+    collapses the heavy hitters) → hash-join tokens back to their counts
+    → one groupBy(doc) aggregate. N collapses to a driver scalar in one
+    1-row aggregate (the BM25 pattern — ranking.py) and is inlined as a
+    literal, so the scoring pass carries no extra join.
+
+    Float determinism across engines: per-token ln c_t is quantized to
+    integer MICRO-NATS (round(ln c × 10⁶) as long) BEFORE summing — an
+    integer sum is exact and order-independent, unlike a double sum
+    whose value depends on reduction order. The mean then involves
+    exactly one float division over identical operands on both sides,
+    so the DuckDB oracle hash-matches without tolerance.
+
+    Output: ``(id_col, n_tokens, mean_logprob)``, one row per document
+    that has ≥1 token.
+    """
+    import math
+
+    tokens = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("tok")
+    )
+    counts = tokens.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = counts.agg(F.sum("c").alias("n")).first()["n"] or 0
+    if n_total == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("mean_logprob"),
+        ).limit(0)
+    lp_micro = F.round(
+        F.log(F.col("c").cast("double")) * F.lit(1e6), 0
+    ).cast("long")
+    scored = tokens.join(counts, "tok")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp_micro).alias("_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                (F.col("_lp_micro").cast("double") / F.col("n_tokens"))
+                / F.lit(1e6)
+                - F.lit(math.log(n_total)),
+                6,
+            ).alias("mean_logprob"),
+        )
     )
 
 

@@ -51,6 +51,9 @@ FAST_ORACLE_QUERIES = [
     "training_mix_sample",
     "crawl_delay_budgets",
     "corpus_pipeline",
+    "anchor_text_agg",
+    "recrawl_schedule",
+    "sitemap_parse",
 ]
 
 

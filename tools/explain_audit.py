@@ -184,6 +184,38 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("map-side partial min", r"partial_min"),
     ],
+    # anchor-text rollup: pre-agg with map-side combine, then rank
+    # window + final agg BOTH partitioned by target — one shuffle key,
+    # never an unpartitioned window
+    "anchor_text_agg": [
+        ("map-side partial count", r"partial_count"),
+        ("target-partitioned rank window", r"Window.*\[target_url#\d+\]"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # recrawl scheduling: the lag window must be partitioned by url
+    # (millions of independent partitions), aggregates partial
+    "recrawl_schedule": [
+        ("url-partitioned lag window", r"Window.*\[url#\d+\]"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("map-side partial aggregates", r"partial_count"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # sitemap parsing: a pure generator pass over the scan — posexplode
+    # of the block list, per-field regexp, nothing moves
+    "sitemap_parse": [
+        ("generator posexplode of blocks", r"Generate posexplode"),
+        ("no shuffle (pure parse pass)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # unigram LM score: corpus total inlined as a literal (driver
+    # 1-row aggregate), token counts equi-joined back — never cartesian
+    "unigram_logprob": [
+        ("token-count equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("map-side partial count", r"partial_count"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
 }
 
 
