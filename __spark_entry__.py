@@ -2085,6 +2085,78 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt `Sitemap:` directive discovery
+    (operators/sitemap.py:discover_robots_sitemaps) — the hop that turns
+    per-host robots bodies into sitemap fetch targets. Bodies are
+    synthesized with CRLF line endings, mixed-case keys, indentation, a
+    no-space-after-colon form, and a `NotSitemap:` decoy; the DuckDB
+    oracle rebuilds the identical bytes (e'' escapes) and applies the
+    same RE2-compatible multiline regex."""
+    from lightcrawler_spark.operators.sitemap import discover_robots_sitemaps
+
+    base = spark.range(10)
+    sid = F.col("id").cast("string")
+    body_with = F.concat(
+        F.lit("# robots for h"), sid,
+        F.lit(".test\r\nUser-agent: *\r\nDisallow: /private\r\n"
+              "NotSitemap: http://no.test/x\r\nSitemap: http://h"), sid,
+        F.lit(".test/sitemap.xml\r\n\tsitemap: http://h"), sid,
+        F.lit(".test/sm"), (F.col("id") % 3).cast("string"),
+        F.lit(".xml\r\nSITEMAP:http://cdn.test/global"), sid,
+        F.lit(".xml\r\nDisallow: /tmp"),
+    )
+    body_without = F.concat(
+        F.lit("User-agent: *\r\nDisallow: /"), sid
+    )
+    robots = base.select(
+        F.concat(F.lit("h"), sid, F.lit(".test")).alias("host"),
+        F.when(F.col("id") % 3 == 2, body_without)
+        .otherwise(body_with)
+        .alias("body"),
+    )
+    return discover_robots_sitemaps(robots)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords
+    (operators/ranking.py:tfidf_keywords): term/document frequencies via
+    two map-side-combined aggregates, idf quantized to integer micro
+    units so `score_micro = tf × idf_micro` ranks bit-deterministically
+    in both engines."""
+    from lightcrawler_spark.operators.ranking import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, top_k=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("score_micro").cast("long").alias("score_micro"),
+        "rank",
+    )
+
+
+def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucketing
+    (operators/images.py:assign_aspect_buckets): argmin over the literal
+    bucket grid via array_min of (dist, idx, bw, bh) structs —
+    lexicographic struct comparison IS the deterministic tie-broken
+    argmin, all inside codegen. The oracle re-ranks the same double
+    distances relationally."""
+    from lightcrawler_spark.operators.images import assign_aspect_buckets
+
+    imgs = spark.range(400).select(
+        F.col("id").alias("image_id"),
+        (F.lit(256) + (F.col("id") * 37) % 1280).cast("int").alias("w"),
+        (F.lit(256) + (F.col("id") * 53) % 1280).cast("int").alias("h"),
+    )
+    return assign_aspect_buckets(imgs).select(
+        F.col("image_id").cast("long").alias("image_id"),
+        "w", "h", "aspect", "bucket_idx", "bucket_w", "bucket_h",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2173,6 +2245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "sitemap_parse": q_sitemap_parse,
         "unigram_logprob": q_unigram_logprob,
+        "robots_sitemaps": q_robots_sitemaps,
+        "tfidf_keywords": q_tfidf_keywords,
+        "aspect_bucket": q_aspect_bucket,
     }
 
 
@@ -3973,6 +4048,92 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        6) AS mean_logprob
 FROM toks JOIN counts USING (tok)
 GROUP BY doc_id
+""",
+        "robots_sitemaps": """
+WITH base AS (SELECT unnest(generate_series(0, 9)) AS id),
+robots AS (
+  SELECT 'h' || id || '.test' AS host,
+         CASE WHEN id % 3 = 2 THEN
+           'User-agent: *' || e'\\r\\n' || 'Disallow: /' || id
+         ELSE
+           '# robots for h' || id || e'.test\\r\\n'
+           || e'User-agent: *\\r\\nDisallow: /private\\r\\n'
+           || e'NotSitemap: http://no.test/x\\r\\n'
+           || 'Sitemap: http://h' || id || e'.test/sitemap.xml\\r\\n'
+           || e'\\tsitemap: http://h' || id || '.test/sm' || (id % 3)
+           || e'.xml\\r\\n'
+           || 'SITEMAP:http://cdn.test/global' || id || e'.xml\\r\\n'
+           || 'Disallow: /tmp'
+         END AS body
+  FROM base
+),
+l AS (
+  SELECT host,
+         regexp_extract_all(body, '(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1)
+           AS sm
+  FROM robots
+)
+SELECT host, CAST(i - 1 AS INT) AS seq, sm[i] AS sitemap_url
+FROM l, (SELECT unnest(generate_series(1, 3)) AS i)
+WHERE i <= len(sm)
+""",
+        "tfidf_keywords": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(text), '[^0-9a-z]+'),
+           x -> len(x) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         tf.tf * (CAST(round(
+             ln(CAST(1 + (SELECT n FROM nd) AS DOUBLE) / (1 + dft.df))
+             * 1000000.0, 0) AS BIGINT) + 1000000) AS score_micro
+  FROM tf JOIN dft USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, term ASC
+  ) AS rank FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_micro AS BIGINT) AS score_micro,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""",
+        "aspect_bucket": """
+WITH imgs AS (
+  SELECT id AS image_id,
+         256 + (id * 37) % 1280 AS w,
+         256 + (id * 53) % 1280 AS h
+  FROM (SELECT unnest(generate_series(0, 399)) AS id)
+),
+b(idx, bw, bh) AS (VALUES
+  (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152), (3, 1216, 832),
+  (4, 832, 1216), (5, 1344, 768), (6, 768, 1344), (7, 1536, 640),
+  (8, 640, 1536)
+),
+scored AS (
+  SELECT image_id, w, h, idx, bw, bh,
+         abs(CAST(w AS DOUBLE) / h - CAST(bw AS DOUBLE) / bh) AS dist
+  FROM imgs, b
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY image_id ORDER BY dist ASC, idx ASC
+  ) AS rn FROM scored
+)
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       round(CAST(w AS DOUBLE) / h, 6) AS aspect,
+       CAST(idx AS INT) AS bucket_idx,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+FROM r WHERE rn = 1
 """,
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only

@@ -41,6 +41,8 @@ __all__ = [
     "filter_image_caption_pairs",
     "image_caption_reject_expr",
     "augment_images",
+    "assign_aspect_buckets",
+    "SDXL_ASPECT_BUCKETS",
 ]
 
 _STATS_SCHEMA = T.StructType(
@@ -449,3 +451,61 @@ def augment_images(df: DataFrame, ops: tuple[str, ...] = AUGMENT_OPS,
             yield out
 
     return with_ops.mapInPandas(_augment, out_schema)
+
+
+# The SDXL training resolution grid (Podell et al. 2023, appendix I,
+# abridged to the common aspect range): all buckets ≈ 1024² pixels so
+# batch memory stays constant while aspect varies.
+SDXL_ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1024, 1024),
+    (1152, 896), (896, 1152),
+    (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344),
+    (1536, 640), (640, 1536),
+)
+
+
+def assign_aspect_buckets(
+    images: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = SDXL_ASPECT_BUCKETS,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal training batches (the
+    NovelAI/SDXL dataloader convention): every image joins the bucket
+    whose aspect ratio is nearest its own, so a batch can be collated
+    at the bucket's fixed resolution without destructive cropping.
+
+    Assignment = argmin over the bucket list of |w/h − bw/bh|, ties to
+    the lowest bucket index. Implemented as ``array_min`` over a
+    literal array of (distance, idx, bw, bh) structs — struct
+    comparison is lexicographic, so the min IS the argmin with the
+    deterministic tie-break, evaluated per row inside codegen: no
+    shuffle, no Python, and the identical double arithmetic runs in any
+    SQL engine (w/h and bw/bh are single correctly-rounded divisions).
+
+    Output: input columns + ``(aspect, bucket_idx, bucket_w, bucket_h)``.
+    """
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    aspect = w / h
+    candidates = F.array(
+        *[
+            F.struct(
+                F.abs(aspect - F.lit(float(bw) / float(bh))).alias("dist"),
+                F.lit(i).alias("idx"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    best = F.array_min(candidates)
+    return images.withColumns(
+        {
+            "aspect": F.round(aspect, 6),
+            "bucket_idx": best["idx"].cast("int"),
+            "bucket_w": best["bw"].cast("int"),
+            "bucket_h": best["bh"].cast("int"),
+        }
+    )

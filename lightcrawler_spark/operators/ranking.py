@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores"]
+__all__ = ["bm25_scores", "tfidf_keywords"]
 
 
 def _tokens(text_col: str):
@@ -82,3 +82,64 @@ def bm25_scores(
         )
         score = score + F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
     return base.select(*out_cols, score.alias("score"))
+
+
+def tfidf_keywords(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", top_k: int = 5) -> DataFrame:
+    """Top-k keywords per document by TF-IDF — the per-document summary
+    signal an index sink (S10) stores next to the BM25-ranked content
+    (tags/keyword fields in the reference's product row:
+    worker/XlegalLawContentRecord.class.php:11-28 carries hand-extracted
+    `tags`; corpus scale derives them instead).
+
+    score = tf · idf with the smooth idf ln((1+N)/(1+df)) + 1 (the
+    sklearn convention: no zero idf, no division by zero). The idf is
+    quantized to integer MICRO-units once per term, so the per-row score
+    ``score_micro = tf × idf_micro`` is exact integer arithmetic — rank
+    order is bit-deterministic across engines (a raw double product
+    could rank-flip on a 1-ulp ln() difference between libms).
+
+    Scale shape: groupBy(doc, term) term frequencies (map-side combine),
+    groupBy(term) document frequencies, one hash-join back, and a rank
+    window partitioned by doc. N collapses to a driver scalar (BM25
+    pattern). Output: ``(id_col, term, tf, df, score_micro, rank)``.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+    n_docs = docs.count()
+    if n_docs == 0:
+        return docs.select(
+            F.col(id_col), F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0).cast("long").alias("df"),
+            F.lit(0).cast("long").alias("score_micro"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_micro = (
+        F.round(
+            F.log(
+                F.lit(float(1 + n_docs)) / (F.lit(1) + F.col("df"))
+            ) * F.lit(1e6),
+            0,
+        ).cast("long")
+        + F.lit(1_000_000)
+    )
+    scored = tf.join(df_t, "term").withColumn(
+        "score_micro", F.col("tf") * idf_micro
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "score_micro",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_sitemaps"]
+__all__ = ["parse_sitemaps", "discover_robots_sitemaps"]
 
 # (?s): '.' spans newlines; lazy quantifiers keep blocks minimal. Both
 # supported identically by Java regex (Spark) and RE2 (DuckDB oracle).
@@ -35,6 +35,38 @@ _LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
 _LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
 _CHANGEFREQ = r"(?s)<changefreq>\s*(.*?)\s*</changefreq>"
 _PRIORITY = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+
+# `Sitemap:` directives are UA-INDEPENDENT per the protocol (unlike
+# Disallow/Crawl-delay, which the driver-side parsers in
+# operators/admission.py scope to a user-agent section), so discovery is
+# a flat line scan: case-insensitive key at line start, value = the
+# first non-whitespace run (CRLF-safe — \\S stops before \\r).
+_SITEMAP_DIRECTIVE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+
+
+def discover_robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                             body_col: str = "body") -> DataFrame:
+    """Extract ``Sitemap:`` directives from per-host robots.txt bodies —
+    the discovery hop that feeds ``parse_sitemaps``: robots fetch (S6) →
+    sitemap URLs → sitemap fetch → frontier seeds.
+
+    The reference's robots parser honors only Disallow
+    (PHPCrawlerRobotsTxtParser.class.php:109-151) and runs driver-side
+    over ONE seed host; at web scale there is one robots body per host
+    (millions of rows), so this is a relational pass: one
+    ``regexp_extract_all`` + posexplode per row, no shuffle, no Python.
+
+    Output: ``(host, seq, sitemap_url)``, document order preserved.
+    """
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(body_col), F.lit(_SITEMAP_DIRECTIVE), F.lit(1)
+            )
+        ).alias("seq", "sitemap_url"),
+    ).select("host", F.col("seq").cast("int").alias("seq"), "sitemap_url")
 
 
 def parse_sitemaps(pages: DataFrame, url_col: str = "sitemap_url",

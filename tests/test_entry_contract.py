@@ -54,6 +54,8 @@ FAST_ORACLE_QUERIES = [
     "anchor_text_agg",
     "recrawl_schedule",
     "sitemap_parse",
+    "robots_sitemaps",
+    "aspect_bucket",
 ]
 
 

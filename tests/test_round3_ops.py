@@ -243,3 +243,115 @@ def test_unigram_logprob_empty_docs_dropped(spark):
     )
     out = unigram_logprob(docs)
     assert [r.doc_id for r in out.orderBy("doc_id").collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# robots Sitemap: discovery
+# ---------------------------------------------------------------------------
+
+def test_robots_sitemap_directives(spark):
+    from lightcrawler_spark.operators.sitemap import discover_robots_sitemaps
+
+    body = (
+        "# comment\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /private\r\n"
+        "Sitemap: http://a.test/sm1.xml\r\n"
+        "  SITEMAP:http://a.test/sm2.xml\r\n"
+        "\tsitemap: http://a.test/sm3.xml\r\n"
+        "NotSitemap: http://a.test/decoy.xml\r\n"
+        "Sitemap :  http://a.test/space-before-colon.xml\r\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.test", body), ("b.test", "User-agent: *\nDisallow: /")],
+        "host string, body string",
+    )
+    rows = discover_robots_sitemaps(robots).orderBy("host", "seq").collect()
+    # decoy + space-before-colon rejected; order preserved; b.test empty
+    assert [(r.host, r.seq, r.sitemap_url) for r in rows] == [
+        ("a.test", 0, "http://a.test/sm1.xml"),
+        ("a.test", 1, "http://a.test/sm2.xml"),
+        ("a.test", 2, "http://a.test/sm3.xml"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keywords
+# ---------------------------------------------------------------------------
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    import math as m
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra common common"),
+            (2, "common common yak"),
+            (3, "common plain plain"),
+        ],
+        "doc_id long, text string",
+    )
+    from lightcrawler_spark.operators.ranking import tfidf_keywords
+
+    out = tfidf_keywords(docs, top_k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+
+    def idf_micro(df):
+        return round(m.log(4.0 / (1 + df)) * 1e6) + 1_000_000
+
+    # doc 1: the +1 smoothing floors idf at 1.0, so common (tf=3,
+    # score 3.0) outranks zebra (tf=1, idf ln2+1 ≈ 1.693) — the sklearn
+    # convention: raw frequency wins unless the rare term repeats
+    assert rows[(1, 1)].term == "common"
+    assert rows[(1, 1)].score_micro == 3 * idf_micro(3)
+    assert rows[(1, 2)].term == "zebra"
+    assert rows[(1, 2)].score_micro == idf_micro(1)
+    # doc 3: plain tf=2 df=1 dominates
+    assert rows[(3, 1)].term == "plain"
+    assert rows[(3, 1)].score_micro == 2 * idf_micro(1)
+    # every doc emits at most top_k rows
+    assert out.groupBy("doc_id").count().agg({"count": "max"}).first()[0] <= 2
+
+
+# ---------------------------------------------------------------------------
+# aspect bucketing
+# ---------------------------------------------------------------------------
+
+def test_aspect_bucket_assignments(spark):
+    from lightcrawler_spark.operators.images import (
+        SDXL_ASPECT_BUCKETS,
+        assign_aspect_buckets,
+    )
+
+    imgs = spark.createDataFrame(
+        [
+            (1, 1000, 1000),   # square → 1024x1024
+            (2, 1290, 1000),   # ≈1.29 → 1216x832? no: nearest of
+                               # 1.0,1.286,0.778,1.462,... → 1152/896=1.2857
+            (3, 500, 1200),    # ≈0.417 → 640x1536 (0.4167)
+            (4, 2000, 820),    # ≈2.44 → 1536x640 (2.4)
+        ],
+        "image_id long, w int, h int",
+    )
+    out = {r.image_id: r for r in assign_aspect_buckets(imgs).collect()}
+    assert (out[1].bucket_w, out[1].bucket_h) == (1024, 1024)
+    assert (out[2].bucket_w, out[2].bucket_h) == (1152, 896)
+    assert (out[3].bucket_w, out[3].bucket_h) == (640, 1536)
+    assert (out[4].bucket_w, out[4].bucket_h) == (1536, 640)
+    # brute-force argmin agrees on every bucket choice
+    for r in out.values():
+        ar = r.w / r.h
+        best = min(
+            ((abs(ar - bw / bh), i) for i, (bw, bh) in enumerate(SDXL_ASPECT_BUCKETS))
+        )[1]
+        assert r.bucket_idx == best
+
+
+def test_aspect_bucket_exact_tie_breaks_to_lower_index(spark):
+    from lightcrawler_spark.operators.images import assign_aspect_buckets
+
+    # custom 2-bucket grid with an EXACT tie: aspect 1.5 vs buckets at
+    # 1.0 and 2.0 → dist 0.5 both (exact in binary) → lower index wins
+    imgs = spark.createDataFrame([(1, 3, 2)], "image_id long, w int, h int")
+    row = assign_aspect_buckets(imgs, buckets=((10, 10), (20, 10))).collect()[0]
+    assert row.bucket_idx == 0
+    assert (row.bucket_w, row.bucket_h) == (10, 10)

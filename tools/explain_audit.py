@@ -216,6 +216,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("map-side partial count", r"partial_count"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # robots Sitemap: discovery — a pure generator pass per host row
+    "robots_sitemaps": [
+        ("generator posexplode of directives", r"Generate posexplode"),
+        ("no shuffle (pure parse pass)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # tf-idf keywords: tf/df aggregates with map-side combine, df
+    # equi-joined back, rank window partitioned by doc
+    "tfidf_keywords": [
+        ("map-side partial count", r"partial_count"),
+        ("df equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("doc-partitioned rank window", r"Window.*\[doc_id#\d+L?\]"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # aspect bucketing: argmin via array_min of literal structs — one
+    # codegen'd map, nothing moves
+    "aspect_bucket": [
+        ("no shuffle (pure map)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
 }
 
 
