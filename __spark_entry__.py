@@ -502,6 +502,61 @@ def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus rebalancing (operators/sampling.py:
+    temperature_rebalance): downsample each language toward the
+    α=0.5-smoothed mix, r_lang = sqrt(n_min/n_lang), decided row-locally
+    by the doc's md5 uniform — no shuffle, resume-stable. The keep rule
+    is evaluated as u·u·n_lang < n_min (all-exact IEEE ops) so the kept
+    set is bit-identical in the DuckDB oracle."""
+    from lightcrawler_spark.operators.sampling import temperature_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_rebalance(docs, alpha=0.5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "rebalance_rate",
+        "sample_u",
+    )
+
+
+def q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span masking (operators/textdedup.py:
+    mask_duplicate_ngrams) — the practical exact-substring-dedup analog
+    (Lee et al. 2022): word 4-grams occurring in ≥2 distinct documents
+    are corpus-duplicated; every token they cover is dropped from the
+    body. groupBy(gram) partial-agg + equi-join + one groupBy(doc) —
+    no window, no UDF; the oracle re-derives spans with
+    generate_series/unnest."""
+    from lightcrawler_spark.operators.textdedup import mask_duplicate_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return mask_duplicate_ngrams(docs, n=4, min_docs=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "dup_positions",
+        "dup_token_fraction",
+        "text_masked",
+    )
+
+
+def q_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style image+caption alignment gate (operators/clipscore.py)
+    — the LAION curation step: cosine(text_embedding, image_embedding)
+    ≥ τ keeps the pair. Encoders are labeled deterministic stand-ins
+    (hashed bag-of-words / channel-stat vector in integer micro-units);
+    the scoring plan — one Arrow decode pass + codegen'd caption side +
+    row-local exact-integer cosine, zero joins/shuffles — is the real
+    production shape. The oracle pins the image vectors (same shared
+    kernel) and genuinely recomputes the text hashing and the cosine."""
+    from lightcrawler_spark.operators.clipscore import clip_scores
+
+    df = _image_df(spark)
+    return clip_scores(df, threshold=0.2).select(
+        "image_id", "clip_score", "keep"
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end training-corpus build, composed purely from
     the verified operators: PII scrub → Gopher repetition gate
@@ -1291,6 +1346,67 @@ def _golden_fixture_values_sql() -> str:
     web = make_webgraph(n_lists=1, details_per_list=2, images=make_images(4))
     golden = simulate_reference_crawl(web, default_spec(budget=1), ROBOTS_FIXTURE)
     return _golden_values_sql(golden)
+
+
+def _clip_score_values_sql() -> str:
+    """Oracle for the CLIP-style gate: image vectors pinned via the
+    SAME shared kernel the Spark UDF runs (`clip_image_vec_micro` —
+    integer micro-units, so the literals are exact); captions pinned as
+    strings. The text hashing (md5 bucket + sign), the signed
+    bucket-count vector, and the exact-integer cosine are genuinely
+    recomputed by DuckDB — a hash match certifies the scoring logic,
+    not just pinned outputs."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image
+    from lightcrawler_spark.operators.clipscore import clip_image_vec_micro
+
+    vals = []
+    for r in make_images(64):
+        v = clip_image_vec_micro(decode_image(r["bytes"]))
+        cap = r["caption"].replace("'", "''")
+        vals.append(
+            f"('{r['image_id']}','{cap}',{','.join(str(x) for x in v)})"
+        )
+    return (
+        "WITH imgs(image_id, caption, f0,f1,f2,f3,f4,f5,f6,f7) AS "
+        "(VALUES\n" + ",\n".join(vals) + "\n),\n"
+        """toks AS (
+  SELECT image_id, tok
+  FROM imgs, UNNEST(string_split(lower(caption), ' ')) AS t(tok)
+  WHERE tok <> ''
+),
+h AS (
+  SELECT image_id,
+    (('0x' || substr(md5(tok || 'clip'), 1, 8))::UBIGINT % 8)::BIGINT AS b,
+    CASE WHEN ('0x' || substr(md5(tok || 'clip'), 9, 1))::UBIGINT < 8
+         THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+vec AS (SELECT image_id, b, SUM(s)::BIGINT AS v FROM h GROUP BY 1, 2),
+agg AS (
+  SELECT i.image_id,
+    SUM(v * CASE b WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2
+                   WHEN 3 THEN f3 WHEN 4 THEN f4 WHEN 5 THEN f5
+                   WHEN 6 THEN f6 ELSE f7 END)::BIGINT AS dot,
+    SUM(v * v)::BIGINT AS t2
+  FROM imgs i JOIN vec USING (image_id) GROUP BY 1
+),
+fsqt AS (
+  SELECT image_id,
+    (f0*f0 + f1*f1 + f2*f2 + f3*f3 + f4*f4 + f5*f5 + f6*f6 + f7*f7)::BIGINT
+      AS fsq
+  FROM imgs
+)
+SELECT i.image_id,
+  ROUND(CASE WHEN COALESCE(t2, 0) > 0 AND fsq > 0
+             THEN dot / sqrt((t2 * fsq)::DOUBLE) ELSE 0.0 END, 6)
+    AS clip_score,
+  (ROUND(CASE WHEN COALESCE(t2, 0) > 0 AND fsq > 0
+              THEN dot / sqrt((t2 * fsq)::DOUBLE) ELSE 0.0 END, 6) >= 0.2)
+    AS keep
+FROM imgs i LEFT JOIN agg USING (image_id) JOIN fsqt USING (image_id)
+"""
+    )
 
 
 def _image_verify_values_sql() -> str:
@@ -2186,6 +2302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "training_mix_sample": q_training_mix_sample,
+        "lang_rebalance": q_lang_rebalance,
+        "dup_span_mask": q_dup_span_mask,
+        "clip_score_filter": q_clip_score_filter,
         "corpus_pipeline": q_corpus_pipeline,
         "line_dedup": q_line_dedup,
         "domain_cap": q_domain_cap,
@@ -2591,6 +2710,57 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT64)
         / 4294967296.0
       < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
                   WHEN 'es' THEN 0.75 ELSE 0.0 END
+""",
+        "lang_rebalance": """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS nmin FROM c),
+u AS (
+  SELECT doc_id, lang,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::UBIGINT)
+      ::DOUBLE / 4294967296.0 AS uu
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, u.lang,
+  ROUND(sqrt(nmin / n), 6) AS rebalance_rate,
+  ROUND(uu, 9) AS sample_u
+FROM u JOIN c ON u.lang = c.lang, m
+WHERE uu * uu * n < nmin
+""",
+        "dup_span_mask": r"""
+WITH docs AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                w -> w <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, list_aggr(w[i:i+3], 'string_agg', ' ') AS gram
+  FROM docs,
+  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i) s
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, p
+  FROM grams g JOIN dup USING (gram),
+  LATERAL (SELECT unnest(generate_series(g.pos, g.pos + 3)) AS p) s
+),
+tokens AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+),
+clean AS (
+  SELECT t.doc_id, string_agg(tok, ' ' ORDER BY t.pos) AS txt
+  FROM tokens t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+  WHERE c.p IS NULL GROUP BY 1
+),
+covn AS (SELECT doc_id, count(*) AS ncov FROM cov GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  len(w)::BIGINT AS n_tokens,
+  COALESCE(ncov, 0)::BIGINT AS dup_positions,
+  ROUND(CASE WHEN len(w) > 0 THEN COALESCE(ncov, 0) / len(w)::DOUBLE
+             ELSE 0.0 END, 6) AS dup_token_fraction,
+  COALESCE(txt, '') AS text_masked
+FROM docs d LEFT JOIN covn USING (doc_id) LEFT JOIN clean USING (doc_id)
 """,
         "corpus_pipeline": r"""
 WITH train AS (
@@ -3502,6 +3672,7 @@ FROM documents d LEFT JOIN sh s USING (doc_id)
         # deterministic-fixture VALUES oracles (goldens technique): the
         # expected rows are computed driver-side WITHOUT Spark
         "image_verify": _image_verify_values_sql(),
+        "clip_score_filter": _clip_score_values_sql(),
         "image_resize": _image_resize_values_sql(),
         "image_features": _image_features_values_sql(),
         "video_frame_sample": _video_frames_values_sql(),

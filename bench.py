@@ -316,6 +316,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "minhash_signatures", "repetition_stats", "decontaminate",
         "training_mix_sample", "corpus_pipeline", "line_dedup",
         "domain_cap", "doc_chunk", "sequence_pack",
+        "lang_rebalance", "dup_span_mask", "clip_score_filter",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

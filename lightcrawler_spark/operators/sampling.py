@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["uniform_hash", "stratified_sample", "cap_per_key"]
+__all__ = [
+    "uniform_hash",
+    "stratified_sample",
+    "cap_per_key",
+    "temperature_rebalance",
+]
 
 
 def uniform_hash(key: Column, salt: str = "") -> Column:
@@ -110,3 +115,63 @@ def cap_per_key(
         .filter(F.col("key_rank") <= k)
     )
     return out if keep_rank else out.drop("key_rank")
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    keep_u: bool = True,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: downsample each stratum s
+    toward the α-smoothed mix p_s ∝ n_s^α (the multilingual-sampling
+    rule of mBERT/XLM-R, Conneau et al. 2020 §3). With rates normalized
+    so the smallest stratum keeps everything, keep-rate
+    r_s = (n_min / n_s)^(1-α): head languages shrink toward the tail
+    without any stratum upsampling.
+
+    Exactness: for the default α = 0.5 the keep rule is evaluated as
+    ``u·u·n_s < n_min`` (u from `uniform_hash`) — squaring instead of
+    square-rooting, so every operation is an IEEE-defined op on
+    identical inputs in Spark and the DuckDB oracle: u is an exact
+    dyadic (32 md5 bits / 2³²), n_s and n_min are exact int-valued
+    doubles, and the product rounds identically → the kept set is
+    bit-reproducible across engines. Other α values go through
+    `pow` (documented: last-ulp threshold ties are possible across
+    engines; fine operationally, not used by the oracle query).
+
+    Scale shape: one tiny groupBy(strata).count() (map-side combined,
+    #strata rows) collected to a literal CASE; the sampling itself is a
+    row-local codegen'd filter over the scan — no shuffle, no window,
+    resume-stable, nested under re-sampling with a different salt.
+
+    Adds ``rebalance_rate`` (round 6) and ``sample_u`` (round 9, unless
+    `keep_u=False`) to the kept rows.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df.withColumn("rebalance_rate", F.lit(0.0)).withColumn(
+            "sample_u", F.lit(0.0)
+        ).limit(0)
+    n_min = float(min(counts.values()))
+    n_s = F.lit(0.0)
+    for stratum, c in sorted(counts.items()):
+        n_s = F.when(F.col(strata_col) == stratum, F.lit(float(c))).otherwise(n_s)
+    u = uniform_hash(F.col(key_col), salt=salt)
+    if alpha == 0.5:
+        keep = (u * u) * n_s < F.lit(n_min)
+        rate = F.sqrt(F.lit(n_min) / n_s)
+    else:
+        rate = F.pow(F.lit(n_min) / n_s, F.lit(1.0 - float(alpha)))
+        keep = u < rate
+    out = (
+        df.withColumn("rebalance_rate", F.round(rate, 6))
+        .withColumn("sample_u", F.round(u, 9))
+        .filter(keep)
+    )
+    return out if keep_u else out.drop("sample_u")

@@ -38,6 +38,7 @@ __all__ = [
     "word_ngrams",
     "decontaminate",
     "dedup_lines",
+    "mask_duplicate_ngrams",
 ]
 
 
@@ -409,4 +410,100 @@ def dedup_lines(
         .alias("n_lines_removed"),
     )
     out = df.join(rebuilt, id_col)
+    return out if keep_text else out.drop(text_col)
+
+
+def mask_duplicate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-span masking — the practical analog of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any word `n`-gram occurring in
+    ≥ `min_docs` DISTINCT documents is "corpus-duplicated", and every
+    token covered by an occurrence of a duplicated gram is removed from
+    the document body (boilerplate, licence banners, syndicated
+    paragraphs). Finer than doc-level dedup, coarser (and shuffle-
+    bounded, unlike a distributed suffix array) than true suffix-array
+    substring dedup — the standard practical middle ground.
+
+    Scale shape: (1) gram frequency is `groupBy(gram)` with map-side
+    partial aggregation over (gram, doc) pairs pre-distincted per
+    partition — at 100 TB hash the gram to binary(16) first (flag
+    below) so the shuffle carries 16-byte keys, not strings; (2)
+    marking is a plain equi-join of the gram stream against the
+    (rare) duplicated-gram set — AQE broadcasts it when small;
+    (3) span coverage folds back with one groupBy(doc_id) of hit
+    positions; reassembly is a row-local lambda over the token array.
+    No window anywhere; every stage partial-aggregates.
+
+    Returns `df` plus `n_tokens`, `dup_positions`, `dup_token_fraction`
+    (round 6) and `text_masked`.
+    """
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(F.col(id_col), words.alias("_w"))
+    cnt = F.size(F.col("_w")) - (n - 1)
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                cnt > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("_cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_cp")).alias("_cps"))
+    )
+    masked = (
+        base.join(covered, id_col, "left")
+        .withColumn(
+            "_cps", F.coalesce(F.col("_cps"), F.array().cast("array<int>"))
+        )
+        .select(
+            id_col,
+            F.size(F.col("_w")).cast("long").alias("n_tokens"),
+            F.size(F.col("_cps")).cast("long").alias("dup_positions"),
+            F.round(
+                F.when(
+                    F.size(F.col("_w")) > 0,
+                    F.size(F.col("_cps"))
+                    / F.size(F.col("_w")).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_fraction"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("_w"),
+                    lambda tok, i: ~F.array_contains(F.col("_cps"), i),
+                ),
+            ).alias("text_masked"),
+        )
+    )
+    out = df.join(masked, id_col)
     return out if keep_text else out.drop(text_col)

@@ -56,6 +56,9 @@ FAST_ORACLE_QUERIES = [
     "sitemap_parse",
     "robots_sitemaps",
     "aspect_bucket",
+    "lang_rebalance",
+    "dup_span_mask",
+    "clip_score_filter",
 ]
 
 

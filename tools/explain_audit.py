@@ -238,6 +238,33 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # temperature rebalance: row-local codegen'd filter over the scan —
+    # the only exchange in the whole plan is the tiny driver-side
+    # count() that ran before plan-build (not in this plan at all)
+    "lang_rebalance": [
+        ("no shuffle (row-local keep rule)", r"!Exchange"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
+    # duplicated-span masking: gram frequency must partial-aggregate
+    # map-side; marking is an equi-join (AQE may broadcast); coverage
+    # folds back with a partial-agg groupBy — no window, no Python
+    "dup_span_mask": [
+        ("map-side partial gram count", r"partial_count"),
+        ("gram equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # CLIP-style gate: ONE Arrow batch pass for the image side, the
+    # caption side and the cosine fully codegen'd, zero joins/shuffles
+    "clip_score_filter": [
+        ("single Arrow pass (image encoder)", r"ArrowEvalPython"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+        ("no shuffle (row-local score)", r"!Exchange"),
+        ("no join", r"!Join"),
+    ],
 }
 
 
