@@ -242,6 +242,40 @@ def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return work.select("host", "insert_seq", "pop_rank")
 
 
+def q_backoff_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 extension: adaptive throttle backoff (operators/scheduler.py:
+    backoff_blocked_hosts — the function the engine itself calls). From
+    a synthetic fetched-pages history, hosts whose last 429/503 was in
+    round t are blocked for rounds t+1..t+ceil(Retry-After/duration)
+    (default wait without the header); the blocked dim is evaluated at
+    three probe rounds. One partial-agg groupBy(host), no window — the
+    tiny result broadcasts into the frontier anti-join."""
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias("host"),
+        ((F.col("event_id") % 10) + 1).cast("int").alias("round"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(429))
+        .when(F.col("event_id") % 11 == 0, F.lit(503))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            ((F.col("event_id") % 5) * 7).cast("int"),
+        ).alias("retry_after"),
+    )
+    parts = [
+        scheduler.backoff_blocked_hosts(
+            pages, probe, round_duration_s=5.0, default_backoff_rounds=2
+        ).withColumn("check_round", F.lit(probe).cast("int"))
+        for probe in (8, 11, 14)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("check_round", "host")
+
+
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E17: pagination synthesis from the JS page counter."""
     part = _t(spark, sf_dir, "part")
@@ -554,6 +588,21 @@ def q_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _image_df(spark)
     return clip_scores(df, threshold=0.2).select(
         "image_id", "clip_score", "keep"
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global top-k vocabulary (operators/text.py:vocab_topk) —
+    tokenizer-build seed list + coverage report. One map-side-combined
+    groupBy(token) then TakeOrderedAndProject top-k (never a global
+    sort); the cumulative-coverage window runs over ≤ k rows by
+    construction. Deterministic tie-break (count DESC, token ASC)."""
+    from lightcrawler_spark.operators.text import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=25).select(
+        "tok", F.col("cnt").cast("long").alias("cnt"),
+        "vocab_rank", "cum_frac",
     )
 
 
@@ -2288,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_rounds": q_politeness_rounds,
         "per_host_rounds": q_per_host_rounds,
         "crawl_delay_budgets": q_crawl_delay_budgets,
+        "backoff_blocked": q_backoff_blocked,
         "pagination": q_pagination,
         "status_report": q_status_report,
         "events_hourly": q_events_hourly,
@@ -2303,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "training_mix_sample": q_training_mix_sample,
         "lang_rebalance": q_lang_rebalance,
+        "vocab_topk": q_vocab_topk,
         "dup_span_mask": q_dup_span_mask,
         "clip_score_filter": q_clip_score_filter,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2498,6 +2549,38 @@ ranked AS (
 SELECT host, insert_seq, pop_rank
 FROM ranked LEFT JOIN b USING (host)
 WHERE pop_rank <= coalesce(hb, 4)
+""",
+        "backoff_blocked": """
+WITH pages AS (
+  SELECT 'h' || (user_id % 25) AS host,
+         CAST((event_id % 10) + 1 AS INT) AS round,
+         CAST(CASE WHEN event_id % 7 = 0 THEN 429
+                   WHEN event_id % 11 = 0 THEN 503
+                   ELSE 200 END AS INT) AS status,
+         CASE WHEN event_id % 3 = 0
+              THEN CAST((event_id % 5) * 7 AS INT) END AS retry_after
+  FROM events
+),
+last AS (
+  SELECT host, round, retry_after FROM (
+    SELECT host, round, retry_after,
+           row_number() OVER (
+             PARTITION BY host
+             ORDER BY round DESC, retry_after DESC NULLS LAST
+           ) AS rn
+    FROM pages WHERE status IN (429, 503)
+  ) WHERE rn = 1
+),
+waits AS (
+  SELECT host, round,
+         CASE WHEN retry_after IS NOT NULL
+              THEN CAST(ceil(retry_after / 5.0) AS INT)
+              ELSE 2 END AS wait
+  FROM last
+)
+SELECT CAST(probe AS INT) AS check_round, host
+FROM waits, (SELECT unnest([8, 11, 14]) AS probe)
+WHERE probe <= round + wait
 """,
         "pagination": """
 WITH pages AS (
@@ -2725,6 +2808,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, u.lang,
   ROUND(uu, 9) AS sample_u
 FROM u JOIN c ON u.lang = c.lang, m
 WHERE uu * uu * n < nmin
+""",
+        "vocab_topk": """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM c),
+top AS (
+  SELECT tok, cnt,
+    row_number() OVER (ORDER BY cnt DESC, tok ASC)::BIGINT AS vocab_rank,
+    sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ::DOUBLE AS cum
+  FROM c ORDER BY cnt DESC, tok ASC LIMIT 25
+)
+SELECT tok, cnt, vocab_rank, ROUND(cum / n, 6) AS cum_frac FROM top, tot
 """,
         "dup_span_mask": r"""
 WITH docs AS (

@@ -95,6 +95,18 @@ class CrawlSpec:
     # "last-fetch-per-host carries over" politeness (SURVEY §7) — state
     # lives in the round store's host_state table, so it survives resume.
     host_delay_rounds: int = 0
+    # adaptive throttle backoff (extension beyond the reference, which
+    # drops throttled pages like any >400 status): when a host answers
+    # 429/503, it becomes ineligible for the next
+    # ceil(Retry-After / round_duration_s) BSP rounds (server-declared
+    # wait) or default_backoff_rounds when the header is absent. The
+    # throttled URL itself stays consumed (reference P9 parity — inline
+    # retries already ran); only FUTURE work on the host is deferred.
+    # State derives from the persisted pages rows (status, retry_after,
+    # round), so it survives resume like the host cooldown. Off by
+    # default (reference parity).
+    retry_after_backoff: bool = False
+    default_backoff_rounds: int = 1
     retry_limit: int = 3               # libs/CrawlerSettings.class.php:37
     request_limit: int = 0             # 0 = unlimited (P10)
     traffic_limit_bytes: int = 0

@@ -105,7 +105,8 @@ HOST_S = "www.site-s.test"       # first-content host after redirects
 
 
 def _page_row(url, body: bytes | str, status=200, ctype="text/html",
-              redirect_to=None, image_id=None, host=None, fail_times=0):
+              redirect_to=None, image_id=None, host=None, fail_times=0,
+              retry_after=None):
     if isinstance(body, str):
         body = body.encode("utf-8")
     return {
@@ -118,6 +119,8 @@ def _page_row(url, body: bytes | str, status=200, ctype="text/html",
         "image_id": image_id,
         "latency_ms": 10 + (len(url) % 25),
         "fail_times": fail_times,
+        # throttle fixtures (429/503): the server's Retry-After seconds
+        "retry_after": retry_after,
     }
 
 
@@ -127,12 +130,12 @@ def webgraph_df(spark, pages: list[dict]):
         [
             (p["url"], p["host"], p["status"], p["content_type"],
              p["redirect_to"], bytearray(p["body"]), p["image_id"],
-             p["latency_ms"], p.get("fail_times", 0))
+             p["latency_ms"], p.get("fail_times", 0), p.get("retry_after"))
             for p in pages
         ],
         "url string, host string, status int, content_type string, "
         "redirect_to string, body binary, image_id string, latency_ms int, "
-        "fail_times int",
+        "fail_times int, retry_after int",
     )
 
 
@@ -520,6 +523,24 @@ def simulate_reference_crawl(
 
     trace: list[dict] = []
     seq = 0
+    # retry_after_backoff state: host -> (throttle_round, retry_after|None),
+    # keeping the LATEST throttled round (ties: larger retry_after) —
+    # mirrors the engine's max(struct(round, retry_after)) aggregate
+    throttled_hosts: dict[str, tuple[int, int | None]] = {}
+    round_idx = 0
+
+    def _backoff_rounds(ra: int | None) -> int:
+        import math as _math
+
+        if ra is None:
+            return spec.default_backoff_rounds
+        return int(_math.ceil(ra / spec.round_duration_s))
+
+    def _host_blocked(host: str) -> bool:
+        if not spec.retry_after_backoff or host not in throttled_hosts:
+            return False
+        t_round, ra = throttled_hosts[host]
+        return round_idx <= t_round + _backoff_rounds(ra)
 
     def _process_pop(nxt: dict) -> None:
         nonlocal seq
@@ -547,6 +568,16 @@ def simulate_reference_crawl(
             }
         )
         seq += 1
+        if spec.retry_after_backoff and status in (429, 503):
+            ra = p.get("retry_after") if p else None
+            prev = throttled_hosts.get(nxt["host"])
+            cand = (round_idx, ra)
+            # latest round wins; within a round the larger declared wait
+            # (None sorts lowest) — the engine's max(struct(...)) order
+            if prev is None or (cand[0], -1 if cand[1] is None else cand[1]) > (
+                prev[0], -1 if prev[1] is None else prev[1]
+            ):
+                throttled_hosts[nxt["host"]] = cand
         if p is None or exhausted:
             return
         # body only when received (status 2xx + html), like the engine's
@@ -603,14 +634,22 @@ def simulate_reference_crawl(
             if admit(link, depth, page_nofollow):
                 push(link["url"], depth, nxt["url"])
 
-    while seq < max_pops:
+    round_idx = 1  # engine rounds start at 1 (round 0 = seeding)
+    while seq < max_pops and round_idx < 100_000:
         pending = [f for f in frontier if not f["done"]]
         if not pending:
             break
+        # retry_after_backoff: hosts inside their declared (or default)
+        # backoff window sit the round out; if EVERY pending host is
+        # blocked this is an idle politeness round — advance the clock
+        eligible = [f for f in pending if not _host_blocked(f["host"])]
+        if not eligible:
+            round_idx += 1
+            continue
         # batch membership freezes BEFORE any of the round's fetches —
         # links pushed mid-round only become poppable next round, exactly
         # like the engine's BSP rounds
-        batch = select_batch(pending)
+        batch = select_batch(eligible)
         if spec.request_limit:
             batch = batch[: spec.request_limit - seq]
             if not batch:
@@ -619,6 +658,7 @@ def simulate_reference_crawl(
             if seq >= max_pops:
                 break
             _process_pop(nxt)
+        round_idx += 1
 
     final_seen = {t["url_md5"] for t in trace}
     for t in trace:

@@ -40,6 +40,7 @@ __all__ = [
     "interleave_rank",
     "salted_repartition",
     "recrawl_schedule",
+    "backoff_blocked_hosts",
 ]
 
 def pop_order():
@@ -243,3 +244,43 @@ def salted_repartition(df: DataFrame, host_col: str = "host",
     if num_partitions:
         return df.repartition(num_partitions, *cols)
     return df.repartition(*cols)
+
+
+def backoff_blocked_hosts(
+    pages,
+    current_round: int,
+    round_duration_s: float,
+    default_backoff_rounds: int = 1,
+    host_col: str = "host",
+):
+    """Adaptive throttle backoff (P8 extension; the reference drops
+    throttled pages like any >400 status and never defers the host):
+    given the fetched-pages history (host, round, status, retry_after),
+    a host whose LAST throttled fetch (429/503) happened in round t is
+    blocked for rounds t+1 .. t+W, where W = ceil(Retry-After /
+    round_duration) when the server declared a wait, else
+    `default_backoff_rounds`. "Last" = max(struct(round, retry_after)):
+    latest round wins, ties by larger declared wait (null lowest).
+
+    Returns the blocked-host dim (one `host_col` column) for
+    `current_round` — tiny by construction (hosts currently throttled),
+    meant to broadcast into an anti-join against the pending frontier.
+    Scale shape: one partial-aggregating groupBy(host) over the pages
+    scan; no window, no sort. State derives from persisted rows, so it
+    survives resume for free (same property as the host cooldown).
+    """
+    thr = pages.filter(F.col("status").isin(429, 503))
+    last = thr.groupBy(host_col).agg(
+        F.max(F.struct("round", "retry_after")).alias("_l")
+    )
+    wait = (
+        F.when(
+            F.col("_l.retry_after").isNotNull(),
+            F.ceil(F.col("_l.retry_after") / F.lit(float(round_duration_s))),
+        )
+        .otherwise(F.lit(default_backoff_rounds))
+        .cast("int")
+    )
+    return last.filter(
+        F.lit(current_round) <= F.col("_l.round") + wait
+    ).select(host_col)

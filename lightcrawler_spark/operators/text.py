@@ -29,6 +29,7 @@ __all__ = [
     "with_pii_scrub",
     "with_repetition_stats",
     "unigram_logprob",
+    "vocab_topk",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -398,3 +399,50 @@ def with_repetition_stats(
             _top_ngram_best(words, n), total_word_chars
         )
     return staged.withColumns(cols).drop("_rl", "_rs", "_rw")
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
+               min_count: int = 1) -> DataFrame:
+    """Corpus-global top-k token vocabulary — the seed list a tokenizer
+    build (BPE/WordPiece) starts from, and the coverage report every
+    corpus audit wants ("what are the 50k most frequent tokens and how
+    much of the stream do they cover").
+
+    Scale shape: explode → ONE groupBy(token) count whose map-side
+    partial aggregation collapses heavy hitters per task before the
+    shuffle, then a global top-k via orderBy(...).limit(k) — Spark
+    plans that as TakeOrderedAndProject (per-partition heap of k, then
+    a k·P driver merge), never a global sort. Tie-break is
+    deterministic: (count DESC, token ASC). `cum_frac` (cumulative
+    corpus coverage, micro-rounded) rides on a window over the ≤ k
+    survivor rows — bounded by k, not by the corpus, so the
+    single-partition window is safe by construction.
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(F.explode(_words(F.col(text_col))).alias("tok"))
+    counts = tokens.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    top = (
+        counts.filter(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    if total == 0:
+        return top.withColumn("vocab_rank", F.lit(0).cast("long")).withColumn(
+            "cum_frac", F.lit(0.0)
+        )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        top.withColumn("vocab_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_frac",
+            F.round(
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ).cast("double")
+                / F.lit(float(total)),
+                6,
+            ),
+        )
+    )

@@ -114,7 +114,7 @@ ABORT_ROUNDLIMIT = "roundlimit"
 PAGES_COLS = [
     "seq", "url", "url_md5", "host", "depth", "referer", "priority_level",
     "status", "content_type", "body", "body_text", "bytes_received",
-    "latency_ms", "n_attempts", "benchmarks", "fetch_rank",
+    "latency_ms", "n_attempts", "benchmarks", "fetch_rank", "retry_after",
 ]
 
 
@@ -406,6 +406,19 @@ class CrawlEngine:
                     .select("host")
                 )
                 pending = pending.join(F.broadcast(cooling), "host", "left_anti")
+        if spec.retry_after_backoff and claimed is not None:
+            # adaptive throttle backoff: a host whose LAST throttled
+            # fetch (429/503) was in round t sits out rounds
+            # t+1 .. t+ceil(Retry-After/round_duration) (or
+            # default_backoff_rounds without the header). Same scale
+            # shape as the cooldown above: partial-agg groupBy(host)
+            # over the pages scan, tiny blocked-host dim broadcast into
+            # an anti-join — state derives from persisted rows, so it
+            # survives resume for free.
+            blocked = scheduler.backoff_blocked_hosts(
+                claimed, r, spec.round_duration_s, spec.default_backoff_rounds
+            )
+            pending = pending.join(F.broadcast(blocked), "host", "left_anti")
         if spec.request_limit:
             remaining = spec.request_limit - base_seq
             if remaining <= 0:
@@ -664,7 +677,10 @@ class CrawlEngine:
 
         pages = results.withColumn(
             "seq", (F.lit(base_seq) + F.col("fetch_rank") - 1).cast("long")
-        ).select(*PAGES_COLS)
+        )
+        if "retry_after" not in pages.columns:  # fetcher without throttle surface
+            pages = pages.withColumn("retry_after", F.lit(None).cast("int"))
+        pages = pages.select(*PAGES_COLS)
         self.store.write("pages", r, pages)
 
         if can_harvest and int(stats["n_set_cookies"]) > 0:
@@ -697,7 +713,7 @@ class CrawlEngine:
         # Then it's an idle politeness round — commit it so cooldowns
         # age; otherwise the frontier is drained.
         if (
-            self.spec.host_delay_rounds > 0
+            (self.spec.host_delay_rounds > 0 or self.spec.retry_after_backoff)
             and pending_before_cooldown.limit(1).count() > 0
         ):
             return 0, True

@@ -199,6 +199,11 @@ class SyntheticFetcher:
             cols.append("fail_times")
         else:
             cols.append(F.lit(0).alias("fail_times"))
+        # adaptive backoff fixtures: Retry-After seconds on 429/503 rows
+        if "retry_after" in webgraph_df.columns:
+            cols.append("retry_after")
+        else:
+            cols.append(F.lit(None).cast("int").alias("retry_after"))
         # P12: fixture pages may SET cookies (→ harvested back into the
         # jar) and REQUIRE a cookie ("name=value" that must appear in the
         # request's Cookie header, else the page answers 403)
@@ -298,6 +303,11 @@ class SyntheticFetcher:
                 decode_body_udf(body, content_type),
             ).otherwise(F.lit(None).cast("string")),
             "redirect_to": F.when(status.between(300, 399), redirect),
+            # throttle surface: Retry-After only rides a throttled final
+            # status (429/503), like a real server header
+            "retry_after": F.when(
+                status.isin(429, 503), F.col("retry_after")
+            ).cast("int"),
         }
         self._out_exprs[has_cookie_header] = exprs
         return exprs
@@ -347,6 +357,9 @@ class HttpFetcher:
                 # P12 harvest-back: raw Set-Cookie header lines
                 # (PHPCrawler.class.php:830 stores them on every pop)
                 T.StructField("set_cookies", T.ArrayType(T.StringType())),
+                # adaptive backoff: Retry-After seconds from a 429/503
+                # response (delta-seconds form; HTTP-date form → null)
+                T.StructField("retry_after", T.IntegerType()),
             ]
         )
 
@@ -421,7 +434,7 @@ class HttpFetcher:
                 except urllib.error.HTTPError as e:
                     resp = e  # 3xx/4xx/5xx: the error IS the response
                 except Exception:
-                    return 0, None, None, None, {}, None  # connection error
+                    return 0, None, None, None, {}, None, None  # connection error
                 # A3: request → headers-in is the server-response timer
                 t_resp = time.perf_counter()
                 with resp:
@@ -430,6 +443,11 @@ class HttpFetcher:
                     redirect = resp.headers.get("Location")
                     # P12 harvest-back: every Set-Cookie line, raw
                     set_cookies = resp.headers.get_all("Set-Cookie") or None
+                    retry_after = None
+                    if status in (429, 503):
+                        ra = (resp.headers.get("Retry-After") or "").strip()
+                        if ra.isdigit():
+                            retry_after = int(ra)
                     body = None
                     t_read0 = time.perf_counter()
                     if ctype and any(rx.search(ctype) for rx in compiled):
@@ -442,13 +460,13 @@ class HttpFetcher:
                     # the prefill analog)
                     "data_transfer_ms": round(t_read * 1000, 3),
                 }
-                return status, ctype, redirect, body, bench, set_cookies
+                return status, ctype, redirect, body, bench, set_cookies, retry_after
 
             for pdf in batches:
                 rows = {
                     "status": [], "content_type": [], "redirect_to": [],
                     "body": [], "latency_ms": [], "n_attempts": [],
-                    "benchmarks": [], "set_cookies": [],
+                    "benchmarks": [], "set_cookies": [], "retry_after": [],
                 }
                 cookies = pdf["cookie_header"] if has_cookies else [None] * len(pdf)
                 posts = pdf["post_data"] if has_post else [None] * len(pdf)
@@ -457,17 +475,16 @@ class HttpFetcher:
                     pdf["url"], cookies, posts, auths
                 ):
                     t0 = time.perf_counter()
-                    status, ctype, redirect, body, bench, set_ck = (
-                        0, None, None, None, {}, None,
+                    status, ctype, redirect, body, bench, set_ck, r_after = (
+                        0, None, None, None, {}, None, None,
                     )
                     attempts = 0
                     # P9 inline retry (PHPCrawler.class.php:735-751):
                     # retry on error or status >400 / <100
                     for _ in range(spec.retry_limit):
                         attempts += 1
-                        status, ctype, redirect, body, bench, set_ck = _attempt(
-                            url, cookie, post_data, auth
-                        )
+                        (status, ctype, redirect, body, bench, set_ck,
+                         r_after) = _attempt(url, cookie, post_data, auth)
                         if 100 <= status <= 400:
                             break
                     rows["status"].append(status)
@@ -480,6 +497,7 @@ class HttpFetcher:
                     rows["n_attempts"].append(attempts)
                     rows["benchmarks"].append(bench)
                     rows["set_cookies"].append(set_ck)
+                    rows["retry_after"].append(r_after)
                 yield pd.concat(
                     [pdf.reset_index(drop=True), pd.DataFrame(rows)], axis=1
                 )

@@ -219,3 +219,36 @@ def test_rebalance_resume_stability_and_salt_independence(spark):
     assert a == b  # deterministic, resume-stable
     c = sorted(r.doc_id for r in temperature_rebalance(df, salt="v2").collect())
     assert a != c  # a different salt draws an independent sample
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk
+# ---------------------------------------------------------------------------
+
+def test_vocab_topk_counts_ties_and_coverage(spark):
+    from lightcrawler_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c d. D!")],
+        "doc_id long, text string",
+    )
+    # counts: a=3 b=3 c=2 d=2 → ties broken token-ASC
+    rows = vocab_topk(df, k=3).orderBy("vocab_rank").collect()
+    assert [(r.tok, r.cnt, r.vocab_rank) for r in rows] == [
+        ("a", 3, 1), ("b", 3, 2), ("c", 2, 3)
+    ]
+    total = 10.0
+    assert rows[0].cum_frac == pytest.approx(3 / total, abs=1e-6)
+    assert rows[1].cum_frac == pytest.approx(6 / total, abs=1e-6)
+    assert rows[2].cum_frac == pytest.approx(8 / total, abs=1e-6)
+
+
+def test_vocab_topk_min_count_and_empty(spark):
+    from lightcrawler_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "x x y")], "doc_id long, text string")
+    rows = vocab_topk(df, k=10, min_count=2).collect()
+    assert [(r.tok, r.cnt) for r in rows] == [("x", 2)]
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert vocab_topk(empty, k=5).count() == 0

@@ -50,6 +50,7 @@ FAST_ORACLE_QUERIES = [
     "decontaminate",
     "training_mix_sample",
     "crawl_delay_budgets",
+    "backoff_blocked",
     "corpus_pipeline",
     "anchor_text_agg",
     "recrawl_schedule",
@@ -57,6 +58,7 @@ FAST_ORACLE_QUERIES = [
     "robots_sitemaps",
     "aspect_bucket",
     "lang_rebalance",
+    "vocab_topk",
     "dup_span_mask",
     "clip_score_filter",
 ]

@@ -71,6 +71,23 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/throttled":
+            body = b"slow down"
+            self.send_response(429)
+            self.send_header("Retry-After", "30")
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/unavailable":
+            # 503 with the HTTP-date form → delta-seconds parse yields null
+            body = b"maintenance"
+            self.send_response(503)
+            self.send_header("Retry-After", "Wed, 21 Oct 2026 07:28:00 GMT")
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._respond(404, b"nope")
 
@@ -131,6 +148,23 @@ def test_raw_redirect_and_retry_and_gzip(spark, server):
     dead = got["http://127.0.0.1:1/dead"]
     assert dead["status"] == 0 and dead["n_attempts"] == 3
     assert dead["body"] is None
+
+
+def test_retry_after_header_surfaced(spark, server):
+    got = _fetch(
+        spark,
+        server,
+        [(f"{server}/throttled",), (f"{server}/unavailable",),
+         (f"{server}/content",)],
+    )
+    thr = got[f"{server}/throttled"]
+    assert thr["status"] == 429 and thr["retry_after"] == 30
+    unavail = got[f"{server}/unavailable"]
+    # HTTP-date form: not delta-seconds → null (engine falls back to
+    # default_backoff_rounds)
+    assert unavail["status"] == 503 and unavail["retry_after"] is None
+    ok = got[f"{server}/content"]
+    assert ok["status"] == 200 and ok["retry_after"] is None
 
 
 def test_cookie_auth_post_injection(spark, server):

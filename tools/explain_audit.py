@@ -238,6 +238,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # throttle backoff: last-throttle per host must be a partial-agg
+    # max(struct), never a rank window over the pages history
+    "backoff_blocked": [
+        ("map-side partial max(struct)", r"partial_max"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # temperature rebalance: row-local codegen'd filter over the scan —
     # the only exchange in the whole plan is the tiny driver-side
     # count() that ran before plan-build (not in this plan at all)
@@ -255,6 +262,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("gram equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
         ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # vocab top-k: global top-k must be a bounded heap merge, never a
+    # full sort; token counting must partial-aggregate map-side
+    "vocab_topk": [
+        ("top-k via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("map-side partial token count", r"partial_count"),
+        ("no global Sort before the limit", r"!Sort \[cnt"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
     # CLIP-style gate: ONE Arrow batch pass for the image side, the
