@@ -2322,6 +2322,123 @@ def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trap_url_expr() -> F.Column:
+    """Deterministic URL zoo for the trap detector — eight families per
+    id%8, each sweeping one signal across its threshold."""
+    i = F.col("id")
+    host = F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                    F.lit(".example.com"))
+    fam = (i % 8).cast("int")
+    return F.when(
+        fam == 0,
+        F.concat(host, F.lit("/docs/page"), i.cast("string"), F.lit(".html")),
+    ).when(
+        fam == 1,
+        F.concat(host, F.expr("repeat('/item', CAST(1 + id % 5 AS INT))"),
+                 F.lit("/p.html")),
+    ).when(
+        fam == 2,
+        F.concat(host, F.expr("repeat('/d', CAST(5 + id % 12 AS INT))")),
+    ).when(
+        fam == 3,
+        F.concat(host, F.lit("/page.jsp?a=1&JSESSIONID=x"), i.cast("string")),
+    ).when(
+        fam == 4,
+        F.concat(host, F.lit("/s?a=1"),
+                 F.expr("repeat('&p=1', CAST(3 + id % 9 AS INT))")),
+    ).when(
+        fam == 5,
+        F.concat(host, F.expr("repeat('/2024', CAST(1 + id % 4 AS INT))"),
+                 F.lit("/post")),
+    ).when(
+        fam == 6,
+        F.concat(host, F.lit("/p?q="),
+                 F.expr("repeat('x', CAST(480 + (id % 10) * 8 AS INT))")),
+    ).otherwise(
+        F.concat(host, F.lit("/a/b/a?x=1"))
+    )
+
+
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection (operators/traps.py:with_trap_signals) —
+    Heritrix-style pathological-URL heuristics (repeated path segments,
+    depth, session-id keys, query-param and calendar explosions) as pure
+    row-local JVM expressions, evaluable inside the F1-F9 admission
+    battery before the frontier anti-join. The oracle re-derives every
+    signal relationally (unnest + group-count for the max segment
+    multiplicity) over the same synthesized URL zoo."""
+    from lightcrawler_spark.operators.traps import with_trap_signals
+
+    urls = spark.range(400).select("id", _trap_url_expr().alias("url"))
+    return with_trap_signals(urls).select(
+        F.col("id").cast("long").alias("id"),
+        "url", "path_depth", "max_seg_repeat", "n_query_params",
+        "has_session_id", "n_calendar_segs", "url_len", "is_trap",
+    )
+
+
+def q_host_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous host→fetcher-shard assignment
+    (operators/scheduler.py:assign_crawl_shards): shard = argmax over
+    md5(host:shard), computed as array_max of (weight, shard) structs —
+    row-local, no shuffle. The oracle recomputes the argmax with a
+    correlated ORDER-BY-LIMIT-1 subquery over the same md5 weights."""
+    from lightcrawler_spark.operators.scheduler import assign_crawl_shards
+
+    hosts = spark.range(300).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+    )
+    return assign_crawl_shards(hosts, n_shards=8).select(
+        "id", "host", F.col("shard").cast("int").alias("shard")
+    )
+
+
+# (kind, pinned-prefix-hex). Magic kinds pin only the magic (the md5
+# filler enters the 16-byte sniff window behind them); the text kinds
+# pin all 16 bytes so the window is fully deterministic.
+_MIME_KINDS: list[tuple[str, str]] = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "474946383961"),
+    ("pdf", "25504446"),
+    ("gzip", "1F8B"),
+    ("zip", "504B0304"),
+    ("wav", "524946462408000057415645"),
+    ("avi", "52494646210C000041564920"),
+    ("html", b"  <html><body>Hi".hex().upper()),
+    ("plain", b"Hello plain txt!".hex().upper()),
+    ("textnl", b"line one\nline 2!".hex().upper()),
+    ("binary", "C0DE00FFC0DE00FF"),
+]
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing (operators/mime.py:sniff_mime) — the
+    bytes-are-truth router the header-trusting reference lacks
+    (PHPCrawlerHTTPRequest.class.php:1150-1174). The Spark side builds
+    REAL binary blobs (pinned magic + md5 filler) and sniffs their
+    hexed 16-byte prefix; the oracle re-derives the same hex window and
+    independently re-applies the rule battery (prefix tests + the
+    RE2-compatible whitespace/printable regexes)."""
+    from lightcrawler_spark.operators.mime import sniff_mime
+
+    k = (F.col("id") % len(_MIME_KINDS)).cast("int")
+    kind, hx = None, None
+    for j, (name, prefix) in enumerate(_MIME_KINDS):
+        kind = F.when(k == j, name) if kind is None else kind.when(k == j, name)
+        hx = F.when(k == j, prefix) if hx is None else hx.when(k == j, prefix)
+    blobs = spark.range(480).select(
+        F.col("id").cast("long").alias("id"),
+        kind.alias("kind"),
+        F.to_binary(
+            F.concat(hx, F.md5(F.col("id").cast("string"))), F.lit("hex")
+        ).alias("bytes"),
+    )
+    return sniff_mime(blobs).select("id", "kind", "mime")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2418,7 +2535,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "tfidf_keywords": q_tfidf_keywords,
         "aspect_bucket": q_aspect_bucket,
+        "url_traps": q_url_traps,
+        "host_shard": q_host_shard,
+        "mime_sniff": q_mime_sniff,
     }
+
+
+def _mime_sniff_oracle_sql() -> str:
+    """Rebuild the hex window relationally and re-apply the rule battery
+    (prefix LIKEs + RE2 regexes) — the rule CONSTANTS are shared with
+    operators/mime.py (lockstep by construction), the application is
+    independent (LIKE vs startswith, RE2 vs Java regex)."""
+    from lightcrawler_spark.operators.mime import MAGIC_RULES
+
+    kind_case = " ".join(
+        f"WHEN {j} THEN '{name}'" for j, (name, _) in enumerate(_MIME_KINDS)
+    )
+    hex_case = " ".join(
+        f"WHEN {j} THEN '{p}'" for j, (_, p) in enumerate(_MIME_KINDS)
+    )
+    magic_whens = "\n    ".join(
+        f"WHEN hx LIKE '{p}%' THEN '{m}'" for p, m in MAGIC_RULES
+    )
+    return f"""
+WITH b AS (
+  SELECT id,
+    CASE CAST(id % {len(_MIME_KINDS)} AS INT) {kind_case} END AS kind,
+    CASE CAST(id % {len(_MIME_KINDS)} AS INT) {hex_case} END AS px
+  FROM range(480) t(id)
+),
+h AS (
+  SELECT id, kind,
+    substr(upper(px || md5(CAST(id AS VARCHAR))), 1, 32) AS hx
+  FROM b
+)
+SELECT CAST(id AS BIGINT) AS id, kind,
+  CASE
+    {magic_whens}
+    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+      THEN 'audio/x-wav'
+    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920'
+      THEN 'video/x-msvideo'
+    WHEN regexp_matches(hx, '^(20|09|0A|0D)*3C') THEN 'text/html'
+    WHEN regexp_matches(hx, '^(0[9ACD]|[1-7][0-9A-F])+$') THEN 'text/plain'
+    ELSE 'application/octet-stream'
+  END AS mime
+FROM h
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4407,6 +4570,69 @@ SELECT CAST(image_id AS BIGINT) AS image_id,
        CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
 FROM r WHERE rn = 1
 """,
+        "url_traps": r"""
+WITH u AS (
+  SELECT id,
+    CASE CAST(id % 8 AS INT)
+      WHEN 0 THEN 'https://h' || (id % 7) || '.example.com/docs/page'
+                  || id || '.html'
+      WHEN 1 THEN 'https://h' || (id % 7) || '.example.com'
+                  || repeat('/item', CAST(1 + id % 5 AS INT)) || '/p.html'
+      WHEN 2 THEN 'https://h' || (id % 7) || '.example.com'
+                  || repeat('/d', CAST(5 + id % 12 AS INT))
+      WHEN 3 THEN 'https://h' || (id % 7) || '.example.com'
+                  || '/page.jsp?a=1&JSESSIONID=x' || id
+      WHEN 4 THEN 'https://h' || (id % 7) || '.example.com/s?a=1'
+                  || repeat('&p=1', CAST(3 + id % 9 AS INT))
+      WHEN 5 THEN 'https://h' || (id % 7) || '.example.com'
+                  || repeat('/2024', CAST(1 + id % 4 AS INT)) || '/post'
+      WHEN 6 THEN 'https://h' || (id % 7) || '.example.com/p?q='
+                  || repeat('x', CAST(480 + (id % 10) * 8 AS INT))
+      ELSE 'https://h' || (id % 7) || '.example.com/a/b/a?x=1'
+    END AS url
+  FROM range(400) t(id)
+),
+p AS (
+  SELECT id, url,
+    list_filter(string_split(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/'), s -> s <> '') AS segs,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+  FROM u
+),
+m AS (
+  SELECT p.id, coalesce(x.mx, 0) AS mrep
+  FROM p LEFT JOIN LATERAL (
+    SELECT max(c) AS mx FROM (
+      SELECT count(*) AS c FROM unnest(p.segs) AS t(s) GROUP BY s
+    )
+  ) x ON true
+)
+SELECT CAST(p.id AS BIGINT) AS id, p.url,
+  CAST(len(p.segs) AS INT) AS path_depth,
+  CAST(m.mrep AS INT) AS max_seg_repeat,
+  CAST(CASE WHEN q = '' THEN 0
+       ELSE len(list_filter(string_split(q, '&'), x -> x <> '')) END AS INT)
+    AS n_query_params,
+  regexp_matches(q,
+    '(?i)(^|&)(phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)=')
+    AS has_session_id,
+  CAST(len(list_filter(p.segs,
+    s -> regexp_matches(s, '^(19|20)[0-9]{2}$'))) AS INT) AS n_calendar_segs,
+  CAST(length(p.url) AS INT) AS url_len,
+  (max_seg_repeat >= 3 OR path_depth > 12 OR n_query_params > 8
+   OR has_session_id OR url_len > 512 OR n_calendar_segs >= 3) AS is_trap
+FROM p JOIN m ON p.id = m.id
+""",
+        "host_shard": """
+SELECT CAST(id AS BIGINT) AS id,
+  'host' || id || '.example.com' AS host,
+  CAST((SELECT s FROM range(8) t(s)
+        ORDER BY md5('host' || id || '.example.com:' || s) DESC
+        LIMIT 1) AS INT) AS shard
+FROM range(300) r(id)
+""",
+        "mime_sniff": _mime_sniff_oracle_sql(),
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

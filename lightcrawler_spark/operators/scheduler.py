@@ -284,3 +284,36 @@ def backoff_blocked_hosts(
     return last.filter(
         F.lit(current_round) <= F.col("_l.round") + wait
     ).select(host_col)
+
+
+def assign_crawl_shards(df: DataFrame, n_shards: int,
+                        host_col: str = "host",
+                        out_col: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) host -> fetcher-shard mapping.
+
+    The reference shares ONE frontier across its forked workers behind a
+    table lock (UrlCache/PHPCrawlerMySqlUrlCache.class.php:124 LOCK
+    TABLE) -- every pop serializes globally. A 1000-executor crawl
+    instead statically owns hosts per fetcher fleet: shard =
+    argmax_{s in 0..S-1} md5(host || ':' || s). Rendezvous hashing keeps
+    politeness trivially correct (one shard owns a host's connections
+    and rate limit) and, unlike `pmod(hash(host), S)`, resizing S -> S+1
+    remaps only ~1/(S+1) of hosts (only those whose new candidate wins),
+    so a fleet resize doesn't invalidate every host's cooldown state.
+
+    Scale shape: row-local expression -- an S-element literal sequence
+    transformed to (weight, shard) structs and reduced with array_max
+    (struct ordering = lexicographic, weight first; md5 hex compares
+    consistently in any engine). No shuffle, no Python, no join.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            F.md5(F.concat(F.col(host_col), F.lit(":"),
+                           s.cast("string"))).alias("w"),
+            s.cast("int").alias("s"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(cand)["s"])

@@ -1,0 +1,121 @@
+"""Spider-trap / pathological-URL detection for the admission pipeline.
+
+The reference's admission battery (vendor/PHPCrawl_083/libs/
+PHPCrawlerURLFilter.class.php:143-243) filters by protocol, depth, and
+regex deny/allow lists — its per-site workers sidestep traps by
+hand-tuning those regexes per spider (worker/Spider*.class.php seed
+configs). A web-scale crawl cannot hand-tune a million hosts: it needs
+URL-shape heuristics that flag calendar pages, session-id explosions,
+and self-embedding path loops BEFORE they enter the frontier, or a
+single trap host floods the dedup/anti-join stage with unbounded
+distinct URLs. The rules here are the classic crawler heuristics
+(Heritrix's pathological-path / too-many-path-segments decide rules;
+session-id query stripping per Bar-Yossef et al., "Do not crawl in the
+DUST").
+
+Scale shape: every signal is a row-local JVM expression over the URL
+string (split → array ops, one linear run-scan for the max segment
+multiplicity) — no shuffle, no Python, whole-stage codegen'd, safe to
+evaluate inside the F1-F9 admission battery at frontier insert time.
+All regexes are RE2-compatible (no backreferences/lookahead) so the
+DuckDB oracle applies byte-identical rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["trap_signal_columns", "with_trap_signals"]
+
+# Query keys that carry per-visitor session tokens — URL aliasing, not
+# content (each visit mints a fresh URL for the same page).
+SESSION_ID_PAT = r"(?i)(^|&)(phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)="
+
+# A path segment that is a plausible calendar year; 3+ of them in one
+# path is the infinite-calendar trap (`/2024/01/2024/02/...`).
+_YEAR_SEG_PAT = r"^(19|20)[0-9]{2}$"
+
+
+def _max_segment_multiplicity(segs: Column) -> Column:
+    """Largest number of times any single segment repeats in the path.
+
+    `/a/b/a/c/a` → 3. Linear run-scan over the SORTED segment array with
+    a struct accumulator (same shape as operators/text.py:
+    _top_ngram_best) — no nested lambda that captures the outer array,
+    so the expression stays pushdown-safe (see SURVEY §11 on quadratic
+    inlining of captured-array lambdas).
+    """
+    srt = F.array_sort(segs)
+    zero = F.struct(
+        F.lit("\x00").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(srt, zero, step, lambda acc: acc["best"])
+
+
+def trap_signal_columns(url: Column) -> dict[str, Column]:
+    """The raw signals as named Columns (composable into any projection)."""
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    return {
+        "path_depth": F.size(segs).cast("int"),
+        "max_seg_repeat": _max_segment_multiplicity(segs).cast("int"),
+        "n_query_params": F.when(query == "", F.lit(0))
+        .otherwise(
+            F.size(F.filter(F.split(query, "&"), lambda p: p != F.lit("")))
+        )
+        .cast("int"),
+        "has_session_id": query.rlike(SESSION_ID_PAT),
+        "n_calendar_segs": F.size(
+            F.filter(segs, lambda s: s.rlike(_YEAR_SEG_PAT))
+        ).cast("int"),
+        "url_len": F.length(url).cast("int"),
+    }
+
+
+def with_trap_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    max_seg_repeat: int = 3,
+    max_path_depth: int = 12,
+    max_query_params: int = 8,
+    max_url_len: int = 512,
+    max_calendar_segs: int = 3,
+) -> DataFrame:
+    """Add trap signals + the combined ``is_trap`` verdict.
+
+    Thresholds default to Heritrix-style values (a segment repeating 3×,
+    >12 path segments, >8 query params, >512-char URL, 3+ year-shaped
+    segments, or any session-id query key). ``is_trap`` rows should be
+    dropped (or priority-demoted) before the frontier anti-join — traps
+    by definition generate unbounded DISTINCT URLs, so the dedup stage
+    cannot contain them.
+    """
+    sig = trap_signal_columns(F.col(url_col))
+    out = df
+    for name, col in sig.items():
+        out = out.withColumn(name, col)
+    return out.withColumn(
+        "is_trap",
+        (F.col("max_seg_repeat") >= max_seg_repeat)
+        | (F.col("path_depth") > max_path_depth)
+        | (F.col("n_query_params") > max_query_params)
+        | F.col("has_session_id")
+        | (F.col("url_len") > max_url_len)
+        | (F.col("n_calendar_segs") >= max_calendar_segs),
+    )

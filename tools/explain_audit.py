@@ -280,6 +280,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no shuffle (row-local score)", r"!Exchange"),
         ("no join", r"!Join"),
     ],
+    # trap signals must be evaluable inside the admission battery:
+    # row-local expressions only — no shuffle, no Python, no join
+    "url_traps": [
+        ("no shuffle (row-local signals)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("no join", r"!Join"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
+    # rendezvous sharding: argmax over a literal candidate array —
+    # row-local, no shuffle, no join
+    "host_shard": [
+        ("no shuffle (row-local argmax)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("no join", r"!Join"),
+    ],
+    # magic-byte sniff: one byte-slice + CASE chain next to the scan
+    "mime_sniff": [
+        ("no shuffle (pure scan pass)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
 }
 
 
