@@ -2439,6 +2439,55 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_mime(blobs).select("id", "kind", "mime")
 
 
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive assembly (operators/warc.py:warc_records) — records
+    positioned in the global byte stream via the two-stage distributed
+    prefix sum (range partition → per-partition cumsum → broadcast
+    prefix of partition totals; only O(P) rows centralize). The oracle
+    is DuckDB's SERIAL running sum over the same assembled record text —
+    a hash match proves the distributed offset decomposition exact,
+    byte-for-byte, digest-for-digest."""
+    from lightcrawler_spark.operators.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text").alias("payload"),
+    )
+    return warc_records(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url", "content_length", "record_length", "record_md5",
+        "warc_offset",
+    )
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gating
+    (operators/sampling.py:domain_quality_gate) — RefinedWeb-style
+    source curation: block a domain once it has ≥ min_docs documents
+    AND its mean score falls below τ. The verdict is exact int64 math
+    (sum < τ·n — no float-mean threshold), aggregated with map-side
+    combine and joined back as a broadcast dim."""
+    from lightcrawler_spark.operators.sampling import domain_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (F.length("text") % 997).cast("long").alias("score_milli"),
+    )
+    return domain_quality_gate(
+        docs, key_col="source", score_col="score_milli",
+        min_docs=50, tau_milli=450,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source", "score_milli", "domain_docs", "domain_mean_milli",
+        "domain_blocked",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2538,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "host_shard": q_host_shard,
         "mime_sniff": q_mime_sniff,
+        "warc_export": q_warc_export,
+        "domain_gate": q_domain_gate,
     }
 
 
@@ -4633,6 +4684,58 @@ SELECT CAST(id AS BIGINT) AS id,
 FROM range(300) r(id)
 """,
         "mime_sniff": _mime_sniff_oracle_sql(),
+        "warc_export": """
+WITH d AS (
+  SELECT doc_id,
+    'https://' || source || '.example.org/doc/' || doc_id AS url,
+    text AS payload
+  FROM documents WHERE doc_id < 400
+),
+r AS (
+  SELECT doc_id, url,
+    CAST(strlen(payload) AS BIGINT) AS content_length,
+    'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+      || 'WARC-Payload-Digest: md5:' || md5(payload) || chr(13) || chr(10)
+      || 'Content-Length: ' || strlen(payload)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || payload || chr(13) || chr(10) || chr(13) || chr(10) AS record
+  FROM d
+),
+s AS (
+  SELECT doc_id, url, content_length,
+    CAST(strlen(record) AS BIGINT) AS record_length,
+    md5(record) AS record_md5
+  FROM r
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, content_length,
+  record_length, record_md5,
+  coalesce(sum(record_length) OVER (
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0)::BIGINT AS warc_offset
+FROM s
+""",
+        "domain_gate": """
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(length(text) % 997 AS BIGINT) AS score_milli
+  FROM documents
+),
+d AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS domain_docs,
+    CAST(sum(score_milli) AS BIGINT) AS sum_milli
+  FROM s GROUP BY 1
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source, s.score_milli,
+  d.domain_docs,
+  ROUND(CAST(d.sum_milli AS DOUBLE) / d.domain_docs, 6)
+    AS domain_mean_milli,
+  (d.domain_docs >= 50 AND d.sum_milli < 450 * d.domain_docs)
+    AS domain_blocked
+FROM s JOIN d USING (source)
+""",
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

@@ -1,0 +1,110 @@
+"""WARC (ISO 28500) record assembly with exact global byte offsets.
+
+The reference persists fetched pages as loose per-URL files
+(worker/SpiderFrame.class.php:206-241 writes
+`/raw_data/YYYYMMDD/md5(url).html`) — fine for one box, hopeless for a
+100 TB archive (10^10 tiny files). The web-archive standard is WARC:
+records concatenated into large segment files, addressed by
+(file, offset, length) exactly as Common Crawl's CDX index does. The
+hard part in a distributed writer is the OFFSET column: every record's
+byte position depends on the length of every record before it — a
+serial running sum.
+
+Scale shape: the offsets use the textbook two-stage distributed prefix
+sum (range partition by the order key → per-partition cumulative sum →
+broadcast prefix of the P partition totals) — the same decomposition as
+operators/chunking.py:pack_sequences; only O(num_partitions) rows ever
+centralize. Record text itself is pure JVM string assembly (concat /
+octet_length / md5), so the whole pass is codegen'd around one
+partitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["warc_records"]
+
+_CRLF = "\r\n"
+
+
+def warc_records(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    order_col: str = "doc_id",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assemble one WARC/1.0 response record per row and position it in
+    the global archive byte stream (order = ``order_col`` ascending).
+
+    Adds: ``content_length`` (payload bytes), ``record_length`` (full
+    record incl. header block and the two trailing CRLFs), ``record_md5``
+    (digest of the exact record text — the write-path contract), and
+    ``warc_offset`` (byte offset of the record in the concatenated
+    archive). ``warc_date`` is a caller-pinned literal: wall clock in
+    the record header would break determinism and resume (C12's
+    determinism override, generalized).
+
+    The result is independent of the physical partitioning (tests assert
+    equality across 1/3/7 input partitions).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+
+    payload = F.col(payload_col)
+    content_length = F.octet_length(payload).cast("long")
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), F.col(url_col), F.lit(_CRLF),
+        F.lit("WARC-Date: " + warc_date + _CRLF),
+        F.lit("WARC-Payload-Digest: md5:"), F.md5(payload), F.lit(_CRLF),
+        F.lit("Content-Length: "), content_length.cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    record = F.concat(header, payload, F.lit(_CRLF + _CRLF))
+
+    sized = df.withColumn("content_length", content_length).withColumn(
+        "record_length", F.octet_length(record).cast("long")
+    ).withColumn("record_md5", F.md5(record))
+
+    # two-stage prefix sum (see module docstring). localCheckpoint pins
+    # the partition layout across the totals action and the final plan.
+    ranged = sized.repartitionByRange(
+        num_partitions, F.col(order_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged.withColumn("_cum", F.sum("record_length").over(w))
+
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("record_length").alias("_total"))
+        .collect()
+    )  # num_partitions rows — driver-side prefix of partition totals
+    by_pid = {r["_pid"]: r["_total"] or 0 for r in totals}
+    prefix, acc = {}, 0
+    for pid in sorted(by_pid):
+        prefix[pid] = acc
+        acc += by_pid[pid]
+    offsets = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _offset long"
+    )
+
+    return (
+        cum.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "warc_offset",
+            F.col("_offset") + F.col("_cum") - F.col("record_length"),
+        )
+        .drop("_pid", "_cum", "_offset")
+    )

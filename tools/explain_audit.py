@@ -301,6 +301,24 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # WARC offsets: cumsum window must be partition-local (_pid) with
+    # the partition-total prefix broadcast back — never a global-order
+    # window over the archive
+    "warc_export": [
+        ("pid-partitioned cumsum window", r"Window.*\[_pid#\d+\]"),
+        ("partition totals broadcast", r"Broadcast"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # domain gate: verdict dim built by a map-side-combining agg and
+    # joined back broadcast; no window, no sort-merge of the corpus
+    "domain_gate": [
+        ("map-side partial agg", r"partial_(sum|count)"),
+        ("verdict joined back broadcast", r"BroadcastHashJoin"),
+        ("no sort-merge of the corpus side", r"!SortMergeJoin"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
 }
 
 
