@@ -2488,6 +2488,126 @@ def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_dhash_values_sql() -> str:
+    """Expected dHashes computed driver-side with the same kernel over
+    the fixture source of truth (imagecodec.dhash64 over make_images) —
+    the Spark side re-decodes the real blobs distributed."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, dhash64
+
+    rows = ",\n".join(
+        f"('{r['image_id']}', {dhash64(decode_image(r['bytes']))})"
+        for r in make_images(64)
+    )
+    return (
+        "SELECT image_id, CAST(dhash AS BIGINT) AS dhash FROM (VALUES\n"
+        + rows + "\n) AS t(image_id, dhash)"
+    )
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash computation (operators/images.py:with_dhash) —
+    the gradient-sign hash family next to phash64's DCT family; banding
+    over both cuts near-dup false merges. One Arrow decode pass per
+    batch; VALUES oracle pins every hash against the fixture pixels."""
+    from lightcrawler_spark.operators.images import with_dhash
+
+    return with_dhash(_image_df(spark)).select(
+        "image_id", F.col("dhash_calc").cast("long").alias("dhash")
+    )
+
+
+def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL zoo for the CDX query: www-prefixed hosts (must strip) and
+    query strings (must survive into the SURT path part)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        F.col("text").alias("payload"),
+    )
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index derivation (operators/warc.py:cdx_entries) — SURT keys
+    over assembled WARC records: lexicographic order on the key clusters
+    a host and its subdomains contiguously, which is what makes the
+    (offset, length) archive randomly addressable at 100 TB. Oracle
+    re-derives the SURT transform AND the serial offsets."""
+    from lightcrawler_spark.operators.warc import cdx_entries, warc_records
+
+    recs = warc_records(_cdx_pages(spark, sf_dir))
+    return cdx_entries(recs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "surt_key", "warc_offset", "record_length",
+    )
+
+
+def q_dust_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST-rule canonical dedup key (operators/traps.py:dust_key) —
+    the aggressive alias-collapse key (case-fold scheme/host, drop
+    fragments + session/tracking params, sort the query, collapse
+    duplicate slashes) computed NEXT TO the reference-exact C2
+    normalization, which must stay byte-compatible and can strip
+    nothing. Row-local expressions; oracle mirrors every rule."""
+    from lightcrawler_spark.operators.traps import dust_key
+
+    i = F.col("id")
+    fam = (i % 6).cast("int")
+    base = F.concat(F.lit("p"), (i % 50).cast("string"))
+    url = (
+        F.when(fam == 0, F.concat(
+            F.lit("HTTPS://WWW.Example.COM/a/"), base,
+            F.lit("?utm_source=x&b=2&a=1")))
+        .when(fam == 1, F.concat(
+            F.lit("http://h.test//a//"), base, F.lit("/#frag")))
+        .when(fam == 2, F.concat(
+            F.lit("http://h.test/"), base,
+            F.lit("?PHPSESSID=zz&z=9&m=5")))
+        .when(fam == 3, F.concat(F.lit("http://h.test/"), base, F.lit("?")))
+        .when(fam == 4, F.concat(F.lit("https://h.test")))
+        .otherwise(F.concat(
+            F.lit("http://h.test/"), base, F.lit("?b=2&a=1&b=1")))
+    )
+    urls = spark.range(300).select(
+        F.col("id").cast("long").alias("id"), url.alias("url")
+    )
+    return urls.select("id", "url", dust_key(F.col("url")).alias("dust_key"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diffing (operators/diffing.py:snapshot_diff) —
+    added/removed/changed/unchanged per URL across two rounds via one
+    full-outer equi-join + a codegen'd CASE; the 'changed' rate feeds
+    the recrawl scheduler. Snapshots derive from the documents table
+    with a deterministic mutation slice."""
+    from lightcrawler_spark.operators.diffing import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 37).cast("string"),
+                   F.lit(".test/d/"), F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") < 400).select(
+        url.alias("url"), F.md5(F.col("text")).alias("content_md5"))
+    new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 500)).select(
+        url.alias("url"),
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit("v2")))
+            .otherwise(F.col("text"))
+        ).alias("content_md5"),
+    )
+    return snapshot_diff(old, new).select(
+        "url", "old_hash", "new_hash", "change"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2589,6 +2709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "warc_export": q_warc_export,
         "domain_gate": q_domain_gate,
+        "image_dhash": q_image_dhash,
+        "cdx_index": q_cdx_index,
+        "dust_normalize": q_dust_normalize,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -4716,6 +4840,109 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, url, content_length,
     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
   ), 0)::BIGINT AS warc_offset
 FROM s
+""",
+        "image_dhash": _image_dhash_values_sql(),
+        "cdx_index": """
+WITH d AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      || source || '.example.org/doc/' || doc_id
+      || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+    text AS payload
+  FROM documents WHERE doc_id < 300
+),
+r AS (
+  SELECT doc_id, url,
+    'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+      || 'WARC-Payload-Digest: md5:' || md5(payload) || chr(13) || chr(10)
+      || 'Content-Length: ' || strlen(payload)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || payload || chr(13) || chr(10) || chr(13) || chr(10) AS record
+  FROM d
+),
+s AS (
+  SELECT doc_id, url,
+    CAST(strlen(record) AS BIGINT) AS record_length,
+    coalesce(sum(strlen(record)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0)::BIGINT AS warc_offset
+  FROM r
+),
+k AS (
+  SELECT doc_id, url, record_length, warc_offset,
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path_q
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+    || CASE WHEN path_q = '' THEN '/' ELSE path_q END AS surt_key,
+  warc_offset, record_length
+FROM k
+""",
+        "dust_normalize": r"""
+WITH u AS (
+  SELECT id,
+    CASE CAST(id % 6 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM/a/p' || (id % 50)
+                  || '?utm_source=x&b=2&a=1'
+      WHEN 1 THEN 'http://h.test//a//p' || (id % 50) || '/#frag'
+      WHEN 2 THEN 'http://h.test/p' || (id % 50) || '?PHPSESSID=zz&z=9&m=5'
+      WHEN 3 THEN 'http://h.test/p' || (id % 50) || '?'
+      WHEN 4 THEN 'https://h.test'
+      ELSE 'http://h.test/p' || (id % 50) || '?b=2&a=1&b=1'
+    END AS url
+  FROM range(300) t(id)
+),
+p AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+    regexp_replace(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/{2,}', '/', 'g') AS pth,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+  FROM u
+),
+n AS (
+  SELECT id, url, scheme, host,
+    CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '(?i)^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)='
+      ))), '&'), '') AS q2
+  FROM p
+)
+SELECT CAST(id AS BIGINT) AS id, url,
+  scheme || '://' || host || pth
+    || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS dust_key
+FROM n
+""",
+        "snapshot_diff": """
+WITH old AS (
+  SELECT 'http://h' || (doc_id % 37) || '.test/d/' || doc_id AS url,
+    md5(text) AS content_md5
+  FROM documents WHERE doc_id < 400
+),
+new AS (
+  SELECT 'http://h' || (doc_id % 37) || '.test/d/' || doc_id AS url,
+    md5(CASE WHEN doc_id % 7 = 0 THEN text || 'v2' ELSE text END)
+      AS content_md5
+  FROM documents WHERE doc_id >= 100 AND doc_id < 500
+)
+SELECT coalesce(o.url, n.url) AS url,
+  o.content_md5 AS old_hash, n.content_md5 AS new_hash,
+  CASE WHEN o.content_md5 IS NULL THEN 'added'
+       WHEN n.content_md5 IS NULL THEN 'removed'
+       WHEN o.content_md5 <> n.content_md5 THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM old o FULL OUTER JOIN new n ON o.url = n.url
 """,
         "domain_gate": """
 WITH s AS (

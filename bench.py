@@ -317,7 +317,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "training_mix_sample", "corpus_pipeline", "line_dedup",
         "domain_cap", "doc_chunk", "sequence_pack",
         "lang_rebalance", "dup_span_mask", "clip_score_filter",
-        "warc_export", "domain_gate",
+        "warc_export", "domain_gate", "cdx_index", "snapshot_diff",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

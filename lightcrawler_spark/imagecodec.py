@@ -178,3 +178,26 @@ def phash64(arr: np.ndarray) -> int:
         if v > med:
             bits |= np.uint64(1) << np.uint64(i)
     return int(np.int64(bits))
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale -> 8x9 grid -> one bit
+    per horizontal neighbor pair (left < right). Complements phash64:
+    dHash tracks local gradients (robust to global brightness shifts),
+    pHash tracks low-frequency structure -- production near-dup systems
+    band over both. Returns SIGNED int64 (Spark LongType two's
+    complement), same contract as phash64.
+    """
+    gray = (
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    ).astype(np.float64)
+    h, w = gray.shape
+    idx_y = (np.arange(8) * h) // 8
+    idx_x = (np.arange(9) * w) // 9
+    small = gray[idx_y][:, idx_x]  # 8 rows x 9 cols
+    diff = small[:, 1:] > small[:, :-1]  # 8x8 gradient signs
+    bits = np.uint64(0)
+    for i, v in enumerate(diff.flatten()):
+        if v:
+            bits |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(bits))

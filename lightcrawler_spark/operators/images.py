@@ -27,12 +27,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..imagecodec import decode_image, phash64, psnr
+from ..imagecodec import decode_image, dhash64, phash64, psnr
 from ..fixtures import make_image_array
 
 __all__ = [
     "decode_stats",
     "with_phash",
+    "with_dhash",
     "verify_images",
     "phash_near_dup_pairs",
     "resize_images",
@@ -91,6 +92,25 @@ def phash_udf(data: pd.Series) -> pd.Series:
 
 def with_phash(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.withColumn("phash_calc", phash_udf(F.col(bytes_col)))
+
+
+@pandas_udf(T.LongType())
+def dhash_udf(data: pd.Series) -> pd.Series:
+    """Difference hash per image (imagecodec.dhash64): gradient-sign
+    bits, complementing phash64's DCT structure bits — near-dup systems
+    band over BOTH hash families to cut false merges. Same Arrow-batch
+    shape as phash_udf."""
+    out = []
+    for b in data:
+        try:
+            out.append(dhash64(decode_image(bytes(b))))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+def with_dhash(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    return df.withColumn("dhash_calc", dhash_udf(F.col(bytes_col)))
 
 
 def verify_images(df: DataFrame) -> DataFrame:

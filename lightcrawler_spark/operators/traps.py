@@ -119,3 +119,51 @@ def with_trap_signals(
         | (F.col("url_len") > max_url_len)
         | (F.col("n_calendar_segs") >= max_calendar_segs),
     )
+
+
+# Query keys that alias URLs without changing content: per-visitor
+# session tokens (SESSION_ID_PAT keys) + click-tracking params.
+TRACKING_PARAM_PAT = (
+    r"(?i)^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|phpsessid|jsessionid"
+    r"|sessionid|session_id|sid|aspsessionid[a-z]*)="
+)
+
+
+def dust_key(url: Column) -> Column:
+    """DUST-rule canonical dedup key (Bar-Yossef et al., "Do not crawl
+    in the DUST: different URLs with similar text"): the aggressive
+    aliasing-collapse key used for frontier dedup ALONGSIDE the
+    reference-exact C2 normalization (which must stay byte-compatible
+    with the reference and therefore cannot strip anything).
+
+    Rules: scheme+host lowercased; fragment dropped; duplicate path
+    slashes collapsed; empty path → '/'; query params split, empties
+    and session/tracking keys removed, survivors SORTED and rejoined
+    (param order never distinguishes documents); bare '?' dropped.
+
+    Row-local JVM expressions end-to-end (regex + array ops, no Python,
+    no shuffle) — evaluable at frontier insert next to the trap signals.
+    """
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"/{2,}", "/",
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PAT),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["warc_records"]
+__all__ = ["warc_records", "cdx_entries"]
 
 _CRLF = "\r\n"
 
@@ -108,3 +108,35 @@ def warc_records(
         )
         .drop("_pid", "_cum", "_offset")
     )
+
+
+def cdx_entries(records: DataFrame, url_col: str = "url") -> DataFrame:
+    """Derive CDX-style index keys for assembled WARC records: the
+    lookup side of the (file, offset, length) addressing -- what lets a
+    100 TB archive serve random access by URL (Common Crawl's cdx-*
+    files; Internet Archive CDX(J) convention).
+
+    Adds ``surt_key``: the SURT (Sort-friendly URI Reordering
+    Transform) of the URL -- host lowercased, leading ``www.`` dropped,
+    labels reversed and comma-joined, then ``)/`` + path?query -- so a
+    plain lexicographic sort clusters every URL of a host and its
+    subdomains contiguously. The transform is row-local JVM regex/array
+    ops; the global CDX sort itself is a write-time
+    ``repartitionByRange(surt_key)`` + ``sortWithinPartitions`` (range
+    partitioning IS the distributed sort; never a single-partition
+    orderBy).
+    """
+    url = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        r"^www\.", "",
+    )
+    path_q = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path_q == "", F.lit("/")).otherwise(path_q),
+    )
+    return records.withColumn("surt_key", surt)

@@ -266,3 +266,46 @@ class TestAugment:
         )
         with _pytest.raises(ValueError):
             augment_images(df, ops=("hflip", "sepia"))
+
+
+class TestDHash:
+    def test_known_patterns(self):
+        from lightcrawler_spark.imagecodec import dhash64
+
+        # strictly increasing left->right gradient: every bit set -> -1
+        ramp = np.tile(np.linspace(0, 200, 36, dtype=np.uint8), (24, 1))
+        arr = np.stack([ramp] * 3, axis=2)
+        assert dhash64(arr) == -1
+        # constant image: no gradient anywhere -> 0
+        flat = np.full((24, 36, 3), 77, dtype=np.uint8)
+        assert dhash64(flat) == 0
+
+    def test_brightness_shift_invariance(self):
+        from lightcrawler_spark.imagecodec import dhash64
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 180, size=(40, 40, 3)).astype(np.uint8)
+        shifted = (base.astype(np.int32) + 50).astype(np.uint8)  # no clip
+        assert dhash64(base) == dhash64(shifted)
+
+    def test_udf_matches_kernel(self, spark):
+        from lightcrawler_spark.imagecodec import dhash64
+        from lightcrawler_spark.operators.images import with_dhash
+
+        imgs = make_images(8)
+        df = spark.createDataFrame(
+            [(r["image_id"], bytearray(r["bytes"])) for r in imgs],
+            "image_id string, bytes binary",
+        )
+        got = {r.image_id: r.dhash_calc for r in with_dhash(df).collect()}
+        for r in imgs:
+            assert got[r["image_id"]] == dhash64(decode_image(r["bytes"]))
+
+    def test_bad_blob_yields_null(self, spark):
+        from lightcrawler_spark.operators.images import with_dhash
+
+        df = spark.createDataFrame(
+            [("bad", bytearray(b"not an image"))],
+            "image_id string, bytes binary",
+        )
+        assert with_dhash(df).collect()[0].dhash_calc is None

@@ -310,6 +310,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # CDX keys ride the WARC offset plan: cumsum window stays
+    # partition-local, SURT transform adds no Python and no extra shuffle
+    "cdx_index": [
+        ("pid-partitioned cumsum window", r"Window.*\[_pid#\d+\]"),
+        ("partition totals broadcast", r"Broadcast"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # DUST key: row-local regex/array expressions only
+    "dust_normalize": [
+        ("no shuffle (row-local key)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("no join", r"!Join"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
+    # snapshot diff: ONE equi-join on the url key, verdict is a CASE
+    "snapshot_diff": [
+        ("full-outer equi-join", r"FullOuter"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
