@@ -2608,6 +2608,83 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared fixture for the longest-match robots query: parsed + regex-
+# translated ONCE by the engine's own parser; the oracle embeds the
+# resulting rule dim as VALUES and re-applies precedence independently.
+_ROBOTS_LM_FIXTURE = [
+    ("h0.test", "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+                "Disallow: /tmp*\n"),
+    ("h1.test", "User-agent: *\nDisallow: /\nAllow: /docs\n"),
+    ("h2.test", "User-agent: spark-frontier\nDisallow: /a$\n"
+                "Allow: /exact*z$\nUser-agent: other\nDisallow: /docs\n"),
+]
+
+_ROBOTS_LM_PATHS = [
+    "/private/pub/x", "/private/secret", "/tmp123", "/docs/guide",
+    "/other/page", "/a", "/ab", "/exactMIDz", "/exactMIDzz", "/",
+]
+
+
+def q_robots_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 most-specific-match robots verdict
+    (operators/admission.py:apply_robots_longest_match) — Allow +
+    longest-pattern precedence (ties → Allow), '*'/'$' metacharacters;
+    the extension modern sites require beyond the reference's
+    Disallow-only parser. Scale shape: broadcast rule dim → regex match
+    fan-out → partial-agg max(struct(len, allow)) — the struct ordering
+    IS the precedence rule — then a broadcast verdict join-back."""
+    from lightcrawler_spark.operators.admission import (
+        apply_robots_longest_match,
+        robots_rules_extended_df,
+    )
+
+    rules = robots_rules_extended_df(
+        spark, _ROBOTS_LM_FIXTURE, "spark-frontier"
+    )
+    i = F.col("id")
+    path = None
+    for j, p in enumerate(_ROBOTS_LM_PATHS):
+        cond = (i % len(_ROBOTS_LM_PATHS)) == j
+        path = F.when(cond, p) if path is None else path.when(cond, p)
+    links = spark.range(300).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("http://h"), (i % 3).cast("string"),
+                 F.lit(".test"), path).alias("url"),
+    )
+    return apply_robots_longest_match(links, rules).select(
+        "id", "url", "allowed", F.col("matched_len").cast("int").alias("matched_len")
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-local boilerplate removal
+    (operators/text.py:strip_boilerplate_lines) — jusText-style
+    short/stopword-poor/chrome-phrase line classification with exact
+    integer thresholds, folding back per doc in one groupBy. Chrome
+    lines are appended deterministically so the pass fires; the oracle
+    re-derives classification and ordered reassembly relationally."""
+    from lightcrawler_spark.operators.text import strip_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nHome | About | Contact"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nCopyright 2026 Example Inc"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nthe terms of use apply to all of the pages"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(aug).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines", "n_boiler", F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2713,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "dust_normalize": q_dust_normalize,
         "snapshot_diff": q_snapshot_diff,
+        "robots_longest_match": q_robots_longest_match,
+        "boilerplate_lines": q_boilerplate_lines,
     }
 
 
@@ -2756,6 +2835,102 @@ SELECT CAST(id AS BIGINT) AS id, kind,
     ELSE 'application/octet-stream'
   END AS mime
 FROM h
+"""
+
+
+def _robots_lm_oracle_sql() -> str:
+    """Rule dim produced by the engine's OWN parser+translator (shared
+    constants); the oracle re-applies RFC 9309 precedence independently
+    (ORDER BY pattern_len DESC, is_allow DESC LIMIT 1 per URL)."""
+    from lightcrawler_spark.operators.admission import (
+        parse_robots_rules_extended,
+        robots_pattern_regex,
+    )
+
+    rows = []
+    for host, body in _ROBOTS_LM_FIXTURE:
+        for pat, allow in parse_robots_rules_extended(body, "spark-frontier"):
+            rows.append(
+                f"('{host}', '{robots_pattern_regex(pat)}', {len(pat)}, "
+                f"{str(allow).lower()})"
+            )
+    paths_case = " ".join(
+        f"WHEN {j} THEN '{p}'" for j, p in enumerate(_ROBOTS_LM_PATHS)
+    )
+    return f"""
+WITH rules(host, regex, plen, is_allow) AS (VALUES
+  {", ".join(rows)}
+),
+u AS (
+  SELECT id, 'http://h' || (id % 3) || '.test'
+    || CASE CAST(id % {len(_ROBOTS_LM_PATHS)} AS INT) {paths_case} END AS url
+  FROM range(300) t(id)
+),
+p AS (
+  SELECT id, url,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+    CASE WHEN regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
+         THEN '/' ELSE regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) END AS path
+  FROM u
+)
+SELECT CAST(p.id AS BIGINT) AS id, p.url,
+  coalesce(v.is_allow, true) AS allowed,
+  CAST(coalesce(v.plen, -1) AS INT) AS matched_len
+FROM p LEFT JOIN LATERAL (
+  SELECT r.plen, r.is_allow FROM rules r
+  WHERE r.host = p.host AND regexp_matches(p.path, r.regex)
+  ORDER BY r.plen DESC, r.is_allow DESC LIMIT 1
+) v ON true
+"""
+
+
+def _boilerplate_oracle_sql() -> str:
+    """Re-derive line classification + ordered reassembly relationally;
+    the stopword list and chrome regex are the shared module constants,
+    the application (list ops, string_agg) is independent."""
+    from lightcrawler_spark.operators.text import (
+        BOILER_LINE_PAT,
+        BOILER_STOPWORDS,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in BOILER_STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text || chr(10) || 'Home | About | Contact'
+    || CASE WHEN doc_id % 2 = 0
+            THEN chr(10) || 'Copyright 2026 Example Inc' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'the terms of use apply to all of the pages'
+            ELSE '' END AS text
+  FROM documents WHERE doc_id < 300
+),
+l AS (
+  SELECT doc_id, i - 1 AS pos, ln[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d),
+       LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i) s
+),
+c AS (
+  SELECT doc_id, pos, line,
+    len(list_filter(string_split_regex(lower(line), '[^a-z0-9]+'),
+        w -> w <> '')) AS nw,
+    len(list_filter(string_split_regex(lower(line), '[^a-z0-9]+'),
+        w -> w IN ({sw}))) AS sw
+  FROM l
+),
+v AS (
+  SELECT doc_id, pos, line,
+    (nw < 4 OR sw * 100 < 10 * nw
+     OR regexp_matches(line, '{BOILER_LINE_PAT}')) AS boiler
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS INT) AS n_lines,
+  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                          chr(10) ORDER BY pos), '')) AS clean_md5
+FROM v GROUP BY doc_id
 """
 
 
@@ -4808,6 +4983,8 @@ SELECT CAST(id AS BIGINT) AS id,
 FROM range(300) r(id)
 """,
         "mime_sniff": _mime_sniff_oracle_sql(),
+        "robots_longest_match": _robots_lm_oracle_sql(),
+        "boilerplate_lines": _boilerplate_oracle_sql(),
         "warc_export": """
 WITH d AS (
   SELECT doc_id,

@@ -35,6 +35,10 @@ __all__ = [
     "apply_robots_filter",
     "robots_deny_predicate",
     "parse_robots_crawl_delay",
+    "parse_robots_rules_extended",
+    "robots_pattern_regex",
+    "robots_rules_extended_df",
+    "apply_robots_longest_match",
 ]
 
 # rel=nofollow on the linkcode (URLFilter:171-175); branch-reset emulated
@@ -264,3 +268,130 @@ def apply_robots_filter(links_df: DataFrame, rules_df: DataFrame) -> DataFrame:
         & F.col("url").startswith(F.col("deny_prefix")),
         "left_anti",
     ).drop("_l_host")
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 longest-match Allow/Disallow (extension beyond the reference,
+# whose parser honors Disallow only -- PHPCrawlerRobotsTxtParser.class.php:
+# 109-151; modern robots.txt REQUIRES Allow + most-specific-match to be
+# honored, or sites like wikipedia.org over-block)
+# ---------------------------------------------------------------------------
+
+def parse_robots_rules_extended(
+    body: str, user_agent: str
+) -> list[tuple[str, bool]]:
+    """Collect (path_pattern, is_allow) pairs from the sections applying
+    to `user_agent` (same section rule as parse_robots_body). Patterns
+    keep their RFC 9309 metacharacters ('*' wildcard, '$' end anchor);
+    empty Disallow ("allow all") contributes nothing, per the RFC.
+    """
+    if body is None:
+        return []
+    current_ua = None
+    rules: list[tuple[str, bool]] = []
+    for raw in body.split("\n"):
+        line = raw.strip()
+        if line == "":
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            current_ua = line[len("user-agent:"):].strip()
+            continue
+        if current_ua is not None and (
+            current_ua == "*" or current_ua.lower() == user_agent.lower()
+        ):
+            for key, is_allow in (("allow:", True), ("disallow:", False)):
+                if low.startswith(key):
+                    path = line[len(key):].strip()
+                    if path:
+                        if not path.startswith("/"):
+                            path = "/" + path
+                        rules.append((path, is_allow))
+    return rules
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored regex: '*' matches any run,
+    a trailing '$' anchors the end, everything else is literal. The
+    translation is shared by the engine and the contract oracle."""
+    anchored_end = pattern.endswith("$")
+    core = pattern[:-1] if anchored_end else pattern
+    out = []
+    for ch in core:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.^$+?{}[]|()":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored_end else "")
+
+
+def robots_rules_extended_df(spark, robots_fixture, user_agent: str):
+    """(host, body) fixture -> (host, pattern, regex, pattern_len,
+    is_allow) rule dim. Tiny by construction; broadcast at the join."""
+    rows = []
+    for host, body in robots_fixture:
+        for pattern, is_allow in parse_robots_rules_extended(body, user_agent):
+            rows.append((host, pattern, robots_pattern_regex(pattern),
+                         len(pattern), bool(is_allow)))
+    return spark.createDataFrame(
+        rows,
+        "host string, pattern string, regex string, "
+        "pattern_len int, is_allow boolean",
+    )
+
+
+def apply_robots_longest_match(
+    links_df: DataFrame, rules_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Most-specific-match robots verdict per URL (RFC 9309 §2.2.2):
+    among the URL's host's rules whose pattern matches its path, the
+    LONGEST pattern wins; a length tie goes to Allow; no match = allowed.
+
+    `url_col` must be unique within `links_df` (it is the verdict key).
+
+    Scale shape: rules are a tiny per-host dim -> broadcast inner join +
+    per-row regex match fans out to (url x matching rules), then the
+    argmax collapses with a partial-aggregating max(struct(len, allow))
+    -- lexicographic struct ordering IS the precedence rule, ties
+    included -- and a final broadcast-left join attaches verdicts. No
+    window, no Python, no global sort.
+    """
+    url = F.col(url_col)
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    withhost = links_df.withColumn("_h", host_expr(url)).withColumn(
+        "_path", path
+    )
+    r = F.broadcast(
+        rules_df.select(
+            F.col("host").alias("_h"), "regex", "pattern_len", "is_allow"
+        )
+    )
+    verdicts = (
+        withhost.join(r, "_h", "inner")
+        .filter(F.regexp_like(F.col("_path"), F.col("regex")))
+        .groupBy(url_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("pattern_len").alias("l"),
+                    F.col("is_allow").cast("int").alias("a"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            url_col,
+            F.col("_best.l").alias("matched_len"),
+            (F.col("_best.a") == 1).alias("_matched_allow"),
+        )
+    )
+    return (
+        withhost.join(F.broadcast(verdicts), url_col, "left")
+        .withColumn("allowed", F.coalesce(F.col("_matched_allow"), F.lit(True)))
+        .withColumn("matched_len", F.coalesce(F.col("matched_len"), F.lit(-1)))
+        .drop("_h", "_path", "_matched_allow")
+    )

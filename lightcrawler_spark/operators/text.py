@@ -446,3 +446,84 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
             ),
         )
     )
+
+
+# Function words whose presence separates prose from navigation chrome
+# (juText's stopword-density criterion, Pomikalek 2011). Shared with the
+# contract oracle.
+BOILER_STOPWORDS = (
+    "the", "a", "an", "of", "to", "in", "and", "is", "on", "for", "with",
+    "that", "as", "are", "was", "it", "by", "this", "be", "or", "at",
+)
+# Chrome phrasing that marks a line boilerplate outright.
+BOILER_LINE_PAT = (
+    r"(?i)(all rights reserved|cookie|privacy policy|terms of (use|service)"
+    r"|copyright|subscribe to|follow us|click here|\|)"
+)
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 4,
+    min_stopword_pct: int = 10,
+) -> DataFrame:
+    """Doc-local boilerplate line removal (jusText-lite): a line is
+    chrome if it is too short (< min_words), too stopword-poor
+    (function-word share below min_stopword_pct percent -- prose has
+    function words, nav menus don't), or matches chrome phrasing.
+    Complements the corpus-global `textdedup.dedup_lines` (which needs a
+    line to REPEAT across docs; this fires on the first sighting).
+
+    Exactness: the stopword test is integer cross-multiplication
+    (sw * 100 < pct * n_words), never a float fraction -- the verdict is
+    bit-reproducible. E9's DOM link-block pruning (content.py) is the
+    markup-aware sibling; this one runs on extracted plain text.
+
+    Scale shape: posexplode fans out to lines, per-line classification
+    is codegen'd expressions, and the doc folds back with ONE
+    groupBy(id) whose accumulators are a sorted struct array (kept
+    lines) + counters -- no window, no Python, no second shuffle.
+
+    Output: (id, n_lines, n_boiler, clean_text).
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    words = F.filter(
+        F.split(F.lower(F.col("line")), "[^a-z0-9]+"),
+        lambda w: w != F.lit(""),
+    )
+    n_words = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*BOILER_STOPWORDS)))
+    boiler = (
+        (n_words < F.lit(int(min_words)))
+        | (sw * 100 < F.lit(int(min_stopword_pct)) * n_words)
+        | F.col("line").rlike(BOILER_LINE_PAT)
+    )
+    classified = lines.withColumn("_boiler", boiler)
+    return (
+        classified.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.col("_boiler").cast("int")).cast("int").alias("n_boiler"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("_boiler"),
+                        F.struct(F.col("pos").alias("p"),
+                                 F.col("line").alias("t")),
+                    )
+                )
+            ).alias("_kept"),
+        )
+        .withColumn(
+            "clean_text",
+            F.array_join(
+                F.transform(F.col("_kept"), lambda x: x["t"]), "\n"
+            ),
+        )
+        .drop("_kept")
+    )

@@ -331,6 +331,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no window", r"!Window"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # RFC 9309 longest match: precedence via partial-agg max(struct),
+    # rules broadcast both ways — never a window or global sort
+    "robots_longest_match": [
+        ("rule dim broadcast", r"BroadcastHashJoin"),
+        ("partial-agg precedence", r"partial_max"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # boilerplate lines: explode → codegen'd classify → one fold-back agg
+    "boilerplate_lines": [
+        ("line explode generator", r"Generate posexplode"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
