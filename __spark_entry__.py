@@ -2685,6 +2685,40 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder budget apportionment
+    (operators/scheduler.py:apportion_budget) — split a global fetch
+    budget B over hosts proportional to pending frontier size, integer
+    budgets summing EXACTLY to B, every host within 1 of its exact
+    share. Quota math is exact int64 (DIV/pmod); the remainder top-R is
+    a range-partitioned rank (pack_sequences decomposition), never a
+    single-partition window. Oracle = the serial row_number form."""
+    from lightcrawler_spark.operators.scheduler import apportion_budget
+
+    hosts = spark.range(800).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".test")).alias("host"),
+        ((F.col("id") * 37) % 500 + 1).cast("long").alias("pending"),
+    )
+    return apportion_budget(hosts, total_budget=10000).select(
+        "host", "pending", "budget"
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge pair statistics (operators/text.py:
+    bpe_pair_counts) — adjacent-char pair frequencies over the ascii
+    word stream; pair_rank=1 is the merge a BPE trainer performs next.
+    Pairs are whole-array zip_with/slice expressions (pushdown-safe),
+    counting is map-side-combined, top-k via TakeOrderedAndProject."""
+    from lightcrawler_spark.operators.text import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=25).select(
+        "pair", F.col("cnt").cast("long").alias("cnt"), "pair_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2792,6 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "robots_longest_match": q_robots_longest_match,
         "boilerplate_lines": q_boilerplate_lines,
+        "budget_apportion": q_budget_apportion,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -4985,6 +5021,45 @@ FROM range(300) r(id)
         "mime_sniff": _mime_sniff_oracle_sql(),
         "robots_longest_match": _robots_lm_oracle_sql(),
         "boilerplate_lines": _boilerplate_oracle_sql(),
+        "budget_apportion": """
+WITH h AS (
+  SELECT 'h' || id || '.test' AS host,
+    CAST((id * 37) % 500 + 1 AS BIGINT) AS pending
+  FROM range(800) t(id)
+),
+tot AS (SELECT CAST(sum(pending) AS BIGINT) AS n FROM h),
+b AS (
+  SELECT host, pending,
+    (10000 * pending) // n AS base,
+    (10000 * pending) % n AS rem
+  FROM h, tot
+),
+lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS r FROM b),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn FROM b
+)
+SELECT host, pending,
+  CAST(base + CASE WHEN rn <= r THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM rk, lo
+""",
+        "bpe_pairs": """
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT w[i] || w[i+1] AS pair
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 1)) AS i
+  ) s
+  WHERE len(w) >= 2
+),
+c AS (SELECT pair, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1)
+SELECT pair, cnt,
+  row_number() OVER (ORDER BY cnt DESC, pair ASC)::INT AS pair_rank
+FROM c ORDER BY cnt DESC, pair ASC LIMIT 25
+""",
         "warc_export": """
 WITH d AS (
   SELECT doc_id,

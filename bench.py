@@ -318,7 +318,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "domain_cap", "doc_chunk", "sequence_pack",
         "lang_rebalance", "dup_span_mask", "clip_score_filter",
         "warc_export", "domain_gate", "cdx_index", "snapshot_diff",
-        "boilerplate_lines",
+        "boilerplate_lines", "bpe_pairs", "budget_apportion",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

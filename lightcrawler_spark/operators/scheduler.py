@@ -317,3 +317,75 @@ def assign_crawl_shards(df: DataFrame, n_shards: int,
         ),
     )
     return df.withColumn(out_col, F.array_max(cand)["s"])
+
+
+def apportion_budget(
+    hosts_df: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    count_col: str = "pending",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global fetch
+    budget over hosts, proportional to pending frontier size.
+
+    The reference has exactly one global budget knob (request_limit,
+    PHPCrawler.class.php:1599-1606) and no notion of dividing it; a
+    1000-executor round must split "fetch B pages this round" across
+    hosts so that (a) budgets are integers, (b) they sum EXACTLY to B,
+    (c) every host is within 1 page of its exact proportional share --
+    which is precisely the Hamilton method: base = floor(B*n_h/N),
+    then +1 to the R = B - sum(base) hosts with the largest remainders
+    (ties by host name, deterministic).
+
+    Scale shape: all quota math is exact int64 (DIV/pmod -- no float
+    quotas); the remainder top-R uses a range-partitioned rank (per-
+    partition row_number + broadcast partition-count prefix -- the
+    pack_sequences decomposition), NEVER a single-partition window over
+    the host dim. Two tiny driver scalars (N, R) are the only values
+    that centralize.
+    """
+    spark = hosts_df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+    B = int(total_budget)
+    tot = hosts_df.agg(
+        F.sum(F.col(count_col).cast("long")).alias("t")
+    ).collect()[0]["t"]
+    if not tot or B <= 0:
+        return hosts_df.withColumn("budget", F.lit(0).cast("long"))
+
+    prod = f"(CAST({B} AS BIGINT) * CAST({count_col} AS BIGINT))"
+    based = hosts_df.withColumn(
+        "_base", F.expr(f"{prod} DIV CAST({tot} AS BIGINT)")
+    ).withColumn("_rem", F.expr(f"{prod} % CAST({tot} AS BIGINT)"))
+
+    leftover = B - based.agg(F.sum("_base").alias("s")).collect()[0]["s"]
+
+    ranged = based.repartitionByRange(
+        num_partitions, F.col("_rem").desc(), F.col(host_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    counts = ranged.groupBy("_pid").count().collect()
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    prefix, acc = {}, 0
+    for pid in sorted(by_pid):
+        prefix[pid] = acc
+        acc += by_pid[pid]
+    offsets = spark.createDataFrame(
+        [(p, o) for p, o in prefix.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("_rem").desc(), F.col(host_col).asc()
+    )
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "budget",
+            (F.col("_base")
+             + (F.col("_off") + F.col("_rn") <= F.lit(int(leftover)))
+             .cast("long")).cast("long"),
+        )
+        .drop("_pid", "_rn", "_off", "_base", "_rem")
+    )

@@ -527,3 +527,42 @@ def strip_boilerplate_lines(
         )
         .drop("_kept")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-global adjacent-symbol pair frequencies — the first merge
+    step of BPE tokenizer training (Sennrich et al. 2016): the pair the
+    trainer would merge next is exactly `pair_rank = 1`. Iterating this
+    op (re-tokenize with the merged symbol, recount) IS the training
+    loop; each iteration stays this same shuffle shape.
+
+    Scale shape: word split + char pairs are whole-array expressions
+    (`zip_with` over two `slice`s — arguments evaluate once per row,
+    pushdown-safe per SURVEY §11), the count is a map-side-combining
+    groupBy(pair), and top-k goes through TakeOrderedAndProject (never
+    a global sort). Words come from the ascii-lowercase tokenizer, so
+    char indexing agrees byte-for-byte with any SQL engine.
+    """
+    words = df.select(
+        F.explode(_words(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    chars = F.split(F.col("w"), "")
+    n = F.size(chars)
+    pairs = F.zip_with(
+        F.slice(chars, 1, n - 1),
+        F.slice(chars, 2, n - 1),
+        lambda a, b: F.concat(a, b),
+    )
+    from pyspark.sql import Window
+
+    counted = (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    # rank window runs over <= k rows by construction (post-limit)
+    return topk.withColumn("pair_rank", F.row_number().over(w).cast("int"))

@@ -345,6 +345,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no window", r"!Window"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # Hamilton apportionment: remainder rank must be the range-
+    # partitioned decomposition, never one window over all hosts
+    "budget_apportion": [
+        ("pid-partitioned rank window", r"Window.*\[_pid#\d+\]"),
+        ("partition-count prefix broadcast", r"Broadcast"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # BPE pairs: map-side-combined count + top-k via TakeOrdered;
+    # the rank window runs over <= k rows (post-limit), like vocab_topk
+    "bpe_pairs": [
+        ("top-k via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("map-side partial pair count", r"partial_count"),
+        ("no global Sort before the limit", r"!Sort \[cnt"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
