@@ -2719,6 +2719,85 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _letterbox_expected():
+    """Driver-side replica of the letterbox kernel over the fixture
+    source of truth (same math as operators/images.py:letterbox_images,
+    canvas 20×16 fill 114)."""
+    import hashlib
+
+    import numpy as np
+
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, encode_image
+
+    out_w, out_h = 20, 16
+    rows = []
+    for r in make_images(64):
+        arr = decode_image(r["bytes"])
+        h, w = arr.shape[0], arr.shape[1]
+        if w * out_h >= h * out_w:
+            cw, ch = out_w, max(1, (h * out_w) // w)
+        else:
+            ch, cw = out_h, max(1, (w * out_h) // h)
+        ys = (np.arange(ch) * h) // ch
+        xs = (np.arange(cw) * w) // cw
+        canvas = np.full((out_h, out_w, 3), 114, dtype=np.uint8)
+        x0, y0 = (out_w - cw) // 2, (out_h - ch) // 2
+        canvas[y0:y0 + ch, x0:x0 + cw] = arr[ys[:, None], xs[None, :]]
+        enc = encode_image(canvas, r["fmt"])
+        rows.append((r["image_id"], x0, y0, cw, ch,
+                     hashlib.md5(enc).hexdigest()))
+    return rows
+
+
+def _image_letterbox_values_sql() -> str:
+    rows = ",\n".join(
+        f"('{i}', {x}, {y}, {w}, {h}, '{m}')"
+        for i, x, y, w, h, m in _letterbox_expected()
+    )
+    return (
+        "SELECT image_id, CAST(box_x AS INT) AS box_x, "
+        "CAST(box_y AS INT) AS box_y, CAST(box_w AS INT) AS box_w, "
+        "CAST(box_h AS INT) AS box_h, boxed_md5 FROM (VALUES\n" + rows +
+        "\n) AS t(image_id, box_x, box_y, box_w, box_h, boxed_md5)"
+    )
+
+
+def q_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving letterbox preprocessing
+    (operators/images.py:letterbox_images) — the CLIP/ViT/YOLO path
+    where stretch-resize would distort geometry: integer-exact content
+    box, centered on a fill-114 canvas, box geometry emitted for
+    coordinate mapping. VALUES oracle pins box geometry AND the md5 of
+    every re-encoded canvas against the shared kernel."""
+    from lightcrawler_spark.operators.images import letterbox_images
+
+    out = letterbox_images(_image_df(spark), out_w=20, out_h=16)
+    return out.select(
+        "image_id", "box_x", "box_y", "box_w", "box_h",
+        F.md5(F.col("bytes_boxed")).alias("boxed_md5"),
+    )
+
+
+def q_latency_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-adaptive per-host budgets
+    (operators/scheduler.py:latency_budgets) — budget =
+    clamp(floor(round_ms·n/Σms), 1, cap) from observed fetch latencies,
+    exact int64 on the (n, Σ) sufficient statistics (never a float
+    mean). One map-side-combining groupBy; the result broadcasts into
+    pop_per_host like the Crawl-delay overrides."""
+    from lightcrawler_spark.operators.scheduler import latency_budgets
+
+    pages = spark.range(4000).select(
+        F.concat(F.lit("h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.lit(50) + (F.col("id") * 13) % 400).cast("long").alias("fetch_ms"),
+    )
+    return latency_budgets(
+        pages, round_duration_ms=10000, default_budget=4, max_budget=64
+    ).select("host", "n_obs", "sum_ms", "host_budget")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2828,6 +2907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "budget_apportion": q_budget_apportion,
         "bpe_pairs": q_bpe_pairs,
+        "image_letterbox": q_image_letterbox,
+        "latency_budgets": q_latency_budgets,
     }
 
 
@@ -5094,6 +5175,23 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, url, content_length,
 FROM s
 """,
         "image_dhash": _image_dhash_values_sql(),
+        "image_letterbox": _image_letterbox_values_sql(),
+        "latency_budgets": """
+WITH p AS (
+  SELECT 'h' || (id % 40) || '.test' AS host,
+    CAST(50 + (id * 13) % 400 AS BIGINT) AS fetch_ms
+  FROM range(4000) t(id)
+),
+s AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_obs,
+    CAST(sum(fetch_ms) AS BIGINT) AS sum_ms
+  FROM p GROUP BY 1
+)
+SELECT host, n_obs, sum_ms,
+  CAST(least(64, greatest(1, (10000 * n_obs) // sum_ms)) AS BIGINT)
+    AS host_budget
+FROM s
+""",
         "cdx_index": """
 WITH d AS (
   SELECT doc_id,

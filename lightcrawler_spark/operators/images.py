@@ -37,6 +37,7 @@ __all__ = [
     "verify_images",
     "phash_near_dup_pairs",
     "resize_images",
+    "letterbox_images",
     "image_features_udf",
     "sample_video_frames",
     "filter_image_caption_pairs",
@@ -529,3 +530,71 @@ def assign_aspect_buckets(
             "bucket_h": best["bh"].cast("int"),
         }
     )
+
+
+def letterbox_images(df: DataFrame, out_w: int, out_h: int,
+                     fill: int = 114, bytes_col: str = "bytes",
+                     fmt_col: str = "fmt") -> DataFrame:
+    """Aspect-PRESERVING resize into a fixed out_w x out_h canvas
+    (letterbox/pad-to-square) -- the CLIP/ViT/YOLO preprocessing path,
+    where plain stretch-resize (resize_images) would distort geometry.
+    scale = min(out_w/w, out_h/h) with integer floor box dims (min 1 px),
+    nearest-neighbor sampling, centered with the YOLO-conventional
+    fill=114 gray; emits the content-box geometry (box_x, box_y, box_w,
+    box_h) the caption/bbox side needs to map coordinates back.
+
+    Same Arrow-batch mapInPandas shape as resize_images; the numpy
+    kernel is the deterministic stand-in (swap for PIL/opencv in
+    production, plumbing unchanged).
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes_boxed", T.BinaryType()),
+            T.StructField("box_x", T.IntegerType()),
+            T.StructField("box_y", T.IntegerType()),
+            T.StructField("box_w", T.IntegerType()),
+            T.StructField("box_h", T.IntegerType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+
+    def _box(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imagecodec import encode_image
+
+        for pdf in batches:
+            outs, bx, by, bw, bh = [], [], [], [], []
+            for b, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    arr = decode_image(bytes(b))
+                    h, w = arr.shape[0], arr.shape[1]
+                    # integer-exact content box: floor(dim * out/other),
+                    # never exceeding the canvas, never 0
+                    if w * out_h >= h * out_w:  # width-bound
+                        cw = out_w
+                        ch = max(1, (h * out_w) // w)
+                    else:
+                        ch = out_h
+                        cw = max(1, (w * out_h) // h)
+                    ys = (np.arange(ch) * h) // ch
+                    xs = (np.arange(cw) * w) // cw
+                    content = arr[ys[:, None], xs[None, :]]
+                    canvas = np.full((out_h, out_w, 3), fill, dtype=np.uint8)
+                    x0 = (out_w - cw) // 2
+                    y0 = (out_h - ch) // 2
+                    canvas[y0:y0 + ch, x0:x0 + cw] = content
+                    outs.append(encode_image(canvas, fmt))
+                    bx.append(x0); by.append(y0); bw.append(cw); bh.append(ch)
+                except Exception:
+                    outs.append(None)
+                    bx.append(None); by.append(None)
+                    bw.append(None); bh.append(None)
+            pdf = pdf[in_cols].copy()
+            pdf["bytes_boxed"] = outs
+            pdf["box_x"] = pd.array(bx, dtype="Int32")
+            pdf["box_y"] = pd.array(by, dtype="Int32")
+            pdf["box_w"] = pd.array(bw, dtype="Int32")
+            pdf["box_h"] = pd.array(bh, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_box, out_schema)

@@ -389,3 +389,44 @@ def apportion_budget(
         )
         .drop("_pid", "_rn", "_off", "_base", "_rem")
     )
+
+
+def latency_budgets(
+    pages: DataFrame,
+    round_duration_ms: int,
+    default_budget: int,
+    max_budget: int | None = None,
+    host_col: str = "host",
+    latency_col: str = "fetch_ms",
+) -> DataFrame:
+    """Latency-adaptive per-host budgets (P8 extension): a host that
+    answers in t ms can absorb ~round_duration/t sequential requests per
+    round without concurrency -- the classic adaptive-politeness rule
+    ("be no more than one outstanding request deep"), which the
+    reference cannot express (its delay is one global constant,
+    CrawlerSettings.class.php:43). Slow hosts automatically get small
+    budgets; fast ones use the round.
+
+    budget = clamp(floor(round_ms * n_obs / sum_ms), 1, max_budget) --
+    EXACT int64 arithmetic on the (n, sum) sufficient statistics, never
+    a float mean, so the verdict is reproducible across engines and
+    partition orders. History-less hosts keep `default_budget`.
+
+    Scale shape: one map-side-combining groupBy(host) over the pages
+    scan; the result is a per-host dim meant to broadcast into
+    pop_per_host exactly like the Crawl-delay budget overrides.
+    """
+    r = int(round_duration_ms)
+    stats = pages.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(latency_col).cast("long")).alias("sum_ms"),
+    )
+    raw = F.expr(f"(CAST({r} AS BIGINT) * n_obs) DIV sum_ms")
+    b = F.greatest(F.lit(1).cast("long"), raw)
+    if max_budget is not None:
+        b = F.least(F.lit(int(max_budget)).cast("long"), b)
+    return stats.withColumn(
+        "host_budget",
+        F.when(F.col("sum_ms") > 0, b)
+        .otherwise(F.lit(int(default_budget)).cast("long")),
+    )

@@ -361,6 +361,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no global Sort before the limit", r"!Sort \[cnt"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # letterbox: ONE Arrow batch pass, nothing else moves
+    "image_letterbox": [
+        ("single Arrow pass (mapInPandas)", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no join", r"!Join"),
+    ],
+    # latency budgets: sufficient statistics via map-side combine
+    "latency_budgets": [
+        ("map-side partial agg", r"partial_(count|sum)"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
