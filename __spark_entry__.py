@@ -2798,6 +2798,83 @@ def q_latency_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "n_obs", "sum_ms", "host_budget")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization
+    (operators/similarity.py:quantize_embeddings) — the SQ8 compression
+    a 100 TB embedding store runs (4× memory/shuffle cut): scale =
+    127/max|x|, code = round(x·scale), every step one IEEE op on exact
+    float32→double casts so codes are bit-stable. The oracle recomputes
+    scales and codes from the same parquet floats."""
+    from lightcrawler_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return quantize_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("q_scale"), 6).alias("q_scale_r"),
+        "q_codes",
+    )
+
+
+def q_param_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule MINING (operators/traps.py:mine_param_relevance) —
+    learn per-host content-irrelevant query params from crawl evidence:
+    URLs identical up to one param with identical content support
+    irrelevance; differing content contradicts. Two map-side-combined
+    aggregations over one explode; verdict = support≥2 ∧ no
+    contradictions. Synthetic evidence: a.test's `sess` and b.test's
+    `ref` are irrelevant by construction, `id`/`page` are not."""
+    from lightcrawler_spark.operators.traps import mine_param_relevance
+
+    i = F.col("id")
+    a = F.concat(F.lit("http://a.test/doc?id="), (i % 50).cast("string"),
+                 F.lit("&sess="), (i % 3).cast("string"))
+    b = F.concat(F.lit("http://b.test/list?page="), (i % 4).cast("string"),
+                 F.lit("&ref="), (i % 5).cast("string"))
+    pages = spark.range(600).select(
+        F.when(i % 2 == 0, a).otherwise(b).alias("url"),
+        F.when(i % 2 == 0, F.md5(F.concat(F.lit("A"), (i % 50).cast("string"))))
+        .otherwise(F.md5(F.concat(F.lit("B"), (i % 4).cast("string"))))
+        .alias("content_md5"),
+    )
+    return mine_param_relevance(pages).select(
+        "host", "param_name", "n_groups", "support", "contradictions",
+        "irrelevant",
+    )
+
+
+def q_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical alias extraction
+    (operators/extract.py:extract_canonical) — the site's own dedup
+    declaration, which the reference's link finder never reads. Both
+    attribute orders exercised; pages without a declaration yield null.
+    Pure JVM regex (RE2-compatible), re-derived by the oracle."""
+    from lightcrawler_spark.operators.extract import extract_canonical
+
+    i = F.col("id")
+    url = F.concat(F.lit("http://s.test/p/"), i.cast("string"))
+    canon = F.concat(F.lit("http://s.test/p/"), (i % 40).cast("string"))
+    body = (
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit('<html><head><link rel="canonical" href="'),
+                     canon, F.lit('"></head><body>x</body></html>')),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(F.lit("<html><head><LINK href='"), canon,
+                     F.lit("' rel=canonical></head><body>y</body></html>")),
+        )
+        .otherwise(F.lit("<html><head></head><body>plain</body></html>"))
+    )
+    pages = spark.range(300).select(
+        F.col("id").cast("long").alias("id"), url.alias("url"),
+        body.alias("body"),
+    )
+    return extract_canonical(pages).select(
+        "id", "url", "canonical_url", "is_alias"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2909,6 +2986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "image_letterbox": q_image_letterbox,
         "latency_budgets": q_latency_budgets,
+        "embedding_quantize": q_embedding_quantize,
+        "param_relevance": q_param_relevance,
+        "canonical_alias": q_canonical_alias,
     }
 
 
@@ -5176,6 +5256,105 @@ FROM s
 """,
         "image_dhash": _image_dhash_values_sql(),
         "image_letterbox": _image_letterbox_values_sql(),
+        "embedding_quantize": """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+),
+s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT vec_id,
+    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+    embedding
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  ROUND(scale, 6) AS q_scale_r,
+  list_transform(embedding, x -> CAST(round(x::DOUBLE * scale) AS INT))
+    AS q_codes
+FROM q
+""",
+        "param_relevance": """
+WITH p AS (
+  SELECT
+    CASE WHEN id % 2 = 0
+      THEN 'http://a.test/doc?id=' || (id % 50) || '&sess=' || (id % 3)
+      ELSE 'http://b.test/list?page=' || (id % 4) || '&ref=' || (id % 5)
+    END AS url,
+    CASE WHEN id % 2 = 0
+      THEN md5('A' || (id % 50)) ELSE md5('B' || (id % 4)) END AS h
+  FROM range(600) t(id)
+),
+x AS (
+  SELECT url, h,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+    regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+[^?#]*)', 1) AS shp,
+    list_filter(string_split(
+      coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
+      q -> q <> '') AS params
+  FROM p
+),
+ex AS (
+  SELECT host, url, h, shp, params, unnest(params) AS param FROM x
+),
+k AS (
+  SELECT host,
+    regexp_extract(param, '^([^=]*)', 1) AS param_name,
+    shp || '?' || coalesce(array_to_string(list_sort(
+      list_filter(params, o -> o <> param)), '&'), '') AS base_key,
+    url, h
+  FROM ex
+),
+g AS (
+  SELECT host, param_name, base_key,
+    count(DISTINCT url) AS n_urls, count(DISTINCT h) AS n_hashes
+  FROM k GROUP BY 1, 2, 3
+)
+SELECT host, param_name,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN n_urls >= 2 AND n_hashes = 1 THEN 1 ELSE 0 END)
+    AS BIGINT) AS support,
+  CAST(sum(CASE WHEN n_hashes > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS contradictions,
+  (sum(CASE WHEN n_urls >= 2 AND n_hashes = 1 THEN 1 ELSE 0 END) >= 2
+   AND sum(CASE WHEN n_hashes > 1 THEN 1 ELSE 0 END) = 0) AS irrelevant
+FROM g GROUP BY 1, 2
+""",
+        "canonical_alias": r"""
+WITH p AS (
+  SELECT id,
+    'http://s.test/p/' || id AS url,
+    CASE CAST(id % 3 AS INT)
+      WHEN 0 THEN '<html><head><link rel="canonical" href="http://s.test/p/'
+                  || (id % 40) || '"></head><body>x</body></html>'
+      WHEN 1 THEN '<html><head><LINK href=''http://s.test/p/' || (id % 40)
+                  || ''' rel=canonical></head><body>y</body></html>'
+      ELSE '<html><head></head><body>plain</body></html>'
+    END AS body
+  FROM range(300) t(id)
+),
+c AS (
+  SELECT id, url,
+    regexp_extract(body,
+      '(?is)<link[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']([^"'']+)["'']',
+      1) AS c1,
+    regexp_extract(body,
+      '(?is)<link[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*rel\s*=\s*["'']?canonical["'']?',
+      1) AS c2
+  FROM p
+)
+SELECT CAST(id AS BIGINT) AS id, url,
+  CASE WHEN c1 <> '' THEN c1 WHEN c2 <> '' THEN c2 END AS canonical_url,
+  (CASE WHEN c1 <> '' THEN c1 WHEN c2 <> '' THEN c2 END IS NOT NULL
+   AND CASE WHEN c1 <> '' THEN c1 WHEN c2 <> '' THEN c2 END <> url)
+    AS is_alias
+FROM c
+""",
         "latency_budgets": """
 WITH p AS (
   SELECT 'h' || (id % 40) || '.test' AS host,

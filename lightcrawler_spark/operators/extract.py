@@ -328,3 +328,45 @@ def synthesize_pagination(pages_df, body_col="body_text", url_col="url",
             F.col("_i").alias("feed_pos"),
         )
     )
+
+
+# rel=canonical handling (extension: the reference's link finder scans
+# href/src for FRONTIER candidates only — PHPCrawlerLinkFinder.class.php:
+# 140-239 — and never reads the alias semantics of <link rel=canonical>).
+# Attribute order varies in the wild, so two patterns + first-nonempty.
+_CANON_REL_HREF = (
+    r'(?is)<link[^>]*rel\s*=\s*["\']?canonical["\']?[^>]*'
+    r'href\s*=\s*["\']([^"\']+)["\']'
+)
+_CANON_HREF_REL = (
+    r'(?is)<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'rel\s*=\s*["\']?canonical["\']?'
+)
+
+
+def extract_canonical(pages: DataFrame, url_col: str = "url",
+                      body_col: str = "body") -> DataFrame:
+    """Extract ``<link rel=canonical>`` alias edges from page bodies.
+
+    The canonical URL is the site's OWN declaration that this page is an
+    alias — the strongest dedup signal a crawler gets (Google treats it
+    as near-authoritative). Downstream: rows with ``is_alias`` collapse
+    onto ``canonical_url`` in the product sink (S9) and the canonical
+    target re-enters the frontier.
+
+    Pure JVM regex (RE2-compatible, both attribute orders); relative
+    canonical hrefs are kept verbatim for the C3 resolver upstream.
+    Adds ``canonical_url`` (null when undeclared) and ``is_alias``
+    (declared AND different from the page's own URL).
+    """
+    body = F.col(body_col)
+    c1 = F.regexp_extract(body, _CANON_REL_HREF, 1)
+    c2 = F.regexp_extract(body, _CANON_HREF_REL, 1)
+    canon = F.when(c1 != "", c1).when(c2 != "", c2).otherwise(
+        F.lit(None).cast("string")
+    )
+    return pages.withColumn("canonical_url", canon).withColumn(
+        "is_alias",
+        F.col("canonical_url").isNotNull()
+        & (F.col("canonical_url") != F.col(url_col)),
+    )

@@ -167,3 +167,69 @@ def dust_key(url: Column) -> Column:
         scheme, F.lit("://"), host, path,
         F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
     )
+
+
+def mine_param_relevance(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_md5",
+    min_support: int = 2,
+) -> DataFrame:
+    """LEARN which query parameters are content-irrelevant from crawl
+    evidence — the discovery half of the DUST algorithm (dust_key's
+    static session/tracking list is the prior; this mines the rest):
+    for each (host, param), group URLs that are IDENTICAL except for
+    that parameter; a group where the param's value varies but the
+    content hash doesn't is evidence the param is irrelevant, and a
+    group where content differs is a contradiction. Verdict: irrelevant
+    iff support ≥ min_support and contradictions = 0. Learned params
+    feed back into the frontier dedup key — on alias-heavy sites this
+    collapses the frontier by orders of magnitude.
+
+    Scale shape: one explode (URL × its params), a codegen'd base-key
+    rebuild, then two hash aggregations (group stats → per-param
+    verdict) with map-side combine; distinct counts are exact. No
+    window, no Python.
+    """
+    url = F.col(url_col)
+    shp = F.regexp_extract(
+        url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+[^?#]*)", 1
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    exploded = pages.select(
+        url.alias("_url"),
+        F.col(hash_col).alias("_hash"),
+        host.alias("host"),
+        shp.alias("_shp"),
+        params.alias("_params"),
+        F.explode(params).alias("_param"),
+    )
+    others = F.filter(F.col("_params"), lambda x: x != F.col("_param"))
+    keyed = exploded.select(
+        "host",
+        F.regexp_extract(F.col("_param"), "^([^=]*)", 1).alias("param_name"),
+        F.concat(
+            F.col("_shp"), F.lit("?"),
+            F.array_join(F.array_sort(others), "&"),
+        ).alias("_base_key"),
+        "_url", "_hash",
+    )
+    groups = keyed.groupBy("host", "param_name", "_base_key").agg(
+        F.countDistinct("_url").alias("_n_urls"),
+        F.countDistinct("_hash").alias("_n_hashes"),
+    )
+    verdict = groups.groupBy("host", "param_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(((F.col("_n_urls") >= 2) & (F.col("_n_hashes") == 1))
+              .cast("long")).alias("support"),
+        F.sum((F.col("_n_hashes") > 1).cast("long")).alias("contradictions"),
+    )
+    return verdict.withColumn(
+        "irrelevant",
+        (F.col("support") >= F.lit(int(min_support)))
+        & (F.col("contradictions") == 0),
+    )

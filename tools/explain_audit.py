@@ -373,6 +373,25 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no window", r"!Window"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # int8 quantization: row-local array transforms only
+    "embedding_quantize": [
+        ("no shuffle (row-local transform)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("no join", r"!Join"),
+    ],
+    # DUST param mining: explode + two map-side-combined aggregations
+    "param_relevance": [
+        ("map-side partial agg", r"partial_"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("no join", r"!Join"),
+    ],
+    # rel=canonical: one codegen'd regex projection next to the scan
+    "canonical_alias": [
+        ("no shuffle (pure scan pass)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
