@@ -2875,6 +2875,54 @@ def q_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 approximate top-k (operators/similarity.py:quantized_topk) —
+    the scan a compressed 100 TB embedding store runs: exact int64
+    multiply-accumulate over int8 codes, one float rescale per pair.
+    Broadcast query side, per-query rank window; the oracle recomputes
+    codes, integer dots, and the rescale from the same parquet floats."""
+    from lightcrawler_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 150)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return quantized_topk(corpus, queries_df, k=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "int_dot", "sim_q", "rank",
+    )
+
+
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit deduplication
+    (operators/warc.py:warc_revisit_records) — recrawl pages whose
+    digest matches the prior capture become tiny revisit records
+    (WARC-Refers-To-Digest) instead of full bodies; pages without a
+    prior stay full responses. One equi-join + the same two-stage
+    offset prefix sum; the oracle re-assembles both record forms and
+    runs the serial running sum."""
+    from lightcrawler_spark.operators.warc import warc_revisit_records
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/doc/"), F.col("doc_id").cast("string"))
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.col("text").alias("payload"))
+    prior = docs.filter(F.col("doc_id") >= 50).select(
+        url.alias("url"),
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit("old")))
+            .otherwise(F.col("text"))
+        ).alias("prior_md5"),
+    )
+    return warc_revisit_records(pages, prior).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "record_type", "content_length", "record_length", "record_md5",
+        "warc_offset",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2989,6 +3037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "param_relevance": q_param_relevance,
         "canonical_alias": q_canonical_alias,
+        "quantized_topk": q_quantized_topk,
+        "warc_revisit": q_warc_revisit,
     }
 
 
@@ -5276,6 +5326,98 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
   list_transform(embedding, x -> CAST(round(x::DOUBLE * scale) AS INT))
     AS q_codes
 FROM q
+""",
+        "quantized_topk": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+z AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m,
+    embedding
+  FROM e
+),
+q AS (
+  SELECT vec_id,
+    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS s,
+    list_transform(embedding, x -> CAST(round(
+      x::DOUBLE * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END))
+      AS BIGINT)) AS codes
+  FROM z
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(a.codes)),
+      i -> a.codes[i] * b.codes[i])) AS int_dot,
+    a.s AS qs, b.s AS cs
+  FROM q a, q b
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, int_dot,
+    ROUND(int_dot::DOUBLE / (qs * cs), 6) AS sim_q,
+    row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY ROUND(int_dot::DOUBLE / (qs * cs), 6) DESC, neighbor_id ASC
+    )::INT AS rank
+  FROM pairs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+  CAST(int_dot AS BIGINT) AS int_dot, sim_q, rank
+FROM r WHERE rank <= 3
+""",
+        "warc_revisit": """
+WITH d AS (
+  SELECT doc_id,
+    'https://' || source || '.example.org/doc/' || doc_id AS url,
+    text AS payload
+  FROM documents WHERE doc_id < 300
+),
+pr AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 5 = 0 THEN text || 'old' ELSE text END)
+      AS prior_md5
+  FROM documents WHERE doc_id >= 50 AND doc_id < 300
+),
+j AS (
+  SELECT d.doc_id, d.url, d.payload,
+    CASE WHEN md5(d.payload) = pr.prior_md5
+         THEN 'revisit' ELSE 'response' END AS record_type
+  FROM d LEFT JOIN pr ON d.doc_id = pr.doc_id
+),
+r AS (
+  SELECT doc_id, url, record_type,
+    CASE WHEN record_type = 'revisit' THEN '' ELSE payload END AS body,
+    md5(payload) AS digest
+  FROM j
+),
+a AS (
+  SELECT doc_id, record_type,
+    CAST(strlen(body) AS BIGINT) AS content_length,
+    'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: ' || record_type || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+      || CASE WHEN record_type = 'revisit'
+              THEN 'WARC-Refers-To-Digest: md5:' || digest
+              ELSE 'WARC-Payload-Digest: md5:' || digest END
+      || chr(13) || chr(10)
+      || 'Content-Length: ' || strlen(body)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || body || chr(13) || chr(10) || chr(13) || chr(10) AS record
+  FROM r
+),
+s AS (
+  SELECT doc_id, record_type, content_length,
+    CAST(strlen(record) AS BIGINT) AS record_length,
+    md5(record) AS record_md5
+  FROM a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, record_type, content_length,
+  record_length, record_md5,
+  coalesce(sum(record_length) OVER (
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0)::BIGINT AS warc_offset
+FROM s
 """,
         "param_relevance": """
 WITH p AS (

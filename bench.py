@@ -319,7 +319,8 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "lang_rebalance", "dup_span_mask", "clip_score_filter",
         "warc_export", "domain_gate", "cdx_index", "snapshot_diff",
         "boilerplate_lines", "bpe_pairs", "budget_apportion",
-        "embedding_quantize", "canonical_alias",
+        "embedding_quantize", "canonical_alias", "quantized_topk",
+        "warc_revisit",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["warc_records", "cdx_entries"]
+__all__ = ["warc_records", "warc_revisit_records", "cdx_entries"]
 
 _CRLF = "\r\n"
 
@@ -71,9 +71,17 @@ def warc_records(
     sized = df.withColumn("content_length", content_length).withColumn(
         "record_length", F.octet_length(record).cast("long")
     ).withColumn("record_md5", F.md5(record))
+    return _with_global_offsets(sized, order_col, num_partitions)
 
-    # two-stage prefix sum (see module docstring). localCheckpoint pins
-    # the partition layout across the totals action and the final plan.
+
+def _with_global_offsets(sized: DataFrame, order_col: str,
+                         num_partitions: int) -> DataFrame:
+    """Position every record in the concatenated archive byte stream:
+    the two-stage distributed prefix sum over `record_length` (range
+    partition by the order key → per-partition cumsum → broadcast
+    prefix of the P partition totals). localCheckpoint pins the
+    partition layout across the totals action and the final plan."""
+    spark = sized.sparkSession
     ranged = sized.repartitionByRange(
         num_partitions, F.col(order_col)
     ).withColumn("_pid", F.spark_partition_id())
@@ -140,3 +148,74 @@ def cdx_entries(records: DataFrame, url_col: str = "url") -> DataFrame:
         F.when(path_q == "", F.lit("/")).otherwise(path_q),
     )
     return records.withColumn("surt_key", surt)
+
+
+def warc_revisit_records(
+    df: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    prior_digest_col: str = "prior_md5",
+    order_col: str = "doc_id",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """WARC assembly with revisit deduplication (WARC/1.1 'revisit'
+    records, the Internet Archive / Common Crawl recrawl mechanism):
+    a page whose payload digest equals its PRIOR crawl's digest is
+    written as a tiny revisit record -- headers referencing the earlier
+    capture via WARC-Refers-To-Digest -- instead of storing the body
+    again. On slow-changing corpora this cuts recrawl archive bytes by
+    the unchanged fraction (often >80%).
+
+    `prior` is (url, prior_md5) from the previous snapshot (exactly
+    what operators/diffing.py:snapshot_diff consumes); pages absent
+    from it always produce full response records. Join is one equi-join
+    on the url key; record assembly stays pure JVM; offsets ride the
+    same two-stage prefix sum as warc_records.
+
+    Adds: `record_type` ('response' | 'revisit'), `content_length`
+    (0 for revisits), `record_length`, `record_md5`, `warc_offset`.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+
+    payload = F.col(payload_col)
+    digest = F.md5(payload)
+    p = prior.select(
+        F.col(url_col),
+        F.col(prior_digest_col).alias("_prior_md5"),
+    )
+    joined = df.join(p, url_col, "left").withColumn(
+        "record_type",
+        F.when(digest == F.col("_prior_md5"), "revisit").otherwise("response"),
+    )
+
+    is_rev = F.col("record_type") == "revisit"
+    body = F.when(is_rev, F.lit("")).otherwise(payload)
+    content_length = F.octet_length(body).cast("long")
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: "), F.col("record_type"), F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "), F.col(url_col), F.lit(_CRLF),
+        F.lit("WARC-Date: " + warc_date + _CRLF),
+        F.when(
+            is_rev,
+            F.concat(F.lit("WARC-Refers-To-Digest: md5:"), digest,
+                     F.lit(_CRLF)),
+        ).otherwise(
+            F.concat(F.lit("WARC-Payload-Digest: md5:"), digest,
+                     F.lit(_CRLF)),
+        ),
+        F.lit("Content-Length: "), content_length.cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    record = F.concat(header, body, F.lit(_CRLF + _CRLF))
+    sized = (
+        joined.withColumn("content_length", content_length)
+        .withColumn("record_length", F.octet_length(record).cast("long"))
+        .withColumn("record_md5", F.md5(record))
+        .drop("_prior_md5")
+    )
+    return _with_global_offsets(sized, order_col, num_partitions)

@@ -392,6 +392,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
         ("codegen", r"\*\(\d+\)"),
     ],
+    # SQ8 top-k: broadcast query side; rank window partitioned by query
+    "quantized_topk": [
+        ("query side broadcast", r"Broadcast"),
+        ("query-partitioned rank window", r"Window.*\[query_id#\d+L?\]"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # revisit records: one equi-join + the pid-partitioned offset sum
+    "warc_revisit": [
+        ("pid-partitioned cumsum window", r"Window.*\[_pid#\d+\]"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
