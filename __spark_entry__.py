@@ -2923,6 +2923,121 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _meta_scrub_fixture():
+    """Fixture images with spec-correct tEXt chunks injected after IHDR
+    (PNG only; fakelossy rows stay clean — the passthrough case)."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import make_png_text_chunk
+
+    rows = []
+    for j, r in enumerate(make_images(48)):
+        b = r["bytes"]
+        if r["fmt"] == "png" and j % 3 != 2:
+            extra = make_png_text_chunk(
+                b"Author", f"secret-{r['image_id']}".encode()
+            )
+            if j % 3 == 1:
+                extra += make_png_text_chunk(b"GPS", b"52.5,13.4")
+            b = b[:33] + extra + b[33:]  # after the 33-byte sig+IHDR
+        rows.append((r["image_id"], r["fmt"], b))
+    return rows
+
+
+def _image_meta_scrub_values_sql() -> str:
+    import hashlib
+
+    from lightcrawler_spark.imagecodec import strip_png_metadata
+
+    vals = []
+    for image_id, fmt, b in _meta_scrub_fixture():
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            clean, n, nb = strip_png_metadata(b)
+        else:
+            clean, n, nb = b, 0, 0
+        vals.append(
+            f"('{image_id}', '{fmt}', {n}, {nb}, "
+            f"'{hashlib.md5(clean).hexdigest()}')"
+        )
+    return (
+        "SELECT image_id, fmt, CAST(n_removed AS INT) AS n_removed, "
+        "CAST(bytes_removed AS BIGINT) AS bytes_removed, clean_md5 "
+        "FROM (VALUES\n" + ",\n".join(vals) +
+        "\n) AS t(image_id, fmt, n_removed, bytes_removed, clean_md5)"
+    )
+
+
+def q_image_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side PII scrub (operators/images.py:scrub_image_metadata) —
+    drop PNG tEXt/zTXt/iTXt/eXIf/tIME chunks by walking the REAL
+    container (CRC-framed chunks, no codec stub); pixels untouched,
+    non-PNG passthrough. VALUES oracle pins removal counts AND the md5
+    of every cleaned blob."""
+    from lightcrawler_spark.operators.images import scrub_image_metadata
+
+    df = spark.createDataFrame(
+        [(i, f, bytearray(b)) for i, f, b in _meta_scrub_fixture()],
+        "image_id string, fmt string, bytes binary",
+    )
+    return scrub_image_metadata(df).select(
+        "image_id", "fmt",
+        F.col("meta_chunks_removed").alias("n_removed"),
+        F.col("meta_bytes_removed").alias("bytes_removed"),
+        F.md5(F.col("bytes_clean")).alias("clean_md5"),
+    )
+
+
+def _cdc_blob_py(i: int) -> bytes:
+    import hashlib as _h
+
+    parts = [
+        _h.md5(f"{i}-{j}".encode()).hexdigest()
+        for j in range(4 + i % 5)
+    ]
+    return ("".join(parts)).encode()
+
+
+def _cdc_values_sql() -> str:
+    from lightcrawler_spark.operators.cdc import cdc_chunks
+
+    vals = []
+    for i in range(60):
+        for j, (off, ln, dig) in enumerate(cdc_chunks(_cdc_blob_py(i))):
+            vals.append(f"({i}, {j}, {off}, {ln}, '{dig}')")
+    return (
+        "SELECT CAST(blob_id AS BIGINT) AS blob_id, "
+        "CAST(chunk_idx AS INT) AS chunk_idx, "
+        "CAST(c_off AS BIGINT) AS chunk_off, "
+        "CAST(length AS BIGINT) AS length, chunk_md5 FROM (VALUES\n"
+        + ",\n".join(vals)
+        + "\n) AS t(blob_id, chunk_idx, c_off, length, chunk_md5)"
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/cdc.py) — gear-hash CDC
+    boundaries for byte-stream dedup (FastCDC-style shift resistance,
+    unit-tested: inserting bytes realigns downstream chunks). Blobs are
+    synthesized executor-side from range params (md5-string runs); the
+    VALUES oracle re-derives every (offset, length, digest) with the
+    same public kernel driver-side — the hash match certifies the
+    distributed Arrow path."""
+    from lightcrawler_spark.operators.cdc import chunk_blobs
+
+    parts = F.transform(
+        F.sequence(F.lit(0), (F.lit(3) + F.col("id") % 5).cast("int")),
+        lambda j: F.md5(F.concat(F.col("id").cast("string"), F.lit("-"),
+                                 j.cast("string"))),
+    )
+    blobs = spark.range(60).select(
+        F.col("id").alias("blob_id"),
+        F.array_join(parts, "").cast("binary").alias("bytes"),
+    )
+    return chunk_blobs(blobs).select(
+        "blob_id", "chunk_idx", F.col("offset").alias("chunk_off"),
+        "length", "chunk_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3039,6 +3154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_alias": q_canonical_alias,
         "quantized_topk": q_quantized_topk,
         "warc_revisit": q_warc_revisit,
+        "image_meta_scrub": q_image_meta_scrub,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -5306,6 +5423,8 @@ FROM s
 """,
         "image_dhash": _image_dhash_values_sql(),
         "image_letterbox": _image_letterbox_values_sql(),
+        "image_meta_scrub": _image_meta_scrub_values_sql(),
+        "cdc_chunks": _cdc_values_sql(),
         "embedding_quantize": """
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200

@@ -201,3 +201,50 @@ def dhash64(arr: np.ndarray) -> int:
         if v:
             bits |= np.uint64(1) << np.uint64(i)
     return int(np.int64(bits))
+
+
+# PNG ancillary chunks that carry metadata a privacy scrub must drop
+# (textual comments, EXIF, timestamps). Critical chunks (IHDR/PLTE/
+# IDAT/IEND) and rendering-relevant ancillaries are preserved.
+PNG_META_CHUNKS = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+
+
+def strip_png_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Remove metadata chunks from a PNG by walking the real container
+    (length / type / payload / CRC per the PNG spec) -- the image-side
+    PII scrub (EXIF GPS coordinates, camera serials, author comments
+    travel in exactly these chunks). Pixel data is untouched: the
+    output decodes bit-identically.
+
+    Returns (clean_bytes, n_chunks_removed, bytes_removed). Raises
+    ValueError on a non-PNG or truncated container.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    out = [_PNG_SIG]
+    removed = 0
+    removed_bytes = 0
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        end = pos + 12 + length
+        if end > n:
+            raise ValueError("truncated chunk")
+        if tag in PNG_META_CHUNKS:
+            removed += 1
+            removed_bytes += end - pos
+        else:
+            out.append(data[pos:end])
+        pos = end
+        if tag == b"IEND":
+            break
+    if pos != n or (out and out[-1][4:8] != b"IEND"):
+        raise ValueError("bad PNG structure")
+    return b"".join(out), removed, removed_bytes
+
+
+def make_png_text_chunk(keyword: bytes, text: bytes) -> bytes:
+    """A spec-correct tEXt chunk (test/injection helper)."""
+    return _chunk(b"tEXt", keyword + b"\x00" + text)

@@ -38,6 +38,7 @@ __all__ = [
     "phash_near_dup_pairs",
     "resize_images",
     "letterbox_images",
+    "scrub_image_metadata",
     "image_features_udf",
     "sample_video_frames",
     "filter_image_caption_pairs",
@@ -598,3 +599,52 @@ def letterbox_images(df: DataFrame, out_w: int, out_h: int,
             yield pdf
 
     return df.mapInPandas(_box, out_schema)
+
+
+def scrub_image_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Image-side PII scrub: drop PNG metadata chunks (tEXt/zTXt/iTXt/
+    eXIf/tIME -- where EXIF GPS, camera serials, and author comments
+    live) by walking the REAL container (imagecodec.strip_png_metadata;
+    length/type/CRC per the PNG spec -- no codec stub). Pixels are
+    untouched: output decodes bit-identically. Non-PNG blobs pass
+    through unchanged (the fakelossy container carries no metadata);
+    corrupt blobs yield nulls.
+
+    The text-side siblings are with_pii_scrub (URL/email/phone) and
+    dust_key's session strip; this closes the multimodal loop. One
+    Arrow batch pass, no shuffle.
+
+    Adds: bytes_clean, meta_chunks_removed, meta_bytes_removed.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes_clean", T.BinaryType()),
+            T.StructField("meta_chunks_removed", T.IntegerType()),
+            T.StructField("meta_bytes_removed", T.LongType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+
+    def _scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imagecodec import strip_png_metadata
+
+        for pdf in batches:
+            outs, ns, bs = [], [], []
+            for b in pdf[bytes_col]:
+                raw = bytes(b)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        clean, n, nb = strip_png_metadata(raw)
+                        outs.append(clean); ns.append(n); bs.append(nb)
+                    except ValueError:
+                        outs.append(None); ns.append(None); bs.append(None)
+                else:
+                    outs.append(raw); ns.append(0); bs.append(0)
+            pdf = pdf[in_cols].copy()
+            pdf["bytes_clean"] = outs
+            pdf["meta_chunks_removed"] = pd.array(ns, dtype="Int32")
+            pdf["meta_bytes_removed"] = pd.array(bs, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(_scrub, out_schema)

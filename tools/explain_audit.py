@@ -404,6 +404,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # PNG scrub: one Arrow pass, nothing else moves
+    "image_meta_scrub": [
+        ("single Arrow pass (mapInPandas)", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no join", r"!Join"),
+    ],
+    # CDC: one Arrow pass fanning out chunks; no shuffle, no join
+    "cdc_chunks": [
+        ("single Arrow pass (mapInPandas)", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no join", r"!Join"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
