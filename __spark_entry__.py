@@ -3038,6 +3038,46 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archive_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship crawl→archive composition, built purely from the
+    verified operators: trap filter (drop session-id URLs before they
+    pollute anything) → DUST-key first-wins alias dedup (partial-agg
+    min, the line_dedup shape — no window over the key) → WARC record
+    assembly with distributed offsets → CDX SURT keys. Proves the
+    crawl-side operators compose without breaking each other's scale
+    shapes, the way corpus_pipeline proves it for the text side. The
+    oracle re-derives the whole chain as one CTE pipeline."""
+    from lightcrawler_spark.operators.traps import dust_key, with_trap_signals
+    from lightcrawler_spark.operators.warc import cdx_entries, warc_records
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.org/d/"),
+        (i % 200).cast("string"),
+        F.when(i % 2 == 0, F.lit("?utm_source=x&a=1")).otherwise(F.lit("?a=1")),
+        F.when(i % 7 == 0, F.concat(F.lit("&JSESSIONID=x"), i.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.col("text").alias("payload"))
+    ok = with_trap_signals(pages).filter(~F.col("is_trap")).select(
+        "doc_id", "url", "payload",
+        dust_key(F.col("url")).alias("dust_key"),
+    )
+    winners = ok.groupBy("dust_key").agg(F.min("doc_id").alias("doc_id"))
+    survivors = ok.join(winners.select("doc_id"), "doc_id").select(
+        "doc_id", "url", "payload"
+    )
+    recs = cdx_entries(warc_records(survivors))
+    return recs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url", "surt_key", "content_length", "record_length", "warc_offset",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3156,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit": q_warc_revisit,
         "image_meta_scrub": q_image_meta_scrub,
         "cdc_chunks": q_cdc_chunks,
+        "archive_pipeline": q_archive_pipeline,
     }
 
 
@@ -5445,6 +5486,87 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
   list_transform(embedding, x -> CAST(round(x::DOUBLE * scale) AS INT))
     AS q_codes
 FROM q
+""",
+        "archive_pipeline": r"""
+WITH d AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      || source || '.example.org/d/' || (doc_id % 200)
+      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&a=1' ELSE '?a=1' END
+      || CASE WHEN doc_id % 7 = 0 THEN '&JSESSIONID=x' || doc_id
+         ELSE '' END AS url,
+    text AS payload
+  FROM documents WHERE doc_id < 400
+),
+-- trap filter: by construction only the session-id signal can fire
+-- (depth 2, <=3 params, short URLs, no repeats/years)
+ok AS (
+  SELECT * FROM d WHERE NOT regexp_matches(
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), ''),
+    '(?i)(^|&)(phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)=')
+),
+p AS (
+  SELECT doc_id, url, payload,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+    regexp_replace(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/{2,}', '/', 'g') AS pth,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+  FROM ok
+),
+k AS (
+  SELECT doc_id, url, payload,
+    scheme || '://' || host
+    || CASE WHEN pth = '' THEN '/' ELSE pth END
+    || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS dust_key
+  FROM (
+    SELECT *, coalesce(array_to_string(list_sort(list_filter(
+      string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '(?i)^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)='
+      ))), '&'), '') AS q2
+    FROM p
+  )
+),
+win AS (SELECT dust_key, min(doc_id) AS doc_id FROM k GROUP BY 1),
+surv AS (
+  SELECT k.doc_id, k.url, k.payload
+  FROM k JOIN win ON k.doc_id = win.doc_id
+),
+r AS (
+  SELECT doc_id, url,
+    CAST(strlen(payload) AS BIGINT) AS content_length,
+    'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+      || 'WARC-Payload-Digest: md5:' || md5(payload) || chr(13) || chr(10)
+      || 'Content-Length: ' || strlen(payload)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || payload || chr(13) || chr(10) || chr(13) || chr(10) AS record
+  FROM surv
+),
+s AS (
+  SELECT doc_id, url, content_length,
+    CAST(strlen(record) AS BIGINT) AS record_length,
+    coalesce(sum(strlen(record)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0)::BIGINT AS warc_offset
+  FROM r
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+  array_to_string(list_reverse(string_split(
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', ''),
+    '.')), ',') || ')'
+  || CASE WHEN regexp_extract(url,
+       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
+     THEN '/' ELSE regexp_extract(url,
+       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) END AS surt_key,
+  content_length, record_length, warc_offset
+FROM s
 """,
         "quantized_topk": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),

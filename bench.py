@@ -320,7 +320,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "warc_export", "domain_gate", "cdx_index", "snapshot_diff",
         "boilerplate_lines", "bpe_pairs", "budget_apportion",
         "embedding_quantize", "canonical_alias", "quantized_topk",
-        "warc_revisit", "cdc_chunks",
+        "warc_revisit", "cdc_chunks", "archive_pipeline",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

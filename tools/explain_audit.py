@@ -416,6 +416,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no shuffle", r"!Exchange"),
         ("no join", r"!Join"),
     ],
+    # crawl→archive composite final stage (the pre-checkpoint winner
+    # aggregate is audited separately as archive_dedup_stage — the
+    # localCheckpoint inside warc_records truncates the visible lineage)
+    "archive_pipeline": [
+        ("pid-partitioned cumsum window", r"Window.*\[_pid#\d+\]"),
+        ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # trap filter → dust key → first-wins winner: the alias dedup must
+    # collapse map-side (partial min), never rank over the key
+    "archive_dedup_stage": [
+        ("winner via map-side partial min", r"partial_min"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
@@ -426,6 +441,24 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
 }
+
+
+def _archive_dedup_stage_plan(spark):
+    """The pre-checkpoint stage of archive_pipeline: trap filter →
+    dust key → first-wins winner selection (groupBy min)."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.traps import dust_key, with_trap_signals
+
+    pages = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".test/d/"), (F.col("id") % 100).cast("string"),
+                 F.lit("?utm_source=x&a=1")).alias("url"),
+    )
+    ok = with_trap_signals(pages).filter(~F.col("is_trap")).select(
+        "doc_id", "url", dust_key(F.col("url")).alias("dust_key"))
+    return ok.groupBy("dust_key").agg(F.min("doc_id").alias("doc_id"))
 
 
 def _cc_iteration_plan(spark):
@@ -490,6 +523,7 @@ def _minhash_band_join_plan(spark):
 
 # plans audited outside the entry-query registry
 EXTRA_PLANS = {
+    "archive_dedup_stage": _archive_dedup_stage_plan,
     "cc_iteration": _cc_iteration_plan,
     "pagerank_iteration": _pagerank_iteration_plan,
     "minhash_band_join": _minhash_band_join_plan,
