@@ -107,6 +107,15 @@ class CrawlSpec:
     # default (reference parity).
     retry_after_backoff: bool = False
     default_backoff_rounds: int = 1
+    # latency-adaptive per-host budgets (P8 extension, off by default):
+    # with per_host_politeness, a host's next-round budget becomes
+    # min(budget_per_round, max(1, floor(round_ms * n / sum_ms))) from
+    # the (n, sum latency_ms) of its ALREADY-PERSISTED pages rows — the
+    # classic "one outstanding request" adaptive-politeness rule, exact
+    # int64 math (scheduler.latency_budgets), combined with any robots
+    # Crawl-delay override by MIN (most conservative wins). State derives
+    # from committed rounds, so it survives resume like the cooldown.
+    adaptive_latency_budgets: bool = False
     retry_limit: int = 3               # libs/CrawlerSettings.class.php:37
     request_limit: int = 0             # 0 = unlimited (P10)
     traffic_limit_bytes: int = 0

@@ -516,13 +516,33 @@ def simulate_reference_crawl(
             counts[f["host"]] = k
             # robots Crawl-delay override (honor_crawl_delay): hosts with
             # a declared delay get budget_for_delay(D), others the default
-            if k <= host_budgets.get(f["host"], spec.budget_per_round):
+            if k <= _effective_budget(f["host"]):
                 ranked.append((k, -f["priority_level"], f["insert_seq"], f))
         ranked.sort(key=lambda t: t[:3])
         return [t[3] for t in ranked]
 
     trace: list[dict] = []
     seq = 0
+    # adaptive_latency_budgets state: host -> [n_pages, sum_ms | None],
+    # updated only when a round COMPLETES (the engine derives its dim
+    # from pages persisted up to r-1). sum stays None until a non-null
+    # latency arrives — mirroring SQL sum() over all-null groups, where
+    # the engine falls back to the default budget.
+    lat_stats: dict[str, list] = {}
+
+    def _effective_budget(host: str) -> int:
+        b = host_budgets.get(host, spec.budget_per_round)
+        if spec.adaptive_latency_budgets and host in lat_stats:
+            n, sm = lat_stats[host]
+            if sm is not None and sm > 0:
+                ab = min(
+                    spec.budget_per_round,
+                    max(1, (int(spec.round_duration_s * 1000) * n) // sm),
+                )
+            else:
+                ab = spec.budget_per_round
+            b = min(b, ab)
+        return b
     # retry_after_backoff state: host -> (throttle_round, retry_after|None),
     # keeping the LATEST throttled round (ties: larger retry_after) —
     # mirrors the engine's max(struct(round, retry_after)) aggregate
@@ -658,6 +678,13 @@ def simulate_reference_crawl(
             if seq >= max_pops:
                 break
             _process_pop(nxt)
+            if spec.adaptive_latency_budgets:
+                p = web.get(nxt["url"])
+                lat = p.get("latency_ms") if p else None
+                st = lat_stats.setdefault(nxt["host"], [0, None])
+                st[0] += 1
+                if lat is not None:
+                    st[1] = lat if st[1] is None else st[1] + lat
         round_idx += 1
 
     final_seen = {t["url_md5"] for t in trace}

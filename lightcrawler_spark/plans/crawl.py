@@ -427,8 +427,30 @@ class CrawlEngine:
             remaining = 2 ** 31 - 1
 
         budget = min(spec.budget_per_round, remaining)
+        host_budgets = self._host_budgets_df()
+        if (spec.adaptive_latency_budgets and spec.per_host_politeness
+                and claimed is not None):
+            # latency-adaptive budgets: exact int64 stats over the
+            # persisted pages rows (completed rounds only -> resume-safe
+            # for free, like cooldown/backoff); MIN-combined with any
+            # Crawl-delay override so the most conservative signal wins
+            lat = scheduler.latency_budgets(
+                claimed, int(spec.round_duration_s * 1000),
+                default_budget=spec.budget_per_round,
+                max_budget=spec.budget_per_round,
+                latency_col="latency_ms",
+            ).select(
+                "host",
+                F.col("host_budget").cast("int").alias("host_budget"),
+            )
+            host_budgets = (
+                lat if host_budgets is None
+                else host_budgets.unionByName(lat)
+                .groupBy("host")
+                .agg(F.min("host_budget").alias("host_budget"))
+            )
         work = scheduler.pop_batch(pending, spec,
-                                   host_budgets=self._host_budgets_df())
+                                   host_budgets=host_budgets)
         if spec.per_host_politeness:
             # P8 at scale: budget_per_round is PER HOST — a round fetches
             # up to B × hosts pages. fetch_rank is the deterministic host
