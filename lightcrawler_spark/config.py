@@ -116,6 +116,12 @@ class CrawlSpec:
     # Crawl-delay override by MIN (most conservative wins). State derives
     # from committed rounds, so it survives resume like the cooldown.
     adaptive_latency_budgets: bool = False
+    # spider-trap gate (extension; the reference's per-site workers dodge
+    # traps with hand-tuned regexes): with drop_traps, the Heritrix-style
+    # pathological-URL verdict (operators/traps.py:is_trap_expr) joins
+    # the admission battery — trap URLs never enter the frontier, so the
+    # P1 anti-join can't be flooded by unbounded alias spaces.
+    drop_traps: bool = False
     retry_limit: int = 3               # libs/CrawlerSettings.class.php:37
     request_limit: int = 0             # 0 = unlimited (P10)
     traffic_limit_bytes: int = 0

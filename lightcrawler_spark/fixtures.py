@@ -467,6 +467,11 @@ def simulate_reference_crawl(
         for p in deny_prefixes:
             if u.startswith(p):
                 return False
+        if spec.drop_traps:
+            from .operators.traps import is_trap_py
+
+            if is_trap_py(u):
+                return False
         return True
 
     # frontier rows: dicts keyed by md5; state mirrors the urls table

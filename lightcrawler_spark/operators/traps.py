@@ -26,11 +26,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["trap_signal_columns", "with_trap_signals"]
+__all__ = [
+    "trap_signal_columns",
+    "with_trap_signals",
+    "is_trap_expr",
+    "is_trap_py",
+    "dust_key",
+]
 
 # Query keys that carry per-visitor session tokens — URL aliasing, not
 # content (each visit mints a fresh URL for the same page).
 SESSION_ID_PAT = r"(?i)(^|&)(phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)="
+
+# Python-flavored copy of SESSION_ID_PAT for the simulator mirror
+# (identical pattern text — both engines' regex dialects accept it)
+SESSION_ID_PAT_PY = r"(?i)(^|&)(phpsessid|jsessionid|sessionid|session_id|sid|aspsessionid[a-z]*)="
 
 # A path segment that is a plausible calendar year; 3+ of them in one
 # path is the infinite-calendar trap (`/2024/01/2024/02/...`).
@@ -232,4 +242,60 @@ def mine_param_relevance(
         "irrelevant",
         (F.col("support") >= F.lit(int(min_support)))
         & (F.col("contradictions") == 0),
+    )
+
+
+def is_trap_expr(
+    url: Column,
+    *,
+    max_seg_repeat: int = 3,
+    max_path_depth: int = 12,
+    max_query_params: int = 8,
+    max_url_len: int = 512,
+    max_calendar_segs: int = 3,
+) -> Column:
+    """The combined verdict as ONE predicate Column (no added columns) —
+    the form the engine's admission step composes into its battery."""
+    sig = trap_signal_columns(url)
+    return (
+        (sig["max_seg_repeat"] >= max_seg_repeat)
+        | (sig["path_depth"] > max_path_depth)
+        | (sig["n_query_params"] > max_query_params)
+        | sig["has_session_id"]
+        | (sig["url_len"] > max_url_len)
+        | (sig["n_calendar_segs"] >= max_calendar_segs)
+    )
+
+
+def is_trap_py(
+    url: str,
+    *,
+    max_seg_repeat: int = 3,
+    max_path_depth: int = 12,
+    max_query_params: int = 8,
+    max_url_len: int = 512,
+    max_calendar_segs: int = 3,
+) -> bool:
+    """Pure-Python mirror of is_trap_expr for the reference-semantics
+    simulator (goldens compare the engine against this byte-for-byte;
+    a fuzz test asserts expression == mirror on a URL zoo)."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    path = m.group(1) if m else ""
+    qm = _re.search(r"\?([^#]*)", url)
+    query = qm.group(1) if qm else ""
+    segs = [s for s in path.split("/") if s != ""]
+    max_rep = max(_Counter(segs).values()) if segs else 0
+    params = [p for p in query.split("&") if p != ""] if query else []
+    has_sess = _re.search(SESSION_ID_PAT_PY, query) is not None
+    n_cal = sum(1 for s in segs if _re.match(r"^(19|20)[0-9]{2}$", s))
+    return (
+        max_rep >= max_seg_repeat
+        or len(segs) > max_path_depth
+        or len(params) > max_query_params
+        or has_sess
+        or len(url) > max_url_len
+        or n_cal >= max_calendar_segs
     )

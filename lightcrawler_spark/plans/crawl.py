@@ -778,6 +778,12 @@ class CrawlEngine:
                 )
                 if self.robots_pairs is not None:
                     pred = pred & robots_deny_predicate(self.robots_pairs)
+                if spec.drop_traps:
+                    # spider-trap gate rides the same cached predicate
+                    # tree (row-local expressions — SURVEY §14)
+                    from ..operators.traps import is_trap_expr
+
+                    pred = pred & ~is_trap_expr(F.col("url"))
                 self._battery_pred_cache[key] = pred
             out = df.filter(pred)
             if self.robots_rules is not None:
