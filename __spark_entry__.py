@@ -3078,6 +3078,22 @@ def q_archive_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (operators/sampling.py:train_val_test_split) — split is a pure
+    function of md5(key), so assignments survive corpus growth and
+    re-partitioning, and keying by dedup-cluster ids keeps
+    near-duplicates in one split. Shuffle-free; the oracle re-derives
+    the hash intervals."""
+    from lightcrawler_spark.operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return train_val_test_split(docs, key_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "split", "split_u",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3197,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_scrub": q_image_meta_scrub,
         "cdc_chunks": q_cdc_chunks,
         "archive_pipeline": q_archive_pipeline,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -5659,6 +5676,19 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, record_type, content_length,
     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
   ), 0)::BIGINT AS warc_offset
 FROM s
+""",
+        "dataset_split": """
+WITH u AS (
+  SELECT doc_id, lang,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+      ::UBIGINT)::DOUBLE / 4294967296.0 AS uu
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  CASE WHEN uu < 0.1 THEN 'test'
+       WHEN uu < 0.2 THEN 'val' ELSE 'train' END AS split,
+  ROUND(uu, 9) AS split_u
+FROM u
 """,
         "param_relevance": """
 WITH p AS (

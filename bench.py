@@ -321,6 +321,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "boilerplate_lines", "bpe_pairs", "budget_apportion",
         "embedding_quantize", "canonical_alias", "quantized_topk",
         "warc_revisit", "cdc_chunks", "archive_pipeline",
+        "dataset_split",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -221,3 +221,33 @@ def domain_quality_gate(
         ).alias("domain_blocked"),
     )
     return df.join(F.broadcast(verdict), key_col)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment: split =
+    a pure function of md5(key), never of row order or partitioning --
+    re-running over a grown corpus keeps every old row's assignment
+    (downstream eval sets stay frozen), and keying by a DEDUP CLUSTER id
+    instead of doc_id makes near-duplicates land in the same split (the
+    standard contamination guard; pair with graph.py's cluster ids).
+
+    Interval layout: [0, test) -> test, [test, test+val) -> val, rest
+    train -- growing test_frac only PROMOTES val/train rows into test
+    (monotone, like stratified_sample's nested-rate property). Adds
+    `split` and `split_u` (round 9). Shuffle-free codegen'd expressions.
+    """
+    u = uniform_hash(F.col(key_col), salt=salt)
+    split = (
+        F.when(u < float(test_frac), "test")
+        .when(u < float(test_frac) + float(val_frac), "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split).withColumn(
+        "split_u", F.round(u, 9)
+    )

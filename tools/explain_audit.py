@@ -431,6 +431,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no window", r"!Window"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # dataset split: one codegen'd projection next to the scan
+    "dataset_split": [
+        ("no shuffle (pure projection)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
     # domain gate: verdict dim built by a map-side-combining agg and
     # joined back broadcast; no window, no sort-merge of the corpus
     "domain_gate": [
