@@ -3094,6 +3094,97 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _consensus_fixture():
+    """Images with REAL near-dup structure: every base gets a lightly
+    perturbed variant (a sparse deterministic pixel bump — small Hamming
+    drift in both hash families) and a brightness-shifted variant
+    (phash drops the DC term and dhash is gradient-signed, so both are
+    ~invariant). Unrelated bases should not pair."""
+    import numpy as np
+
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, png_encode
+
+    out = []
+    for j, r in enumerate(make_images(12)):
+        if r["fmt"] != "png":
+            continue
+        arr = decode_image(r["bytes"])
+        out.append((f"base{j}", png_encode(arr)))
+        pert = arr.copy()
+        pert[::7, ::11] = np.minimum(pert[::7, ::11], 252) + 3
+        out.append((f"pert{j}", png_encode(pert)))
+        bright = np.minimum(arr, 247) + 8
+        out.append((f"brt{j}", png_encode(bright)))
+    return out
+
+
+def _consensus_values_sql() -> str:
+    """Expected pairs via the same candidacy rule the op uses (shared
+    16-bit phash chunk) + both exact Hamming gates, enumerated
+    driver-side with the shared kernels."""
+    from lightcrawler_spark.imagecodec import decode_image, dhash64, phash64
+
+    imgs = _consensus_fixture()
+    h = {}
+    for iid, b in imgs:
+        arr = decode_image(b)
+        h[iid] = (phash64(arr), dhash64(arr))
+
+    def chunks(v):
+        return {(i, (v >> (i * 16)) & 0xFFFF) for i in range(4)}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(h)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            pa, da = h[a]
+            pb, db = h[b]
+            if not (chunks(pa) & chunks(pb)):
+                continue
+            hp, hd = ham(pa, pb), ham(da, db)
+            if hp <= 6 and hd <= 6:
+                rows.append(f"('{a}', '{b}', {hp}, {hd})")
+    return (
+        "SELECT id_a, id_b, CAST(phash_hamming AS INT) AS phash_hamming, "
+        "CAST(dhash_hamming AS INT) AS dhash_hamming FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(id_a, id_b, phash_hamming, dhash_hamming)"
+    )
+
+
+def q_image_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-family image near-dup consensus
+    (operators/images.py:consensus_near_dup_pairs) — phash band-join
+    candidates kept only when BOTH phash AND dhash agree (≤6 bits),
+    cutting each family's false merges. Hashes are computed distributed
+    from the real blobs; the VALUES oracle enumerates every pair
+    driver-side under the identical candidacy + gates."""
+    from lightcrawler_spark.operators.images import (
+        consensus_near_dup_pairs,
+        dhash_udf,
+        phash_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in _consensus_fixture()],
+        "image_id string, bytes binary",
+    )
+    hashed = df.select(
+        "image_id",
+        phash_udf(F.col("bytes")).alias("phash"),
+        dhash_udf(F.col("bytes")).alias("dhash"),
+    )
+    return consensus_near_dup_pairs(hashed).select(
+        "id_a", "id_b",
+        F.col("phash_hamming").cast("int").alias("phash_hamming"),
+        F.col("dhash_hamming").cast("int").alias("dhash_hamming"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3214,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "archive_pipeline": q_archive_pipeline,
         "dataset_split": q_dataset_split,
+        "image_consensus": q_image_consensus,
     }
 
 
@@ -5677,6 +5769,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, record_type, content_length,
   ), 0)::BIGINT AS warc_offset
 FROM s
 """,
+        "image_consensus": _consensus_values_sql(),
         "dataset_split": """
 WITH u AS (
   SELECT doc_id, lang,

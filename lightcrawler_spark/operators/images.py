@@ -36,6 +36,7 @@ __all__ = [
     "with_dhash",
     "verify_images",
     "phash_near_dup_pairs",
+    "consensus_near_dup_pairs",
     "resize_images",
     "letterbox_images",
     "scrub_image_metadata",
@@ -648,3 +649,69 @@ def scrub_image_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_scrub, out_schema)
+
+
+def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
+                             id_col: str = "image_id",
+                             phash_col: str = "phash",
+                             dhash_col: str = "dhash") -> DataFrame:
+    """Two-family image near-dup pairs: candidates from the phash
+    16-bit pigeonhole band join (phash_near_dup_pairs' scheme), kept
+    only when BOTH hash families agree (phash Hamming ≤ t AND dhash
+    Hamming ≤ t). Production image dedup requires the consensus: pHash
+    alone merges structurally-similar-but-different shots (same DCT
+    envelope), dHash alone merges different images with matching
+    gradient signs — requiring both cuts false merges roughly
+    multiplicatively while true near-dups (re-encodes, brightness
+    shifts, mild noise) stay within both.
+
+    Scale shape unchanged from the single-family op: band equi-join for
+    candidates, codegen'd popcounts after; the dhash test adds one
+    xor+bit_count per CANDIDATE (never per pair of the corpus).
+    """
+    sig = df.select(
+        F.col(id_col).alias("img_id"),
+        F.col(phash_col).alias("ph"),
+        F.col(dhash_col).alias("dh"),
+    )
+    chunks = sig.select(
+        "img_id", "ph", "dh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(i),
+                        F.shiftrightunsigned(F.col("ph"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk_key") == F.col("b.chunk_key"))
+               & (F.col("a.img_id") < F.col("b.img_id")))
+        .select(
+            F.col("a.img_id").alias("id_a"), F.col("b.img_id").alias("id_b"),
+            F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"),
+            F.col("a.dh").alias("dh_a"), F.col("b.dh").alias("dh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "phash_hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+        )
+        .withColumn(
+            "dhash_hamming",
+            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))),
+        )
+        .filter(
+            (F.col("phash_hamming") <= max_hamming)
+            & (F.col("dhash_hamming") <= max_hamming)
+        )
+        .select("id_a", "id_b", "phash_hamming", "dhash_hamming")
+    )

@@ -309,3 +309,62 @@ class TestDHash:
             "image_id string, bytes binary",
         )
         assert with_dhash(df).collect()[0].dhash_calc is None
+
+
+class TestConsensusPairs:
+    def test_dhash_vetoes_phash_only_matches(self, spark):
+        from lightcrawler_spark.operators.images import (
+            consensus_near_dup_pairs,
+        )
+
+        rows = [
+            # A/B: identical phash, dhash 16 bits apart -> vetoed
+            ("A", 0x1234567890ABCDEF, 0x0000000000000000),
+            ("B", 0x1234567890ABCDEF, 0x000000000000FFFF),
+            # C/D: 2 bits apart in each family -> kept
+            ("C", 0x1111000011110000, 0x2222000022220000),
+            ("D", 0x1111000011110003, 0x2222000022220003),
+            # E: unrelated in both -> no pair
+            ("E", -0x7777888899990000, 0x0F0F0F0F0F0F0F0F),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, phash long, dhash long")
+        got = {(r.id_a, r.id_b): (r.phash_hamming, r.dhash_hamming)
+               for r in consensus_near_dup_pairs(df).collect()}
+        assert got == {("C", "D"): (2, 2)}
+
+    def test_matches_brute_force_on_fixture(self, spark):
+        from __spark_entry__ import _consensus_fixture
+        from lightcrawler_spark.imagecodec import decode_image, dhash64, phash64
+        from lightcrawler_spark.operators.images import (
+            consensus_near_dup_pairs, dhash_udf, phash_udf,
+        )
+        from pyspark.sql import functions as F
+
+        imgs = _consensus_fixture()
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in imgs],
+            "image_id string, bytes binary")
+        hashed = df.select(
+            "image_id", phash_udf(F.col("bytes")).alias("phash"),
+            dhash_udf(F.col("bytes")).alias("dhash"))
+        got = {(r.id_a, r.id_b)
+               for r in consensus_near_dup_pairs(hashed).collect()}
+        h = {i: (phash64(decode_image(b)), dhash64(decode_image(b)))
+             for i, b in imgs}
+
+        def chunks(v):
+            return {(k, (v >> (k * 16)) & 0xFFFF) for k in range(4)}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        ids = sorted(h)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if (chunks(h[a][0]) & chunks(h[b][0])
+                        and ham(h[a][0], h[b][0]) <= 6
+                        and ham(h[a][1], h[b][1]) <= 6):
+                    want.add((a, b))
+        assert got == want and want  # non-empty, exact

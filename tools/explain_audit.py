@@ -431,6 +431,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no window", r"!Window"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # consensus pairs: candidates from the band equi-join, never a
+    # cartesian product of the corpus
+    "image_consensus": [
+        ("band-key equi-join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # dataset split: one codegen'd projection next to the scan
     "dataset_split": [
         ("no shuffle (pure projection)", r"!Exchange"),
