@@ -3185,6 +3185,25 @@ def q_image_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier starvation telemetry
+    (operators/scheduler.py:frontier_age_report) — per-priority pending
+    count / oldest round / max and exact-mean wait: the starvation
+    signal the reference's scalar counters cannot show. One map-side-
+    combining groupBy; ≤ #levels output rows."""
+    from lightcrawler_spark.operators.scheduler import frontier_age_report
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("priority_level"),
+        ((F.col("event_id") * 7) % 50 + 1).cast("long").alias("round"),
+    )
+    return frontier_age_report(frontier, current_round=60).select(
+        "priority_level", "n_pending", "oldest_round",
+        "max_wait_rounds", "mean_wait_rounds",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3306,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_pipeline": q_archive_pipeline,
         "dataset_split": q_dataset_split,
         "image_consensus": q_image_consensus,
+        "frontier_age": q_frontier_age,
     }
 
 
@@ -5770,6 +5790,19 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, record_type, content_length,
 FROM s
 """,
         "image_consensus": _consensus_values_sql(),
+        "frontier_age": """
+WITH f AS (
+  SELECT CAST(user_id % 4 AS INT) AS priority_level,
+    CAST((event_id * 7) % 50 + 1 AS BIGINT) AS round
+  FROM events
+)
+SELECT priority_level,
+  CAST(count(*) AS BIGINT) AS n_pending,
+  CAST(min(round) AS BIGINT) AS oldest_round,
+  CAST(max(60 - round) AS BIGINT) AS max_wait_rounds,
+  ROUND(CAST(sum(60 - round) AS DOUBLE) / count(*), 6) AS mean_wait_rounds
+FROM f GROUP BY 1
+""",
         "dataset_split": """
 WITH u AS (
   SELECT doc_id, lang,

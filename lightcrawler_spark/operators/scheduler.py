@@ -430,3 +430,34 @@ def latency_budgets(
         F.when(F.col("sum_ms") > 0, b)
         .otherwise(F.lit(int(default_budget)).cast("long")),
     )
+
+
+def frontier_age_report(frontier: DataFrame, current_round: int,
+                        priority_col: str = "priority_level",
+                        round_col: str = "round") -> DataFrame:
+    """Starvation telemetry for the pending frontier (A-series at
+    scale): per priority level — pending count, the oldest insert
+    round, the maximum wait, and the exact mean wait in rounds. Low
+    levels legitimately wait under strict priority order (P3), but an
+    UNBOUNDED max_wait at a level with steady budget is the starvation
+    signal the reference's scalar counters (A1/A5) cannot show.
+
+    One map-side-combining groupBy over the pending scan; the mean is
+    one IEEE division over exact int64 (n, Σwait) — reproducible. The
+    result has ≤ #priority-levels rows.
+    """
+    wait = (F.lit(int(current_round)) - F.col(round_col)).cast("long")
+    return (
+        frontier.groupBy(priority_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pending"),
+            F.min(round_col).cast("long").alias("oldest_round"),
+            F.max(wait).cast("long").alias("max_wait_rounds"),
+            F.sum(wait).alias("_sw"),
+        )
+        .withColumn(
+            "mean_wait_rounds",
+            F.round(F.col("_sw").cast("double") / F.col("n_pending"), 6),
+        )
+        .drop("_sw")
+    )

@@ -438,6 +438,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian / nested-loop join", r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no row-at-a-time Python", r"!BatchEvalPython"),
     ],
+    # frontier age: sufficient statistics via map-side combine
+    "frontier_age": [
+        ("map-side partial agg", r"partial_(count|min|max|sum)"),
+        ("no window", r"!Window"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # dataset split: one codegen'd projection next to the scan
     "dataset_split": [
         ("no shuffle (pure projection)", r"!Exchange"),
