@@ -62,3 +62,18 @@ class TestBpePairs:
         df = spark.createDataFrame([(1, "AB! ab?")], "doc_id long, text string")
         got = {r.pair: r.cnt for r in bpe_pair_counts(df, k=10).collect()}
         assert got == {"ab": 2}
+
+
+class TestFrontierAge:
+    def test_stats_exact(self, spark):
+        from lightcrawler_spark.operators.scheduler import frontier_age_report
+
+        rows = [(0, 1), (0, 5), (0, 9), (1, 10)]
+        df = spark.createDataFrame(rows, "priority_level int, round long")
+        got = {r.priority_level: r
+               for r in frontier_age_report(df, current_round=10).collect()}
+        assert got[0].n_pending == 3
+        assert got[0].oldest_round == 1
+        assert got[0].max_wait_rounds == 9
+        assert abs(got[0].mean_wait_rounds - round((9 + 5 + 1) / 3, 6)) < 1e-12
+        assert got[1].max_wait_rounds == 0 and got[1].mean_wait_rounds == 0.0
