@@ -280,34 +280,52 @@ def apply_robots_filter(links_df: DataFrame, rules_df: DataFrame) -> DataFrame:
 def parse_robots_rules_extended(
     body: str, user_agent: str
 ) -> list[tuple[str, bool]]:
-    """Collect (path_pattern, is_allow) pairs from the sections applying
-    to `user_agent` (same section rule as parse_robots_body). Patterns
-    keep their RFC 9309 metacharacters ('*' wildcard, '$' end anchor);
-    empty Disallow ("allow all") contributes nothing, per the RFC.
+    """Collect (path_pattern, is_allow) pairs per RFC 9309 §2.2.1 group
+    semantics: CONSECUTIVE User-agent lines form one group sharing the
+    rule block that follows; among the groups, only the MOST SPECIFIC
+    match applies — groups naming `user_agent` exactly (case-insensitive)
+    if any exist, else the `*` groups; the rules of all equally-specific
+    matching groups are combined. (parse_robots_body keeps the
+    reference's looser union-of-sections behavior for trace parity —
+    PHPCrawlerRobotsTxtParser.class.php:63-151.)
+
+    Patterns keep their RFC 9309 metacharacters ('*' wildcard, '$' end
+    anchor); empty Disallow ("allow all") contributes nothing, per the
+    RFC.
     """
     if body is None:
         return []
-    current_ua = None
-    rules: list[tuple[str, bool]] = []
+    # groups: (ua_names, rules); consecutive UA lines extend the same group
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur: tuple[list[str], list[tuple[str, bool]]] | None = None
+    last_was_ua = False
     for raw in body.split("\n"):
         line = raw.strip()
         if line == "":
             continue
         low = line.lower()
         if low.startswith("user-agent:"):
-            current_ua = line[len("user-agent:"):].strip()
+            ua = line[len("user-agent:"):].strip()
+            if not last_was_ua or cur is None:
+                cur = ([], [])
+                groups.append(cur)
+            cur[0].append(ua)
+            last_was_ua = True
             continue
-        if current_ua is not None and (
-            current_ua == "*" or current_ua.lower() == user_agent.lower()
-        ):
-            for key, is_allow in (("allow:", True), ("disallow:", False)):
-                if low.startswith(key):
-                    path = line[len(key):].strip()
-                    if path:
-                        if not path.startswith("/"):
-                            path = "/" + path
-                        rules.append((path, is_allow))
-    return rules
+        last_was_ua = False
+        if cur is None:
+            continue  # rules before any User-agent line belong to no group
+        for key, is_allow in (("allow:", True), ("disallow:", False)):
+            if low.startswith(key):
+                path = line[len(key):].strip()
+                if path:
+                    if not path.startswith("/"):
+                        path = "/" + path
+                    cur[1].append((path, is_allow))
+    ua_low = user_agent.lower()
+    exact = [g for g in groups if any(u.lower() == ua_low for u in g[0])]
+    chosen = exact if exact else [g for g in groups if "*" in g[0]]
+    return [rule for _, rules in chosen for rule in rules]
 
 
 def robots_pattern_regex(pattern: str) -> str:

@@ -633,6 +633,11 @@ def scrub_image_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         for pdf in batches:
             outs, ns, bs = [], [], []
             for b in pdf[bytes_col]:
+                if b is None:
+                    # NULL blob → null row, like the phash/dhash/letterbox
+                    # siblings' documented corrupt-blob path
+                    outs.append(None); ns.append(None); bs.append(None)
+                    continue
                 raw = bytes(b)
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     try:
@@ -668,6 +673,15 @@ def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
     Scale shape unchanged from the single-family op: band equi-join for
     candidates, codegen'd popcounts after; the dhash test adds one
     xor+bit_count per CANDIDATE (never per pair of the corpus).
+
+    RECALL CAVEAT (same as phash_near_dup_pairs): candidates come from
+    the 4×16-bit phash band join, which pigeonhole-GUARANTEES recall
+    only up to phash Hamming distance 3 — a true pair at phash distance
+    4–6 is found only if ≤3 of its differing bits avoid some band; pairs
+    whose 4–6 phash diffs spread across all four bands are missed. With
+    the default max_hamming=6 this op trades that tail recall for the
+    4-band join's candidate volume; for guaranteed recall at distance 6
+    band with 7 chunks (or union candidates from both hash families).
     """
     sig = df.select(
         F.col(id_col).alias("img_id"),

@@ -150,14 +150,20 @@ def temperature_rebalance(
     Adds ``rebalance_rate`` (round 6) and ``sample_u`` (round 9, unless
     `keep_u=False`) to the kept rows.
     """
+    # NULL strata carry no meaningful n_s (and would break the sorted()
+    # below): drop null-stratum rows explicitly, like a groupBy would
+    # isolate them — a corpus with unlabeled language rows must label
+    # them (e.g. "und") before rebalancing.
     counts = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
     }
     if not counts:
         return df.withColumn("rebalance_rate", F.lit(0.0)).withColumn(
             "sample_u", F.lit(0.0)
         ).limit(0)
+    df = df.filter(F.col(strata_col).isNotNull())
     n_min = float(min(counts.values()))
     n_s = F.lit(0.0)
     for stratum, c in sorted(counts.items()):

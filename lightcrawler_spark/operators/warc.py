@@ -48,6 +48,14 @@ def warc_records(
     the record header would break determinism and resume (C12's
     determinism override, generalized).
 
+    PRECONDITION: ``order_col`` values must be UNIQUE — they are the
+    total order of the byte stream, and duplicate keys would make the
+    tie order (hence every subsequent record's ``warc_offset``)
+    nondeterministic across runs, breaking the determinism/resume
+    contract (same key-uniqueness rule as
+    admission.apply_robots_longest_match). Use a row id or the URL; a
+    non-unique natural key needs a secondary component concatenated in.
+
     The result is independent of the physical partitioning (tests assert
     equality across 1/3/7 input partitions).
     """
@@ -176,6 +184,9 @@ def warc_revisit_records(
 
     Adds: `record_type` ('response' | 'revisit'), `content_length`
     (0 for revisits), `record_length`, `record_md5`, `warc_offset`.
+
+    PRECONDITION: ``order_col`` values must be UNIQUE (see warc_records
+    — duplicate order keys make offsets nondeterministic across runs).
     """
     spark = df.sparkSession
     if num_partitions is None:

@@ -208,6 +208,32 @@ def test_rebalance_general_alpha_path(spark):
     assert all_kept == 100
 
 
+def test_rebalance_null_strata_dropped_not_crashed(spark):
+    """Round-4 ADVICE fix: a NULL stratum used to TypeError in
+    sorted() (None vs str) — now null-stratum rows are dropped
+    explicitly and the labeled strata rebalance as before."""
+    from lightcrawler_spark.operators.sampling import temperature_rebalance
+
+    rows = [(i, "big" if i < 80 else ("small" if i < 100 else None))
+            for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {r.doc_id: r for r in temperature_rebalance(df).collect()}
+    assert all(r.lang is not None for r in kept.values())
+    # identical verdicts to the null-free fixture (n_min/n_s unchanged)
+    n = {"big": 80.0, "small": 20.0}
+    for i, lang in rows:
+        if lang is None:
+            assert i not in kept
+            continue
+        u = _u32(str(i))
+        assert (i in kept) == ((u * u) * n[lang] < 20.0), (i, lang)
+
+    # all-null strata → empty result, not a crash
+    df2 = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, lang string")
+    assert temperature_rebalance(df2).count() == 0
+
+
 def test_rebalance_resume_stability_and_salt_independence(spark):
     from lightcrawler_spark.operators.sampling import temperature_rebalance
 

@@ -52,6 +52,19 @@ class TestPngScrub:
         assert bytes(got["x"].bytes_clean) == b"FAKEblob"
         assert got["x"].meta_chunks_removed == 0
 
+    def test_operator_null_blob_yields_null_row(self, spark):
+        """Round-4 ADVICE fix: a NULL bytes value used to TypeError the
+        whole Arrow task; now it takes the documented corrupt-blob null
+        path like the phash/dhash/letterbox siblings."""
+        _, clean, dirty = _dirty_png()
+        df = spark.createDataFrame(
+            [("p", bytearray(dirty)), ("n", None)],
+            "image_id string, bytes binary")
+        got = {r.image_id: r for r in scrub_image_metadata(df).collect()}
+        assert bytes(got["p"].bytes_clean) == clean
+        assert got["n"].bytes_clean is None
+        assert got["n"].meta_chunks_removed is None
+
 
 class TestCdc:
     def test_chunks_cover_blob_exactly(self):

@@ -60,6 +60,45 @@ class TestRobotsLongestMatch:
             "User-agent: *\nDisallow:\nAllow: /x\n", "bot"
         ) == [("/x", True)]
 
+    # --- RFC 9309 §2.2.1 group semantics (round-4 ADVICE fix) ---
+
+    def test_consecutive_ua_lines_share_one_group(self):
+        body = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots_rules_extended(body, "a") == [("/x", False)]
+        assert parse_robots_rules_extended(body, "b") == [("/x", False)]
+        assert parse_robots_rules_extended(body, "c") == []
+
+    def test_exact_group_suppresses_star_group(self):
+        body = ("User-agent: bot\nDisallow: /private\n"
+                "User-agent: *\nAllow: /private\nDisallow: /docs\n")
+        # bot: ONLY its own group — the * Allow must not tie-override
+        assert parse_robots_rules_extended(body, "bot") == [
+            ("/private", False)
+        ]
+        # any other agent: only the * group
+        assert parse_robots_rules_extended(body, "other") == [
+            ("/private", True), ("/docs", False)
+        ]
+
+    def test_exact_group_verdict_end_to_end(self, spark):
+        body = ("User-agent: bot\nDisallow: /private\n"
+                "User-agent: *\nAllow: /private\n")
+        v = _verdicts(spark, body, ["http://h.test/private/x"])
+        assert v["http://h.test/private/x"][0] is False
+
+    def test_multiple_equally_specific_groups_combine(self):
+        body = ("User-agent: bot\nDisallow: /a\n"
+                "User-agent: x\nDisallow: /z\n"
+                "User-agent: bot\nDisallow: /b\n")
+        assert parse_robots_rules_extended(body, "bot") == [
+            ("/a", False), ("/b", False)
+        ]
+
+    def test_rule_line_ends_ua_run(self):
+        # a UA line AFTER rules starts a fresh group, not an extension
+        body = ("User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n")
+        assert parse_robots_rules_extended(body, "b") == [("/y", False)]
+
 
 class TestBoilerplateLines:
     def test_prose_kept_chrome_dropped_order_preserved(self, spark):
