@@ -342,6 +342,64 @@ def make_multihost_webgraph(n_hosts: int = 5, chain_len: int = 4) -> list[dict]:
     return pages
 
 
+def make_skewed_webgraph(
+    n_small: int = 3,
+    mega_branches: int = 9,
+    leaves_per_branch: int = 10,
+) -> list[dict]:
+    """Host-skew fixture (SURVEY §4, north_rule "skew handled explicitly"):
+    one mega host `www.mega.test` holds ≥90% of all pages — a hub fans out
+    to the mega root plus `n_small` two-page hosts; the mega root fans out
+    to `mega_branches` branch pages, each linking `leaves_per_branch`
+    leaves. The mega frontier backlog (branches × leaves pending at once)
+    is the shape `salted_repartition` exists to defuse: without salting
+    the whole mega work-list lands in one (host)-hash partition."""
+    P = _page_row
+    mega = "http://www.mega.test"
+    pages = [
+        P(
+            "http://hub.skew.test",
+            "<html><body>"
+            + f'<a href="{mega}/">mega</a>'
+            + "".join(
+                f'<a href="http://www.sm{h}.test/">small {h}</a>'
+                for h in range(n_small)
+            )
+            + "</body></html>",
+        ),
+        P(
+            f"{mega}",
+            "<html><body>"
+            + "".join(
+                f'<a href="/b{b}.htm">branch {b}</a>'
+                for b in range(mega_branches)
+            )
+            + "</body></html>",
+        ),
+    ]
+    for b in range(mega_branches):
+        pages.append(
+            P(
+                f"{mega}/b{b}.htm",
+                "<html><body>"
+                + "".join(
+                    f'<a href="/b{b}l{i}.htm">leaf {i}</a>'
+                    for i in range(leaves_per_branch)
+                )
+                + "</body></html>",
+            )
+        )
+        for i in range(leaves_per_branch):
+            pages.append(P(f"{mega}/b{b}l{i}.htm", "<html><body>leaf</body></html>"))
+    for h in range(n_small):
+        root = f"http://www.sm{h}.test"
+        pages.append(
+            P(root, '<html><body><a href="/only.htm">one</a></body></html>')
+        )
+        pages.append(P(f"{root}/only.htm", "<html><body>leaf</body></html>"))
+    return pages
+
+
 def multihost_spec(per_host_budget: int = 2, **kw) -> CrawlSpec:
     return CrawlSpec(
         seeds=["http://hub.m.test"],
