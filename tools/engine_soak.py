@@ -94,11 +94,16 @@ def cmd_run(a) -> dict:
 
     if a.fresh and os.path.isdir(a.store):
         shutil.rmtree(a.store)
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    if a.event_log:
+        os.makedirs(a.event_log, exist_ok=True)
+        conf["spark.eventLog.enabled"] = "true"
+        conf["spark.eventLog.dir"] = f"file://{a.event_log}"
     spark = get_spark(
         f"engine-soak-{a.cpus}",
         master=f"local[{a.cpus}]",
         shuffle_partitions=a.shuffle_partitions or 2 * a.cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=conf,
     )
     web = SynthWebSpec(
         n_nodes=a.nodes, n_hosts=a.hosts, out_degree=a.degree,
@@ -359,6 +364,8 @@ def main() -> None:
     ap.add_argument("--products", dest="products", action="store_true",
                     default=True)
     ap.add_argument("--no-products", dest="products", action="store_false")
+    ap.add_argument("--event-log", default=None,
+                    help="write Spark event logs here (per-job profiling)")
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--reps", type=int, default=2)
     a = ap.parse_args()
