@@ -116,6 +116,32 @@ class CrawlSpec:
     # Crawl-delay override by MIN (most conservative wins). State derives
     # from committed rounds, so it survives resume like the cooldown.
     adaptive_latency_budgets: bool = False
+    # Hamilton budget apportionment (P8 extension, off by default): with
+    # per_host_politeness, a GLOBAL round budget of this many pages is
+    # split across hosts proportional to their pending frontier size by
+    # the largest-remainder method (scheduler.apportion_budget — exact
+    # integer quotas summing to the budget, every host within one page
+    # of its proportional share), MIN-combined with the per-host default
+    # and any Crawl-delay / latency / backoff dim so the most
+    # conservative signal still wins. 0 = off (uniform per-host budget).
+    apportion_round_budget: int = 0
+    # URL-seen set mode (P1). "exact": new links anti-join the full
+    # frontier key set every round — bit-exact reference parity, but an
+    # O(frontier) scan+shuffle per round. "bloom": the north-rule design
+    # — a sharded Bloom URL-seen set (operators/dedup.py NumpyBloom,
+    # vectorized Arrow probe). The engine appends one DELTA shard set
+    # per round (built from that round's new frontier keys) to a
+    # `seen_bloom` store table and probes new links against ALL deltas
+    # with one cogroup pass — per-round dedup cost becomes O(new links),
+    # independent of frontier size. A false positive drops a genuinely
+    # new URL (the standard crawler seen-set tradeoff); cumulative FPR
+    # after R rounds ≈ R × seen_bloom_fpp, so the per-delta budget is
+    # set low. At 10^10 keys the aggregate bitmaps are ~3 GB across
+    # seen_bloom_shards buckets — each bucket's deltas meet its link
+    # bucket in one Arrow task, nothing is broadcast.
+    seen_filter: str = "exact"
+    seen_bloom_fpp: float = 1e-6
+    seen_bloom_shards: int = 32
     # spider-trap gate (extension; the reference's per-site workers dodge
     # traps with hand-tuned regexes): with drop_traps, the Heritrix-style
     # pathological-URL verdict (operators/traps.py:is_trap_expr) joins

@@ -572,6 +572,20 @@ def simulate_reference_crawl(
         first pick fetches before any host's second pick."""
         if not spec.per_host_politeness:
             return [min(pending, key=lambda f: (-f["priority_level"], f["insert_seq"]))]
+        # Hamilton apportionment of a global round budget (mirrors
+        # scheduler.apportion_budget: integer base = B*n_h div N, then
+        # +1 to the largest remainders, ties by host name ASC), MIN-
+        # combined with every other budget dim like the engine does.
+        shares: dict[str, int] | None = None
+        if spec.apportion_round_budget > 0:
+            n_by_host: dict[str, int] = {}
+            for f in pending:
+                n_by_host[f["host"]] = n_by_host.get(f["host"], 0) + 1
+            B, N = spec.apportion_round_budget, len(pending)
+            shares = {h: B * n // N for h, n in n_by_host.items()}
+            leftover = B - sum(shares.values())
+            for h in sorted(n_by_host, key=lambda h: (-(B * n_by_host[h] % N), h))[:max(leftover, 0)]:
+                shares[h] += 1
         counts: dict[str, int] = {}
         ranked: list[tuple] = []
         for f in sorted(pending, key=lambda f: (-f["priority_level"], f["insert_seq"])):
@@ -579,7 +593,10 @@ def simulate_reference_crawl(
             counts[f["host"]] = k
             # robots Crawl-delay override (honor_crawl_delay): hosts with
             # a declared delay get budget_for_delay(D), others the default
-            if k <= _effective_budget(f["host"]):
+            b = _effective_budget(f["host"])
+            if shares is not None:
+                b = min(b, shares.get(f["host"], 0))
+            if k <= b:
                 ranked.append((k, -f["priority_level"], f["insert_seq"], f))
         ranked.sort(key=lambda t: t[:3])
         return [t[3] for t in ranked]

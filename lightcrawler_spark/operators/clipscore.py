@@ -52,6 +52,7 @@ __all__ = [
     "CLIP_DIM",
     "clip_image_vec_micro",
     "clip_image_vec_udf",
+    "make_image_encoder_udf",
     "caption_vec_expr",
     "clip_scores",
 ]
@@ -87,6 +88,29 @@ def clip_image_vec_udf(data: pd.Series) -> pd.Series:
         except Exception:
             out.append(None)
     return pd.Series(out)
+
+
+def make_image_encoder_udf(kernel):
+    """THE ENCODER SWAP SEAM: wrap any ``np.ndarray(H,W,3) -> list[int]``
+    kernel (a real CLIP vision tower exported to ONNX, a mock in tests)
+    in the production pandas-UDF contract — one Arrow batch pass,
+    decode via imagecodec, per-row null on undecodable blobs. The
+    default stand-in is exactly ``make_image_encoder_udf(
+    clip_image_vec_micro)``; ``clip_scores(..., image_encoder=...)``
+    accepts the result, and NOTHING else in the plan changes (asserted
+    by tests/test_clip_seam.py)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _enc(data: pd.Series) -> pd.Series:
+        out = []
+        for b in data:
+            try:
+                out.append(kernel(decode_image(bytes(b))))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return _enc
 
 
 def caption_vec_expr(caption_col: Column, dim: int = CLIP_DIM,
@@ -129,16 +153,22 @@ def clip_scores(
     caption_col: str = "caption",
     dim: int = CLIP_DIM,
     image_vec_col: str | None = None,
+    image_encoder=None,
 ) -> DataFrame:
     """Adds ``clip_score`` (cosine, rounded to 6 places) and ``keep``
     (score ≥ threshold). Pass `image_vec_col` to reuse a precomputed
     embedding column (e.g. persisted from a prior pass) and skip the
-    decode; otherwise `clip_image_vec_udf(bytes_col)` runs inline."""
-    fvec = (
-        F.col(image_vec_col)
-        if image_vec_col
-        else clip_image_vec_udf(F.col(bytes_col))
-    )
+    decode; pass `image_encoder` (a pandas UDF from
+    `make_image_encoder_udf`, e.g. wrapping a real ONNX CLIP vision
+    tower) to replace the stand-in encoder — the plan shape is
+    identical either way; otherwise `clip_image_vec_udf(bytes_col)`
+    runs inline."""
+    if image_vec_col:
+        fvec = F.col(image_vec_col)
+    elif image_encoder is not None:
+        fvec = image_encoder(F.col(bytes_col))
+    else:
+        fvec = clip_image_vec_udf(F.col(bytes_col))
     tvec = caption_vec_expr(F.col(caption_col), dim=dim)
     out = df.withColumn("_fv", fvec).withColumn("_tv", tvec)
     dot = F.aggregate(

@@ -133,7 +133,30 @@ def build_bloom_shards(seen: DataFrame, num_shards: int = 32,
     Each shard is sized for ITS row count, so skewed seen-sets don't
     overallocate. At 10^10 rows / 1024 shards each shard holds ~10^7 keys
     → ~12 MB bitmap: comfortably broadcastable in aggregate or joinable
-    by shard key."""
+    by shard key.
+
+    Sizing table (bits/key = -ln(fpp)/ln²2 ≈ 1.44·log2(1/fpp); bitmap
+    bytes are per the whole seen set, split evenly across shards; the
+    tools/dedup_soak.py run at 10^8 keys validates the math and the
+    realized FPR against the budget):
+
+      keys   fpp    bits/key  total bitmap  per shard (1024/4096 shards)
+      10^8   1e-2    9.6        115 MB        112 KB  /  28 KB
+      10^8   1e-4   19.2        230 MB        224 KB  /  56 KB
+      10^9   1e-2    9.6        1.2 GB        1.2 MB  /  0.3 MB
+      10^10  1e-2    9.6        12 GB          12 MB  /  3 MB
+      10^10  1e-4   19.2        24 GB          23 MB  /  6 MB
+      10^10  1e-6   28.8        36 GB          35 MB  /  9 MB
+
+    Per-shard build is a single numpy pass over ~keys/shards uint64s
+    (10^7 keys/shard at the 10^10/1024 point — seconds per shard, all
+    shards in parallel); probe cost is O(links + shard_bytes) per
+    bucket, so at 10^10 the whole structure stays executor-resident and
+    NOTHING is broadcast. The engine's LSM mode (CrawlSpec
+    seen_filter="bloom") appends per-round DELTA shard sets instead of
+    rebuilding: probe ORs all deltas of a bucket, so after R rounds the
+    cumulative FPR is ≈ R × fpp — budget fpp accordingly (the engine
+    default 1e-6 keeps a 1000-round crawl under 1e-3)."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -177,12 +200,22 @@ def bloom_prefilter(new_links: DataFrame, shards: DataFrame,
     def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
             return left[out_fields]
-        bloom = NumpyBloom.from_bytes(
-            bytes(right["bitmap"].iloc[0]),
-            int(right["num_bits"].iloc[0]),
-            int(right["num_hashes"].iloc[0]),
-        )
-        mask = bloom.might_contain(left["_h"].to_numpy().astype(np.uint64))
+        # OR across every bitmap row of the bucket: a shard table may
+        # hold one bitmap per BUILD (the engine's LSM seen-set appends
+        # one delta bloom per crawl round) — a key is "probably seen"
+        # if ANY delta contains it. Single-build tables hit the loop
+        # once, so the classic one-bitmap-per-shard case is unchanged.
+        keys = left["_h"].to_numpy().astype(np.uint64)
+        mask = np.zeros(len(left), dtype=bool)
+        for _, row in right.iterrows():
+            bloom = NumpyBloom.from_bytes(
+                bytes(row["bitmap"]),
+                int(row["num_bits"]),
+                int(row["num_hashes"]),
+            )
+            mask |= bloom.might_contain(keys)
+            if mask.all():
+                break
         return left.loc[~mask, out_fields]
 
     linked = new_links.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(

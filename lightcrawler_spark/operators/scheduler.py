@@ -89,23 +89,40 @@ def pop_per_host(frontier: DataFrame, per_host_budget: int,
     One hash-partitioned window; hosts are independent so this
     parallelizes across the cluster.
 
+    The window ranks a NARROW key projection (host, priority_level,
+    insert_seq ≈ 30 bytes/row), not the full frontier row (url, referer,
+    link text … ≈ hundreds of bytes): the per-round wide exchange over
+    the whole pending set is the engine's dominant scale cost, and only
+    the ordering keys are needed to decide the top-B. The ≤ B×hosts
+    surviving keys join back to the unshuffled frontier scan on
+    insert_seq (unique by construction — round/rank/pos bit-packing);
+    AQE broadcasts that small side, so the full-width rows are never
+    exchanged at all. Worst case (a work list too big to broadcast) the
+    join-back hash-exchanges the frontier once — exactly what the old
+    full-width window did, so this is never worse.
+
     `host_budgets` (host, host_budget) overrides the default budget for
     listed hosts — the robots Crawl-delay path (a host declaring
     Crawl-delay D gets floor(round_duration/D)). The dim is tiny (one
     row per host WITH a declared delay) and broadcast; unlisted hosts
     fall back to `per_host_budget`, so the common case stays a plain
     window + filter."""
+    keys = frontier.select(host_col, "priority_level", "insert_seq")
     w = Window.partitionBy(host_col).orderBy(*pop_order())
-    ranked = frontier.withColumn("pop_rank", F.row_number().over(w))
+    ranked = keys.withColumn("pop_rank", F.row_number().over(w))
     if host_budgets is None:
-        return ranked.filter(F.col("pop_rank") <= per_host_budget)
-    return (
-        ranked.join(F.broadcast(host_budgets), host_col, "left")
-        .filter(
-            F.col("pop_rank")
-            <= F.coalesce(F.col("host_budget"), F.lit(per_host_budget))
+        ranked = ranked.filter(F.col("pop_rank") <= per_host_budget)
+    else:
+        ranked = (
+            ranked.join(F.broadcast(host_budgets), host_col, "left")
+            .filter(
+                F.col("pop_rank")
+                <= F.coalesce(F.col("host_budget"), F.lit(per_host_budget))
+            )
+            .drop("host_budget")
         )
-        .drop("host_budget")
+    return frontier.join(
+        ranked.select("insert_seq", "pop_rank"), "insert_seq"
     )
 
 

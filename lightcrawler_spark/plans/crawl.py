@@ -408,8 +408,21 @@ class CrawlEngine:
             # hash(host) partitioning is exactly what the pop window
             # needs next, so there is still only ONE wide exchange.
             # Priority rules reorder pops within a host → prefix breaks
-            # → keep the exact anti-join for those crawls.
-            if not spec.priority_rules and "insert_seq" in claimed.columns:
+            # → keep the exact anti-join for those crawls. Durable
+            # stores only: the wm JOIN multiplies Catalyst size stats
+            # (pages × frontier), which is fine over parquet scans with
+            # real statistics but re-closes the memory store's
+            # stats-compounding feedback loop (storage.py:write) — and
+            # memory-mode crawls are micro-scale fixtures where the
+            # anti-join (left-child-only stats) is both safe and the
+            # reference-parity path the goldens pin. Proven equivalent:
+            # the 10M-node soak reproduces the anti-join build's
+            # seen/trace hashes bit-for-bit under the watermark path.
+            if (
+                getattr(self.store, "materializes", False)
+                and not spec.priority_rules
+                and "insert_seq" in claimed.columns
+            ):
                 wm = claimed.groupBy("host").agg(
                     F.max("insert_seq").alias("_wm_seq")
                 )
@@ -481,6 +494,50 @@ class CrawlEngine:
             host_budgets = (
                 lat if host_budgets is None
                 else host_budgets.unionByName(lat)
+                .groupBy("host")
+                .agg(F.min("host_budget").alias("host_budget"))
+            )
+        if spec.apportion_round_budget > 0 and spec.per_host_politeness:
+            # Hamilton apportionment of a GLOBAL round budget across
+            # hosts proportional to pending frontier size (P8 extension;
+            # the reference's request_limit has no division notion).
+            # MIN-combined with the per-host default and every other
+            # budget dim, so a skewed frontier gets proportional shares
+            # while Crawl-delay / latency / backoff still cap below.
+            # Flag-gated: apportion_budget centralizes two driver
+            # scalars (total, leftover) per round.
+            # The counts dim MUST be severed from `pending`'s plan before
+            # joining shares back into pending's own pop pipeline: a
+            # self-embedded subtree sits on both sides of every
+            # downstream join, and the sizeInBytes stats visitor
+            # multiplies child estimates (unions included), so the
+            # BigInt digit count doubles per embedding level — measured
+            # as 3s → 12s → 112s per-round blowup on a fixture crawl,
+            # grinding inside BigInteger.multiply. A checkpoint is not
+            # enough (LogicalRDD keeps the default Long.MaxValue size
+            # estimate); collect the O(hosts) agg to a LocalRelation
+            # with REAL tiny stats — driver-centralizing the host-count
+            # dim is this flag's documented cost (apportion_budget
+            # already centralizes two scalars of the same shape).
+            counts = self.spark.createDataFrame(
+                [
+                    (row["host"], row["pending"])
+                    for row in pending.groupBy("host")
+                    .agg(F.count(F.lit(1)).alias("pending"))
+                    .collect()
+                ],
+                "host string, pending long",
+            )
+            shares = scheduler.apportion_budget(
+                counts, spec.apportion_round_budget,
+            ).select(
+                "host",
+                F.least(F.col("budget"), F.lit(budget))
+                .cast("int").alias("host_budget"),
+            )
+            host_budgets = (
+                shares if host_budgets is None
+                else host_budgets.unionByName(shares)
                 .groupBy("host")
                 .agg(F.min("host_budget").alias("host_budget"))
             )
@@ -696,9 +753,27 @@ class CrawlEngine:
 
         admitted = scheduler.assign_priority(admitted, spec.priority_rules)
         new = first_wins_within_batch(admitted, "url_md5", "insert_seq")
-        new = new.join(
-            frontier.select("url_md5"), "url_md5", "left_anti"
-        ).select(*FRONTIER_COLS)
+        if spec.seen_filter == "bloom":
+            # P1 scale mode (the north-rule design): probe the LSM
+            # seen-Bloom instead of anti-joining the full frontier key
+            # set. One cogroup Arrow pass over the round's links ORs
+            # every committed delta bitmap per shard — per-round dedup
+            # cost is O(new links), independent of frontier size. A
+            # false positive drops a genuinely new URL (cumulative FPR
+            # ≈ rounds × seen_bloom_fpp); exact mode keeps parity.
+            from ..operators.dedup import bloom_prefilter
+
+            shards = self.store.read_upto("seen_bloom", r - 1)
+            if shards is not None:
+                new = bloom_prefilter(
+                    new, shards.drop("round"),
+                    num_shards=spec.seen_bloom_shards, url_col="url_md5",
+                )
+            new = new.select(*FRONTIER_COLS)
+        else:
+            new = new.join(
+                frontier.select("url_md5"), "url_md5", "left_anti"
+            ).select(*FRONTIER_COLS)
 
         # second observation: count of NEW frontier rows, so the driver
         # can track total frontier size and skip the terminal probe
@@ -712,9 +787,18 @@ class CrawlEngine:
         # frontier — keeping it lazy chains plans across rounds. Durable
         # stores materialize in their own write instead. On the fused
         # path this is THE round's Spark job; it also fires the stats
-        # Observation and pins the fetch-results checkpoint.
+        # Observation and pins the fetch-results checkpoint. The
+        # materialization is collect → LocalRelation (not a checkpoint:
+        # a LogicalRDD INHERITS the source plan's size statistics, which
+        # the per-host round pipeline multiplies through its joins, so
+        # stored stats would compound ~4× per round and Catalyst's
+        # sizeInBytes BigInts grind planning to a halt by round ~10; a
+        # LocalRelation carries real tiny stats, and the memory store
+        # backs micro-scale crawls by contract). write() then stores it
+        # without scheduling any further job (LocalTableScan collects
+        # driver-side).
         if not getattr(self.store, "materializes", False):
-            new = new.localCheckpoint(eager=True)
+            new = self._to_local(new)
         if fused:
             stats = _observed_stats(obs)
             if stats is None:  # listener lost — re-aggregate (rare)
@@ -747,21 +831,55 @@ class CrawlEngine:
                 results.filter(F.size("set_cookies") > 0), r
             )
             if not getattr(self.store, "materializes", False):
-                new_cookies = new_cookies.localCheckpoint(eager=True)
+                new_cookies = self._to_local(new_cookies)
             self.store.write("cookies", r, new_cookies)
-            # eager checkpoint: the jar feeds every later round's
-            # attach — keeping upsert windows lazy would chain plans
-            self.cookie_jar = upsert_cookies(
-                self.cookie_jar, new_cookies
-            ).localCheckpoint(eager=True)
+            # flatten the jar too: it feeds every later round's attach —
+            # keeping the upsert windows lazy would chain plans, and a
+            # bare checkpoint would carry compounding stats (see above)
+            self.cookie_jar = self._to_local(
+                upsert_cookies(self.cookie_jar, new_cookies)
+            )
 
         self.store.write("frontier", r, new)
+        if spec.seen_filter == "bloom":
+            # append this round's delta bloom AFTER the frontier rows it
+            # covers; both live in round r, so a crash between the two
+            # writes is purged together (P6) and resume rebuilds nothing
+            self._write_seen_bloom_delta(r, new)
 
         # F9 state transition happens AFTER this round's links were split;
         # with the flag off the filter base must stay the seed forever
         if need_f9 and stats["first_content_rank"] is not None:
             self._first_content_url = stats["first_content_url"]
         return n_fetched, True
+
+    def _to_local(self, df: DataFrame) -> DataFrame:
+        """collect → LocalRelation: materializes like an eager checkpoint
+        (fires pending Observations, pins upstream lazy checkpoints) but
+        the result carries REAL tiny statistics instead of inheriting the
+        source plan's join-multiplied sizeInBytes — the memory-store
+        stat-compounding fix (see the `new` materialization comment).
+        Only ever called on budget-bounded frames in memory-store mode."""
+        return self.spark.createDataFrame(df.collect(), df.schema)
+
+    def _write_seen_bloom_delta(self, round_no: int, rows: DataFrame) -> None:
+        """Build one sharded Bloom delta over this round's NEW frontier
+        keys and append it to the `seen_bloom` store table (P1 scale
+        mode). Deltas are per-round and per-shard sized (empty shards
+        write no row); the probe side ORs across all committed deltas of
+        a shard in one Arrow task. Store compaction concatenates delta
+        rows like any other table — no bitmap merge is ever needed."""
+        from ..operators.dedup import build_bloom_shards
+
+        delta = build_bloom_shards(
+            rows.select("url_md5"),
+            num_shards=self.spec.seen_bloom_shards,
+            fpp=self.spec.seen_bloom_fpp,
+            url_col="url_md5",
+        )
+        if not getattr(self.store, "materializes", False):
+            delta = self._to_local(delta)
+        self.store.write("seen_bloom", round_no, delta)
 
     def _empty_round(self, pending_before_cooldown: DataFrame) -> tuple[int, bool]:
         # n==0 already implies post-cooldown pending was empty (both
@@ -872,8 +990,10 @@ class CrawlEngine:
             # round 0 == seeding: store the seed rows as frontier round=0
             seeds = self._seed_frontier()
             if not getattr(self.store, "materializes", False):
-                seeds = seeds.localCheckpoint(eager=True)
+                seeds = self._to_local(seeds)
             self.store.write("frontier", 0, seeds)
+            if spec.seen_filter == "bloom":
+                self._write_seen_bloom_delta(0, seeds)
             self.store.commit_round(0)
             start_round = 1
         else:

@@ -95,6 +95,8 @@ def cmd_run(a) -> dict:
     if a.fresh and os.path.isdir(a.store):
         shutil.rmtree(a.store)
     conf = {"spark.ui.showConsoleProgress": "false"}
+    if a.no_aqe:
+        conf["spark.sql.adaptive.enabled"] = "false"
     if a.event_log:
         os.makedirs(a.event_log, exist_ok=True)
         conf["spark.eventLog.enabled"] = "true"
@@ -111,7 +113,7 @@ def cmd_run(a) -> dict:
     )
     spec = soak_crawl_spec(
         web, spark, per_host_budget=a.budget, n_seeds=a.seeds or a.hosts,
-        max_rounds=a.rounds,
+        max_rounds=a.rounds, seen_filter=a.seen,
     )
     store_cls = _timing_store(a.store, a.compact_every, a.kill_round)
     store = store_cls(spark)
@@ -154,6 +156,7 @@ def cmd_run(a) -> dict:
         "img_every": a.img_every, "skew_pct": a.skew_pct,
         "per_host_budget": a.budget, "cpus": a.cpus,
         "compact_every": a.compact_every, "resume": a.resume,
+        "seen_filter": a.seen,
         "rounds_run": result.rounds_run,
         "pages_fetched": result.pages_fetched,
         "bytes_received": result.bytes_received,
@@ -247,6 +250,7 @@ def _common_args(a, store: str, cpus: int | None = None) -> list[str]:
         "--cpus", str(cpus or a.cpus), "--img-every", str(a.img_every),
         "--skew-pct", str(a.skew_pct), "--store", store,
         "--compact-every", str(a.compact_every),
+        "--seen", a.seen,
         "--no-products",
     ]
 
@@ -364,6 +368,10 @@ def main() -> None:
     ap.add_argument("--products", dest="products", action="store_true",
                     default=True)
     ap.add_argument("--no-products", dest="products", action="store_false")
+    ap.add_argument("--seen", choices=["exact", "bloom"], default="exact",
+                    help="URL-seen set: exact anti-join or LSM sharded Bloom")
+    ap.add_argument("--no-aqe", action="store_true",
+                    help="disable AQE (A/B: per-stage replan vs barrier cost)")
     ap.add_argument("--event-log", default=None,
                     help="write Spark event logs here (per-job profiling)")
     ap.add_argument("--levels", default="8,32")
