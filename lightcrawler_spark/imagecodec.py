@@ -161,7 +161,17 @@ _DCT32 = _dct_matrix(32)
 def phash64(arr: np.ndarray) -> int:
     """64-bit perceptual hash: 32×32 grayscale → 2-D DCT-II → low 8×8
     coefficients (DC excluded) thresholded at their median. Returns a
-    SIGNED int64 (Spark LongType-compatible two's complement)."""
+    SIGNED int64 (Spark LongType-compatible two's complement).
+
+    CAVEAT (inherent to median-threshold phash, not this port): on
+    low-complexity inputs — solid fills, pure gradients — the 63 AC
+    coefficients are all ~0, so the median bisects floating-point noise
+    and the bits are arbitrary; a lossy re-encode of the SAME solid
+    image can land at Hamming distance ~32. Near-dup decisions via
+    phash are only meaningful for spectrum-rich (photograph-like)
+    content; pair flat images by exact pixel hash instead (they are
+    exactly reproducible under any sane codec), or gate on dhash,
+    which survives gradients (consensus_near_dup_pairs does both)."""
     gray = (
         0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
     ).astype(np.float64)

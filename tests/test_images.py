@@ -115,12 +115,17 @@ class TestSparkImageOps:
     def test_phash_near_dup_pairs(self, spark):
         from lightcrawler_spark.operators.images import phash_near_dup_pairs
 
-        # same image encoded png + lossy = near-dup pair; distinct images not
-        a0 = make_image_array(3, 40, 40)
+        # same image encoded png + lossy = near-dup pair; distinct images
+        # not. The pair image must be spectrum-rich (noise kind, i%3==2):
+        # phash of a solid/gradient image is degenerate — its AC
+        # coefficients are ~0, the median threshold bisects numerical
+        # noise, and a lossy re-encode flips ~half the bits (see the
+        # phash64 docstring caveat).
+        a0 = make_image_array(5, 40, 40)
         rows = [
             ("dup_a_png", phash64(a0)),
             ("dup_a_lossy", phash64(decode_image(encode_image(a0, "jpeg")))),
-            ("other_1", phash64(make_image_array(10, 40, 40))),
+            ("other_1", phash64(make_image_array(8, 40, 40))),
             ("other_2", phash64(make_image_array(20, 40, 40))),
         ]
         df = spark.createDataFrame(rows, "image_id string, phash long")
