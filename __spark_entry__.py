@@ -3210,6 +3210,37 @@ def q_frontier_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raw_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Once-task offline replay (operators/replay.py; reference
+    worker/SpiderGovCnZhengceOnceTask.class.php:52-120): stored raw-page
+    snapshots (url line, one discarded metadata line, body) parsed and
+    break-normalized WITHOUT refetching — the extraction-changed,
+    re-run-the-corpus job. Pure JVM split/slice/regexp map, scan-local.
+    Exercises both pinned quirks: the trailing bare-"0" fgets loop-stop
+    drop (doc_id%5==0 rows) and the '<BR/>' spelling the reference's
+    str_replace list misses."""
+    from lightcrawler_spark.operators.replay import (
+        raw_snapshot_expr, replay_snapshots,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1200)
+    snap = d.select(
+        "doc_id",
+        raw_snapshot_expr(
+            F.concat(F.lit("http://replay.test/doc/"),
+                     F.col("doc_id").cast("string"), F.lit(".htm  ")),
+            F.lit("meta fetched=2017-04-05 status=200"),
+            F.concat(
+                F.lit("Para1<br>Para2<BR />Para3<BR/>\r"),
+                F.substring("text", 1, 100),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("\n0"))
+                .otherwise(F.lit("")),
+            ),
+        ).alias("snapshot"),
+    )
+    return replay_snapshots(snap).select("doc_id", "url", "source")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3335,6 +3366,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "image_consensus": q_image_consensus,
         "frontier_age": q_frontier_age,
+        "raw_replay": q_raw_replay,
     }
 
 
@@ -5859,6 +5891,34 @@ SELECT priority_level,
   CAST(max(60 - round) AS BIGINT) AS max_wait_rounds,
   ROUND(CAST(sum(60 - round) AS DOUBLE) / count(*), 6) AS mean_wait_rounds
 FROM f GROUP BY 1
+""",
+        "raw_replay": r"""
+WITH snap AS (
+  SELECT doc_id,
+    'http://replay.test/doc/' || doc_id || '.htm  ' || chr(10)
+      || 'meta fetched=2017-04-05 status=200' || chr(10)
+      || 'Para1<br>Para2<BR />Para3<BR/>' || chr(13)
+      || substr(text, 1, 100)
+      || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '0' ELSE '' END
+      AS snapshot
+  FROM documents WHERE doc_id < 1200
+),
+parsed AS (
+  SELECT doc_id, string_split(snapshot, chr(10)) AS ls FROM snap
+),
+cut AS (
+  SELECT doc_id, trim(ls[1]) AS url, ls[3:] AS body_ls FROM parsed
+),
+dropped AS (
+  SELECT doc_id, url,
+    CASE WHEN len(body_ls) > 0 AND body_ls[-1] = '0'
+         THEN body_ls[1:len(body_ls) - 1] ELSE body_ls END AS body_ls
+  FROM cut
+)
+SELECT doc_id, url,
+  regexp_replace(array_to_string(body_ls, chr(10)),
+                 '\r|<BR />|<BR>|<br />|<br/>|<br>', chr(10), 'g') AS source
+FROM dropped
 """,
         "dataset_split": """
 WITH u AS (

@@ -298,6 +298,68 @@ def bench_crawl_engine(spark: SparkSession) -> dict:
             "pages": pages, "rounds": rounds}
 
 
+def bench_engine_soak(spark: SparkSession) -> dict:
+    """The engine at a production-like budget (~12k URLs/round over 512
+    hosts) on the generative synthetic web — the scale regime where the
+    per-round driver overhead that dominates the fixture bench amortizes
+    away. Web pages are computed from the URL executor-side
+    (sources/synthetic_web.py), so frontier growth, seen-set anti-join,
+    per-host politeness windows and round commits are the only costs.
+    Steady-state pages/s = rounds after the frontier saturates the
+    budget (skip the ramp-up half); tools/engine_soak.py runs the same
+    loop 10x longer with compaction + resume proofs for BENCH.md."""
+    import shutil
+    import tempfile
+
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.plans.storage import RoundStore
+    from lightcrawler_spark.sources.synthetic_web import (
+        GenerativeFetcher, SynthWebSpec, soak_crawl_spec,
+    )
+
+    n_rounds = 10
+    # sized for sf0.1 (~12k URLs/round); scales down for sf0.01 iteration
+    budget = max(4, int(24 * SCALE))
+    web = SynthWebSpec(n_nodes=max(200_000, int(2_000_000 * SCALE)),
+                       n_hosts=512, out_degree=8, img_every=8)
+    store_dir = tempfile.mkdtemp(prefix="bench_engine_soak_")
+    t0 = time.time()
+    try:
+        spec = soak_crawl_spec(web, spark, per_host_budget=budget,
+                               n_seeds=512, max_rounds=n_rounds)
+        store = RoundStore(spark, store_dir)
+
+        commit_walls: list[float] = []
+        orig_commit = store.commit_round
+
+        def commit_round(round_no):
+            orig_commit(round_no)
+            commit_walls.append(time.time())
+
+        store.commit_round = commit_round
+        engine = CrawlEngine(spark, spec, GenerativeFetcher(web, spec),
+                             store=store)
+        result = engine.run(max_rounds=n_rounds)
+        dt = time.time() - t0
+        half = len(commit_walls) // 2
+        per_round = {
+            int(r["round"]): int(r["n"])
+            for r in result.pages.groupBy("round")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        steady_pages = sum(n for rnd, n in per_round.items() if rnd > half)
+        steady_secs = commit_walls[-1] - commit_walls[half - 1]
+        steady = steady_pages / steady_secs if steady_secs > 0 else 0.0
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    log(f"engine_soak: {result.pages_fetched} pages / {result.rounds_run} "
+        f"rounds in {dt:.1f}s = {result.pages_fetched / dt:,.0f} pages/s "
+        f"(steady {steady:,.0f})")
+    return {"sec": dt, "pages_per_sec": result.pages_fetched / dt,
+            "steady_pages_per_sec": steady,
+            "pages": result.pages_fetched, "rounds": result.rounds_run}
+
+
 def bench_sf_queries(spark: SparkSession) -> dict:
     """Representative driver-contract queries at the bench sf.
 
@@ -370,6 +432,12 @@ def run(spark: SparkSession) -> dict:
     r = bench_crawl_engine(spark)
     queries["crawl_engine_rounds"] = round(r["sec"], 3)
     extra["engine_pages_per_sec"] = round(r["pages_per_sec"], 1)
+
+    r = bench_engine_soak(spark)
+    queries["crawl_engine_soak"] = round(r["sec"], 3)
+    extra["engine_soak_pages_per_sec"] = round(r["pages_per_sec"], 1)
+    extra["engine_soak_steady_pages_per_sec"] = round(
+        r["steady_pages_per_sec"], 1)
 
     for name, sec in bench_sf_queries(spark).items():
         queries[name] = round(sec, 3)
