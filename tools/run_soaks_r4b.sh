@@ -29,9 +29,12 @@ run_leg() {
   fi
 }
 
-# Leg 6: ~5.2e5 URLs/round (4096 hosts x 128), 30 rounds.
+# Leg 6: ~5.2e5 URLs/round (1024 hosts x 512), 30 rounds. Per-host
+# budget 512 >= salt_fetch_threshold 256, so this leg also witnesses the
+# salted fetch repartition live at production budget (legs 1-2's takes
+# of 10/48 rows per host stay under the gate by design).
 run_leg soak_budget_5e5 tools/engine_soak.py run \
-  --nodes 50000000 --hosts 4096 --budget 128 --rounds 30 --cpus 32 \
+  --nodes 50000000 --hosts 1024 --budget 512 --rounds 30 --cpus 32 \
   --compact-every 10 --store /tmp/lc_soak_5e5 --fresh --no-products
 
 # Leg 7: leg-2 shape under the LSM sharded-Bloom seen filter.
