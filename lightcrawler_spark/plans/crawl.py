@@ -232,6 +232,17 @@ class CrawlEngine:
         # frontier-size bookkeeping for the drained-skip: None = unknown
         # (resume, or any slow-path round ran without observing n_new)
         self._frontier_total: int | None = None
+        # Round-scoped localCheckpoint block handles (java RDDs). Durable
+        # stores re-read every committed row from parquet, so a round's
+        # checkpointed fetch blocks are dead weight the moment the round
+        # commits — but Spark never frees them (localCheckpoint persists
+        # the RDD outside the cache manager, so DataFrame.unpersist can't
+        # reach it). Without this, a long crawl accumulates one round's
+        # worth of MEMORY_AND_DISK blocks per round until the driver heap
+        # dies (measured: OOM at round 25 of the 5.2e5-URLs/round soak in
+        # an 8g heap). Freed in run() right after commit_round; memory
+        # stores keep their blocks (their tables ARE the blocks).
+        self._round_block_rdds: list = []
 
     # -- S6: live robots.txt acquisition -------------------------------------
     def _fetch_robots_live(self, host_roots: list[tuple[str, str]]) -> None:
@@ -577,6 +588,7 @@ class CrawlEngine:
         # pins the fetch results; every later projection reads cached
         # blocks and a fetch is never re-executed
         results = self.fetcher.fetch(work).localCheckpoint(eager=False)
+        self._track_round_blocks(results)
         can_harvest = self.harvest_cookies and "set_cookies" in results.columns
         # F9 stats are only consulted while still bootstrapping — once a
         # content page exists (or the flag is off) the two aggregate
@@ -696,6 +708,7 @@ class CrawlEngine:
             # is fetched once ever. Pagination feeds below stay exempt —
             # addFeed bypasses all admission in the reference.
             admitted = admitted.localCheckpoint(eager=True)
+            self._track_round_blocks(admitted)
             hosts = [
                 (r["host"], r["_root"])
                 for r in admitted.select(
@@ -852,6 +865,26 @@ class CrawlEngine:
         if need_f9 and stats["first_content_rank"] is not None:
             self._first_content_url = stats["first_content_url"]
         return n_fetched, True
+
+    def _track_round_blocks(self, ckpt_df: DataFrame) -> None:
+        """Remember a round-scoped localCheckpoint's underlying java RDD
+        so _free_round_blocks can unpersist it after the round commits.
+        Durable stores only — a memory store's tables alias these blocks.
+        The checkpointed Dataset's analyzed plan is a LogicalRDD whose
+        `rdd` field is exactly the persisted RDD (Dataset.checkpoint
+        wraps queryExecution.toRdd in LogicalRDD), so unpersisting that
+        handle frees the blocks without touching any other cache entry
+        (long-lived checkpoints — robots rules, cookie jars — are never
+        tracked here)."""
+        if getattr(self.store, "materializes", False):
+            self._round_block_rdds.append(
+                ckpt_df._jdf.queryExecution().analyzed().rdd()
+            )
+
+    def _free_round_blocks(self) -> None:
+        for jrdd in self._round_block_rdds:
+            jrdd.unpersist(False)
+        self._round_block_rdds.clear()
 
     def _to_local(self, df: DataFrame) -> DataFrame:
         """collect → LocalRelation: materializes like an eager checkpoint
@@ -1064,6 +1097,10 @@ class CrawlEngine:
                     abort_reason = ABORT_PASSEDTHROUGH
                     break
                 self.store.commit_round(r)
+                # the committed round's rows now live in the store — free
+                # its checkpoint blocks so driver memory stays O(1 round)
+                # over arbitrarily long crawls (durable stores only)
+                self._free_round_blocks()
                 base_seq += fetched
                 rounds_run += 1
                 r += 1
@@ -1078,6 +1115,8 @@ class CrawlEngine:
                     abort_reason = ABORT_TRAFFICLIMIT
                     break
         finally:
+            # an aborted/broken round never committed — drop its blocks too
+            self._free_round_blocks()
             self.spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
             self.spark.conf.set(
                 "spark.sql.constraintPropagation.enabled", cp_before
