@@ -171,6 +171,17 @@ class CrawlSpec:
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt
     salt_fetch_threshold: int = 256
+    # the explicit fetch-stage repartition ALSO engages — regardless of
+    # the per-host budget — once the previous round fetched at least this
+    # many pages. Per-host budgets below salt_fetch_threshold still yield
+    # huge rounds when hosts are many (budget × hosts rows), and without
+    # an explicit partition count AQE's byte-based coalescer collapses
+    # the tiny-in-bytes work-list exchange to a handful of tasks, which
+    # breaks wave-packing in the CPU-heavy fetch stage (measured ~10%
+    # steady-throughput loss at 16 cores). The previous round's fetch
+    # count is a driver-side scalar the engine already observes, so the
+    # gate costs no extra job.
+    fetch_repartition_rows: int = 50_000
 
     def std_rules(self, rules: list[str]) -> list[str]:
         return [php_regex_to_std(r) for r in rules]

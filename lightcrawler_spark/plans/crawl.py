@@ -243,6 +243,12 @@ class CrawlEngine:
         # an 8g heap). Freed in run() right after commit_round; memory
         # stores keep their blocks (their tables ARE the blocks).
         self._round_block_rdds: list = []
+        # previous round's fetched-page count: drives the rows-based
+        # fetch-repartition gate (spec.fetch_repartition_rows) without an
+        # extra count job. Starts 0 (seed rounds are small); after a
+        # resume the first round may run under-partitioned once, which is
+        # the cheapest correct behavior.
+        self._prev_round_n: int = 0
 
     # -- S6: live robots.txt acquisition -------------------------------------
     def _fetch_robots_live(self, host_roots: list[tuple[str, str]]) -> None:
@@ -569,9 +575,29 @@ class CrawlEngine:
 
         # host-salted repartition ahead of the fetch stage (skew defusal for
         # real fetch workloads); skipped for small budgets where the extra
-        # shuffle costs more than the skew it prevents
-        if budget >= spec.salt_fetch_threshold:
-            work = scheduler.salted_repartition(work, "host", salt_buckets=8)
+        # shuffle costs more than the skew it prevents. The partition count
+        # is pinned explicitly: the work list is tiny in BYTES (urls +
+        # metadata) but each row expands ~1000x in CPU/output inside the
+        # fetch stage, so AQE's byte-based coalescer would collapse this
+        # exchange to a handful of tasks and break wave-packing on the
+        # executors (measured: 19 tasks on 16 cores = a 3-task straggler
+        # wave, ~10% steady-throughput loss at the 5e5-URLs/round soak
+        # shape). An explicit numPartitions is exempt from AQE coalescing.
+        # The rows-based arm covers per-host budgets BELOW the salt
+        # threshold that still produce huge rounds (budget × hosts): the
+        # previous round's fetch count is the size estimate — accurate in
+        # steady state, free (already observed), and 0 on the small
+        # fixture goldens so their pinned job counts are untouched.
+        if (
+            budget >= spec.salt_fetch_threshold
+            or self._prev_round_n >= spec.fetch_repartition_rows
+        ):
+            work = scheduler.salted_repartition(
+                work, "host", salt_buckets=8,
+                num_partitions=int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+            )
 
         # P12/P13: attach per-request cookies / post-data / auth
         if self.cookie_jar is not None:
@@ -1093,6 +1119,7 @@ class CrawlEngine:
                     abort_reason = ABORT_PASSEDTHROUGH
                     break
                 fetched, keep_going = self._run_round(r, base_seq)
+                self._prev_round_n = fetched
                 if fetched == 0 and not keep_going:
                     abort_reason = ABORT_PASSEDTHROUGH
                     break
