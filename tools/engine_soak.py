@@ -28,6 +28,7 @@ Usage (one JSON line on stdout per invocation):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import shutil
@@ -115,6 +116,12 @@ def cmd_run(a) -> dict:
         web, spark, per_host_budget=a.budget, n_seeds=a.seeds or a.hosts,
         max_rounds=a.rounds, seen_filter=a.seen,
     )
+    if a.no_row_repartition:
+        # A/B control: disable the rows-based fetch-repartition gate
+        # (spec.fetch_repartition_rows), reverting to pre-gate behavior
+        # where per-host budgets below salt_fetch_threshold leave the
+        # fetch exchange to AQE's byte-based coalescer.
+        spec = dataclasses.replace(spec, fetch_repartition_rows=10**15)
     store_cls = _timing_store(a.store, a.compact_every, a.kill_round)
     store = store_cls(spark)
     engine = CrawlEngine(spark, spec, GenerativeFetcher(web, spec),
@@ -402,6 +409,9 @@ def main() -> None:
     ap.add_argument("--no-products", dest="products", action="store_false")
     ap.add_argument("--seen", choices=["exact", "bloom"], default="exact",
                     help="URL-seen set: exact anti-join or LSM sharded Bloom")
+    ap.add_argument("--no-row-repartition", action="store_true",
+                    help="A/B: disable the rows-based fetch-repartition "
+                         "gate (leave the fetch exchange to AQE)")
     ap.add_argument("--no-aqe", action="store_true",
                     help="disable AQE (A/B: per-stage replan vs barrier cost)")
     ap.add_argument("--event-log", default=None,
