@@ -3191,6 +3191,60 @@ def q_image_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_guaranteed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-recall phash near-dup pairs
+    (operators/images.py:phash_near_dup_pairs with bands=7): pigeonhole
+    over 10-bit chunks guarantees every pair at Hamming ≤ 6 is found,
+    so the oracle is the EXACT all-pairs SQL with no candidacy clause —
+    a strictly stronger contract than the banded queries (whose oracles
+    must mirror the band join). The fixture is built to defeat the
+    default 4×16-bit banding: 40 groups of 5 hashes whose member deltas
+    spread 4–6 bits across all four 16-bit chunks (members 1–3 share NO
+    16-bit chunk with their base), so 5 of the 6 true pairs per group
+    exist only because of the recall guarantee."""
+    from lightcrawler_spark.operators.images import phash_near_dup_pairs
+
+    # deltas vs the group base; bit positions chosen to hit all four
+    # 16-bit chunks (4-band join misses) while leaving ≥1 of the seven
+    # 10-bit bands untouched (7-band join must find)
+    d1 = 562958543486978       # bits {1,17,33,49}  — Hamming 4 vs base
+    d2 = 1154047421693820932   # bits {2,18,34,50,60} — Hamming 5
+    d3 = 2308094843387643912   # bits {3,11,19,35,51,61} — Hamming 6
+    d4 = 1                     # bit {0} — control, found by any banding
+    imgs = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("image_id"),
+            (F.col("id") % 40).alias("_g"),
+            F.floor(F.col("id") / 40).cast("long").alias("_j"),
+        )
+        .select(
+            "image_id",
+            (
+                (F.col("_g") * F.lit(2654435761))
+                .bitwiseXOR(F.shiftleft(F.col("_g") * F.lit(40503), 32))
+            )
+            .bitwiseXOR(
+                F.when(F.col("_j") == 1, F.lit(d1))
+                .when(F.col("_j") == 2, F.lit(d2))
+                .when(F.col("_j") == 3, F.lit(d3))
+                .when(F.col("_j") == 4, F.lit(d4))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            .alias("phash"),
+        )
+    )
+    pairs = phash_near_dup_pairs(
+        imgs, max_hamming=6, id_col="image_id", bands=7
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_frontier_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier starvation telemetry
     (operators/scheduler.py:frontier_age_report) — per-priority pending
@@ -3365,6 +3419,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_pipeline": q_archive_pipeline,
         "dataset_split": q_dataset_split,
         "image_consensus": q_image_consensus,
+        "phash_guaranteed_recall": q_phash_guaranteed_recall,
         "frontier_age": q_frontier_age,
         "raw_replay": q_raw_replay,
     }
@@ -5879,6 +5934,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, record_type, content_length,
 FROM s
 """,
         "image_consensus": _consensus_values_sql(),
+        # EXACT all-pairs oracle — deliberately no banding/candidacy
+        # clause: the Spark side's 7-band pigeonhole must find every
+        # pair at Hamming <= 6 or the hashes mismatch.
+        "phash_guaranteed_recall": """
+WITH imgs AS (
+  SELECT i AS image_id,
+         xor(xor((i % 40) * 2654435761, ((i % 40) * 40503) << 32),
+             CASE i // 40
+               WHEN 1 THEN 562958543486978
+               WHEN 2 THEN 1154047421693820932
+               WHEN 3 THEN 2308094843387643912
+               WHEN 4 THEN 1
+               ELSE 0 END) AS ph
+  FROM generate_series(0, 199) t(i)
+)
+SELECT CAST(a.image_id AS BIGINT) AS id_a,
+       CAST(b.image_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 6
+""",
         "frontier_age": """
 WITH f AS (
   SELECT CAST(user_id % 4 AS INT) AS priority_level,

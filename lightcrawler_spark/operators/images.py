@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -163,29 +163,54 @@ def verify_images(df: DataFrame) -> DataFrame:
     )
 
 
+def _hash_band_keys(col: Column, bands: int) -> list:
+    """Band keys for a 64-bit hash column: ``bands`` disjoint bit
+    ranges of width ceil(64/bands) (the last band takes the remainder),
+    each rendered as "i:value". Pigeonhole: two hashes at Hamming
+    distance ≤ bands-1 share at least one band verbatim — so candidate
+    generation through these keys has GUARANTEED recall up to distance
+    bands-1, and probabilistic recall beyond. Narrower bands buy that
+    guarantee with more candidates (a b-bit band has 2^b distinct
+    values, so expected bucket sizes grow as corpus/2^b — the standard
+    LSH band-count/precision trade)."""
+    if not 2 <= bands <= 64:
+        raise ValueError(f"bands must be in [2, 64], got {bands}")
+    width = -(-64 // bands)
+    keys = []
+    for i in range(bands):
+        lo = i * width
+        w = min(width, 64 - lo)
+        if w <= 0:
+            break
+        keys.append(
+            F.concat_ws(
+                ":", F.lit(i),
+                F.shiftrightunsigned(col, lo).bitwiseAND(F.lit((1 << w) - 1)),
+            )
+        )
+    return keys
+
+
 def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
                          id_col: str = "image_id",
-                         phash_col: str = "phash") -> DataFrame:
+                         phash_col: str = "phash",
+                         bands: int = 4) -> DataFrame:
     """Image near-dup pairs by phash Hamming distance: pigeonhole band
-    join on 16-bit chunks (same scheme as textdedup.simhash_pairs — at
-    ≤ max_hamming 6 with 4 chunks a matching pair shares ≥1 chunk when
-    distance ≤ 3; wider distances trade recall, standard practice),
-    exact popcount filter after."""
+    join on ``bands`` bit-range chunks (same scheme as
+    textdedup.simhash_pairs), exact popcount filter after.
+
+    Recall: guaranteed up to Hamming distance bands-1 (a pair with
+    ≤ bands-1 differing bits must share a band), probabilistic beyond.
+    The default bands=4 (16-bit chunks) guarantees only distance 3 —
+    cheap candidates, tail recall traded (standard practice). For
+    GUARANTEED recall at the default max_hamming=6, pass bands=7
+    (10-bit chunks): every true pair is emitted, at the cost of larger
+    candidate buckets (2^10 vs 2^16 distinct values per band)."""
     sig = df.select(F.col(id_col).alias("img_id"), F.col(phash_col).alias("ph"))
     chunks = sig.select(
         "img_id", "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":", F.lit(i),
-                        F.shiftrightunsigned(F.col("ph"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF)),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_key"),
+        F.explode(F.array(*_hash_band_keys(F.col("ph"), bands)))
+        .alias("chunk_key"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
@@ -659,7 +684,8 @@ def scrub_image_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
                              id_col: str = "image_id",
                              phash_col: str = "phash",
-                             dhash_col: str = "dhash") -> DataFrame:
+                             dhash_col: str = "dhash",
+                             bands: int = 4) -> DataFrame:
     """Two-family image near-dup pairs: candidates from the phash
     16-bit pigeonhole band join (phash_near_dup_pairs' scheme), kept
     only when BOTH hash families agree (phash Hamming ≤ t AND dhash
@@ -680,8 +706,10 @@ def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
     4–6 is found only if ≤3 of its differing bits avoid some band; pairs
     whose 4–6 phash diffs spread across all four bands are missed. With
     the default max_hamming=6 this op trades that tail recall for the
-    4-band join's candidate volume; for guaranteed recall at distance 6
-    band with 7 chunks (or union candidates from both hash families).
+    4-band join's candidate volume; for GUARANTEED recall at distance 6
+    pass bands=7 (pigeonhole over 10-bit chunks — see _hash_band_keys;
+    the `phash_guaranteed_recall` contract query proves the guarantee
+    against an exact all-pairs oracle).
     """
     sig = df.select(
         F.col(id_col).alias("img_id"),
@@ -690,18 +718,8 @@ def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
     )
     chunks = sig.select(
         "img_id", "ph", "dh",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":", F.lit(i),
-                        F.shiftrightunsigned(F.col("ph"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF)),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_key"),
+        F.explode(F.array(*_hash_band_keys(F.col("ph"), bands)))
+        .alias("chunk_key"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

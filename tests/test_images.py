@@ -134,6 +134,43 @@ class TestSparkImageOps:
         assert ("dup_a_lossy", "dup_a_png") in ids
         assert all("other" not in a or "other" not in b for a, b in ids)
 
+    def test_banded_recall_guarantee(self, spark):
+        """bands=7 pigeonhole-guarantees recall at Hamming <= 6; the
+        default bands=4 guarantees only <= 3. Witness: a pair whose 4
+        differing bits hit all four 16-bit chunks (one bit per chunk)
+        shares no 16-bit chunk — invisible to bands=4 — but shares 3 of
+        the 7 10-bit bands."""
+        from lightcrawler_spark.operators.images import phash_near_dup_pairs
+
+        base = 0x5A5A_1234_ABCD_0F0F
+        spread = base ^ ((1 << 1) | (1 << 17) | (1 << 33) | (1 << 49))
+        low = base ^ 0b11  # 2 bits in chunk 0: found by any banding
+        df = spark.createDataFrame(
+            [("base", base), ("spread4", spread), ("low2", low)],
+            "image_id string, phash long",
+        )
+        four = {
+            (p["id_a"], p["id_b"])
+            for p in phash_near_dup_pairs(df, max_hamming=6).collect()
+        }
+        seven = {
+            (p["id_a"], p["id_b"])
+            for p in phash_near_dup_pairs(df, max_hamming=6, bands=7).collect()
+        }
+        assert ("base", "low2") in four
+        assert ("base", "spread4") not in four  # the documented recall gap
+        assert ("base", "spread4") in seven     # closed by the guarantee
+        assert four <= seven
+
+    def test_bands_validation(self, spark):
+        from lightcrawler_spark.operators.images import phash_near_dup_pairs
+
+        df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
+        with pytest.raises(ValueError):
+            phash_near_dup_pairs(df, bands=1)
+        with pytest.raises(ValueError):
+            phash_near_dup_pairs(df, bands=65)
+
 
 class TestMultimodalTransforms:
     def test_resize_roundtrip(self, spark):
