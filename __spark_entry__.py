@@ -2013,6 +2013,37 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketed batch assignment
+    (operators/chunking.py:assign_aspect_buckets): every image joins the
+    bucket with the nearest aspect ratio (integer-exact cross-multiplied
+    argmin, ties to the lower bucket_id), then batches of 4 are cut
+    within buckets in image_id order — the SDXL/NovelAI training-prep
+    step that keeps each batch at one target resolution. Spark side runs
+    the GROUPED distributed prefix sum (range partitions × buckets, no
+    per-bucket mega-window); the oracle re-derives the same assignment
+    with plain windows."""
+    from lightcrawler_spark.operators.chunking import assign_aspect_buckets
+
+    imgs = spark.range(256).select(
+        F.format_string("img_%012d", F.col("id")).alias("image_id"),
+        (F.lit(24) + (F.col("id") % 5) * 8).cast("int").alias("w"),
+        (F.lit(24) + (F.col("id") % 7) * 4).cast("int").alias("h"),
+    )
+    out = assign_aspect_buckets(imgs, batch_size=4, num_partitions=8)
+    return out.select(
+        "image_id",
+        "w",
+        "h",
+        F.col("bucket_id").cast("int").alias("bucket_id"),
+        F.col("bucket_w").cast("int").alias("bucket_w"),
+        F.col("bucket_h").cast("int").alias("bucket_h"),
+        F.col("rank_in_bucket").cast("long").alias("rank_in_bucket"),
+        F.col("batch_idx").cast("long").alias("batch_idx"),
+        "batch_is_ragged",
+    )
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph PageRank (operators/graph.py:pagerank) — the
     frontier-prioritization signal that replaces the reference's regex
@@ -3385,6 +3416,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "dedup_recall": q_dedup_recall,
         "shard_assign": q_shard_assign,
+        "aspect_bucket_batches": q_aspect_bucket_batches,
         "image_augment": q_image_augment,
         "semantic_dedup": q_semantic_dedup,
         "anchor_text_agg": q_anchor_text_agg,
@@ -5049,6 +5081,57 @@ SELECT CAST(image_id AS BIGINT) AS image_id,
        (n_bytes > 0 AND (cum - 1) // 1048576 > (cum - n_bytes) // 1048576)
          AS overflows_shard
 FROM c
+""",
+        # independent re-derivation with plain windows: argmin bucket by
+        # the same integer cross-multiplied distance, ROW_NUMBER within
+        # bucket, ceil-div batch bases stacked in bucket_id order. The
+        # bucket VALUES are generate_aspect_buckets()'s defaults.
+        "aspect_bucket_batches": """
+WITH imgs AS (
+  SELECT printf('img_%012d', i) AS image_id,
+         CAST(24 + (i % 5) * 8 AS INTEGER) AS w,
+         CAST(24 + (i % 7) * 4 AS INTEGER) AS h
+  FROM generate_series(0, 255) t(i)
+),
+buckets(bucket_id, bucket_w, bucket_h) AS (VALUES
+  (0,16,64),(1,16,56),(2,24,48),(3,24,40),(4,32,32),
+  (5,40,24),(6,48,24),(7,56,16),(8,64,16)
+),
+assigned AS (
+  SELECT image_id, w, h, bucket_id, bucket_w, bucket_h,
+         ROW_NUMBER() OVER (
+           PARTITION BY image_id
+           ORDER BY abs(CAST(w AS BIGINT) * bucket_h
+                        - CAST(h AS BIGINT) * bucket_w), bucket_id
+         ) AS pick
+  FROM imgs CROSS JOIN buckets
+),
+tagged AS (
+  SELECT image_id, w, h, bucket_id, bucket_w, bucket_h
+  FROM assigned WHERE pick = 1
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY bucket_id ORDER BY image_id) - 1
+           AS rank_in_bucket,
+         COUNT(*) OVER (PARTITION BY bucket_id) AS btotal
+  FROM tagged
+),
+bases AS (
+  SELECT bucket_id,
+         COALESCE(SUM((n + 3) // 4) OVER (
+           ORDER BY bucket_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bbase
+  FROM (SELECT bucket_id, COUNT(*) AS n FROM tagged GROUP BY bucket_id)
+)
+SELECT r.image_id, r.w, r.h,
+       CAST(r.bucket_id AS INTEGER) AS bucket_id,
+       CAST(r.bucket_w AS INTEGER) AS bucket_w,
+       CAST(r.bucket_h AS INTEGER) AS bucket_h,
+       CAST(r.rank_in_bucket AS BIGINT) AS rank_in_bucket,
+       CAST(b.bbase + r.rank_in_bucket // 4 AS BIGINT) AS batch_idx,
+       (r.btotal - (r.rank_in_bucket // 4) * 4) < 4 AS batch_is_ragged
+FROM ranked r JOIN bases b USING (bucket_id)
 """,
         # serial running sum — the Spark side must reproduce it with the
         # two-stage distributed prefix sum

@@ -171,17 +171,26 @@ class CrawlSpec:
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt
     salt_fetch_threshold: int = 256
-    # the explicit fetch-stage repartition ALSO engages — regardless of
-    # the per-host budget — once the previous round fetched at least this
-    # many pages. Per-host budgets below salt_fetch_threshold still yield
-    # huge rounds when hosts are many (budget × hosts rows), and without
-    # an explicit partition count AQE's byte-based coalescer collapses
-    # the tiny-in-bytes work-list exchange to a handful of tasks, which
-    # breaks wave-packing in the CPU-heavy fetch stage (measured ~10%
-    # steady-throughput loss at 16 cores). The previous round's fetch
-    # count is a driver-side scalar the engine already observes, so the
-    # gate costs no extra job.
-    fetch_repartition_rows: int = 50_000
+    # opt-in rows arm of the fetch-repartition gate: the explicit
+    # repartition ALSO engages — regardless of the per-host budget —
+    # once the previous round fetched at least this many pages. OFF by
+    # default (0 = disabled): the BENCH.md leg-10 A/B (20M nodes, 2048
+    # hosts, B=48, ~94k URLs/round, 3 arms, identical trace hashes)
+    # measured the arm as a ~7.5% steady-throughput LOSS at the
+    # many-hosts shape. Reason: below salt_fetch_threshold the work
+    # list otherwise keeps the pop/rank stage's partitioning — an
+    # exchange whose bytes are the full PENDING set, so AQE never
+    # collapses it, and per-host takes ≤ budget bound the skew by
+    # construction — and the fetch fuses with that stage. The rows arm
+    # inserts a new tiny-in-bytes exchange (which must then be pinned
+    # against AQE) and pays a full extra shuffle for balance the plan
+    # already had. Set > 0 only for fetch stages whose per-row cost is
+    # extreme relative to the rank stage (e.g. real network fetches
+    # with multi-second tails) where re-spreading the work list evenly
+    # may be worth a shuffle; the salt arm (salt_fetch_threshold),
+    # which fires when per-host takes are large enough to skew a
+    # hash(host) partitioning, is unaffected and stays pinned.
+    fetch_repartition_rows: int = 0
 
     def std_rules(self, rules: list[str]) -> list[str]:
         return [php_regex_to_std(r) for r in rules]

@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "pack_sequences", "assign_shards"]
+__all__ = [
+    "chunk_documents",
+    "pack_sequences",
+    "assign_shards",
+    "generate_aspect_buckets",
+    "assign_aspect_buckets",
+]
 
 
 def chunk_documents(
@@ -160,4 +166,144 @@ def assign_shards(
         F.col("seq_idx").alias("shard_idx"),
         F.col("offset_in_seq").alias("offset_in_shard"),
         F.col("spans_boundary").alias("overflows_shard"),
+    )
+
+
+def generate_aspect_buckets(
+    target_area: int = 1024,
+    step: int = 8,
+    min_dim: int = 16,
+    max_dim: int = 64,
+    max_aspect: float = 4.0,
+) -> list[tuple[int, int]]:
+    """Deterministic aspect-bucket table, the NovelAI/SDXL recipe scaled
+    by ``step``: for every height on the ``step`` grid, the width on the
+    grid whose area is closest to ``target_area`` (and vice versa),
+    aspect clamped to [1/max_aspect, max_aspect], deduplicated, sorted
+    by (w/h ascending, w) so bucket_id order is aspect order.
+
+    Production values are step=64, target_area=1024², dims ≤ 2048 (the
+    published SDXL bucketing); the defaults here are the same algorithm
+    on the step=8 grid so unit fixtures (24–56 px sides) spread over
+    ~10 buckets. Pure driver-side arithmetic over a few dozen ints —
+    the table is a broadcast literal, never a shuffle."""
+    cand: set[tuple[int, int]] = set()
+    for h in range(min_dim, max_dim + 1, step):
+        w = max(min_dim, min(max_dim, round(target_area / h / step) * step))
+        for a, b in ((w, h), (h, w)):
+            if 1.0 / max_aspect <= a / b <= max_aspect:
+                cand.add((a, b))
+    return sorted(cand, key=lambda wh: (wh[0] / wh[1], wh[0]))
+
+
+def assign_aspect_buckets(
+    df: DataFrame,
+    batch_size: int,
+    buckets: list[tuple[int, int]] | None = None,
+    w_col: str = "w",
+    h_col: str = "h",
+    order_col: str = "image_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Aspect-ratio bucketed batch assignment — the image-model analog
+    of ``pack_sequences``: diffusion/vision training wants every batch
+    drawn from ONE target resolution (no destructive square crops), so
+    each image joins the bucket with the nearest aspect ratio and
+    batches are cut within buckets.
+
+    Bucket choice is INTEGER-exact: argmin over |w·bh − h·bw| (the
+    cross-multiplied aspect distance — no float log whose ULP could
+    flip a near-tie differently in another engine), ties to the lower
+    bucket_id. Computed as a sorted array-of-structs literal per row —
+    pure JVM expression, zero joins for the assignment itself.
+
+    In-bucket order and batching use a GROUPED distributed prefix sum:
+    range-repartition on (bucket_id, order_col), cumulative count per
+    (partition, bucket), and a driver-side prefix over the P×|buckets|
+    per-partition-per-bucket totals broadcast back. A plain
+    ``Window.partitionBy(bucket_id)`` would funnel each bucket — and a
+    popular aspect IS a mega-bucket at corpus scale — through one task;
+    here a bucket spans as many range partitions as its row share
+    (same scale argument as pack_sequences, asserted
+    partitioning-invariant by tests).
+
+    Adds: ``bucket_id``, ``bucket_w``, ``bucket_h``, ``rank_in_bucket``
+    (0-based, ``order_col`` order), ``batch_idx`` (global, 0-based,
+    dense across buckets in bucket_id order), ``batch_is_ragged``
+    (batch is the bucket's short tail, < batch_size rows — the rows a
+    drop-last loader would skip). ``order_col`` must be unique."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = generate_aspect_buckets()
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    cand = F.array(*[
+        F.struct(
+            F.abs(w * F.lit(int(bh)) - h * F.lit(int(bw))).alias("dist"),
+            F.lit(i).alias("bucket_id"),
+            F.lit(int(bw)).alias("bucket_w"),
+            F.lit(int(bh)).alias("bucket_h"),
+        )
+        for i, (bw, bh) in enumerate(buckets)
+    ])
+    best = F.array_sort(cand).getItem(0)
+    tagged = df.select(
+        "*",
+        best["bucket_id"].alias("bucket_id"),
+        best["bucket_w"].alias("bucket_w"),
+        best["bucket_h"].alias("bucket_h"),
+    )
+
+    ranged = tagged.repartitionByRange(
+        num_partitions, F.col("bucket_id"), F.col(order_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)  # pin layout across actions
+
+    cw = (
+        Window.partitionBy("_pid", "bucket_id")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged.withColumn("_cum", F.count(F.lit(1)).over(cw))
+
+    totals = (
+        ranged.groupBy("_pid", "bucket_id").count().collect()
+    )  # ≤ P × |buckets| rows — driver-side grouped prefix
+    per_bucket: dict[int, int] = {}
+    prefix_rows = []
+    for r in sorted(totals, key=lambda r: (r["bucket_id"], r["_pid"])):
+        off = per_bucket.get(r["bucket_id"], 0)
+        prefix_rows.append((r["_pid"], r["bucket_id"], off))
+        per_bucket[r["bucket_id"]] = off + r["count"]
+    # dense global batch numbering: buckets stacked in bucket_id order
+    batch_base: dict[int, int] = {}
+    acc = 0
+    for bid in sorted(per_bucket):
+        batch_base[bid] = acc
+        acc += -(-per_bucket[bid] // batch_size)  # ceil-div batches
+    offsets = spark.createDataFrame(
+        [
+            (pid, bid, off, batch_base[bid], per_bucket[bid])
+            for pid, bid, off in prefix_rows
+        ],
+        "_pid int, bucket_id int, _offset long, _bbase long, _btotal long",
+    )
+
+    rank = F.col("_offset") + F.col("_cum") - F.lit(1)
+    return (
+        cum.join(F.broadcast(offsets), ["_pid", "bucket_id"])
+        .withColumn("rank_in_bucket", rank)
+        .withColumn(
+            "batch_idx",
+            F.col("_bbase") + F.floor(rank / F.lit(batch_size)),
+        )
+        .withColumn(
+            "batch_is_ragged",
+            (F.col("_btotal") - F.floor(rank / F.lit(batch_size))
+             * F.lit(batch_size)) < F.lit(batch_size),
+        )
+        .drop("_pid", "_cum", "_offset", "_bbase", "_btotal")
     )

@@ -583,14 +583,15 @@ class CrawlEngine:
         # executors (measured: 19 tasks on 16 cores = a 3-task straggler
         # wave, ~10% steady-throughput loss at the 5e5-URLs/round soak
         # shape). An explicit numPartitions is exempt from AQE coalescing.
-        # The rows-based arm covers per-host budgets BELOW the salt
-        # threshold that still produce huge rounds (budget × hosts): the
-        # previous round's fetch count is the size estimate — accurate in
-        # steady state, free (already observed), and 0 on the small
-        # fixture goldens so their pinned job counts are untouched.
-        if (
-            budget >= spec.salt_fetch_threshold
-            or self._prev_round_n >= spec.fetch_repartition_rows
+        # The rows-based arm (opt-in, spec.fetch_repartition_rows > 0;
+        # see config.py for the leg-10 A/B that turned it off by
+        # default) covers per-host budgets BELOW the salt threshold:
+        # the previous round's fetch count is the size estimate —
+        # accurate in steady state, free (already observed), and 0 on
+        # the small fixture goldens so pinned job counts are untouched.
+        if budget >= spec.salt_fetch_threshold or (
+            spec.fetch_repartition_rows > 0
+            and self._prev_round_n >= spec.fetch_repartition_rows
         ):
             work = scheduler.salted_repartition(
                 work, "host", salt_buckets=8,

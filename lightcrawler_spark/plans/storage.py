@@ -48,10 +48,23 @@ class RoundStore:
     materializes = True  # write() persists; the engine skips checkpoints
 
     def __init__(self, spark: SparkSession, root: str,
-                 compact_every: int | None = None):
+                 compact_every: int | None = None,
+                 compact_files: int | None = None):
         self.spark = spark
         self.root = root
         self.compact_every = compact_every
+        # segment width knob. Compaction coalesces (no shuffle), so the
+        # width also caps the SCAN parallelism of the rewrite — the
+        # leg-10b event-log decomposition showed the rewrite at
+        # eff_par ≈ 4 on 32 cores with 8-file segments. But the A/B
+        # (BENCH.md leg 13, identical trace hashes) measured width=32 as
+        # a net ~4% LOSS at the 1e5-URLs/round shape: the rewrite is
+        # only ~5% of wall (Amdahl caps the win at ~4%), while the
+        # frontier segment is re-read EVERY round, and 31-file segments
+        # tax all 40 rounds' scans more than the 3 rewrites save. So the
+        # default stays 8; raise only when segments are huge relative to
+        # round cadence (compact_every >> 10) or rounds are few.
+        self.compact_files = compact_files
         os.makedirs(root, exist_ok=True)
 
     # -- watermark ---------------------------------------------------------
@@ -142,10 +155,8 @@ class RoundStore:
                 continue
             final = os.path.join(base, f"seg={upto}")
             tmp = final + ".compact.tmp"
-            # a handful of files per segment: segments are re-read as ONE
-            # scan, so file count (not per-round parallelism) is what
-            # matters here
-            df.coalesce(8).write.mode("overwrite").parquet(tmp)
+            df.coalesce(self.compact_files or 8).write.mode(
+                "overwrite").parquet(tmp)
             if os.path.isdir(final):
                 shutil.rmtree(final)
             os.rename(tmp, final)

@@ -142,3 +142,114 @@ class TestAssignShards:
         out = assign_shards(df, 250, num_partitions=3).collect()
         assert {r["caption"] for r in out} == {f"cap{i}" for i in range(10)}
         assert {r["shard_idx"] for r in out} == {0, 1, 2, 3}
+
+
+class TestAspectBuckets:
+    @staticmethod
+    def _imgs(spark, n=200):
+        return spark.range(n).select(
+            F.format_string("img_%012d", F.col("id")).alias("image_id"),
+            (F.lit(24) + (F.col("id") % 5) * 8).cast("int").alias("w"),
+            (F.lit(24) + (F.col("id") % 7) * 4).cast("int").alias("h"),
+        )
+
+    @staticmethod
+    def _brute(n, buckets, batch_size):
+        """Serial re-derivation: integer argmin bucket, id-order rank,
+        ceil-div batch bases stacked in bucket_id order."""
+        rows = []
+        for i in range(n):
+            w, h = 24 + (i % 5) * 8, 24 + (i % 7) * 4
+            bid = min(
+                range(len(buckets)),
+                key=lambda j: (abs(w * buckets[j][1] - h * buckets[j][0]), j),
+            )
+            rows.append((f"img_{i:012d}", w, h, bid))
+        per = {}
+        for iid, w, h, bid in sorted(rows):
+            per.setdefault(bid, []).append(iid)
+        base, acc = {}, 0
+        for bid in sorted(per):
+            base[bid] = acc
+            acc += -(-len(per[bid]) // batch_size)
+        out = {}
+        for bid, ids in per.items():
+            for rank, iid in enumerate(ids):
+                out[iid] = dict(
+                    bucket_id=bid,
+                    rank_in_bucket=rank,
+                    batch_idx=base[bid] + rank // batch_size,
+                    batch_is_ragged=(
+                        len(ids) - (rank // batch_size) * batch_size
+                        < batch_size
+                    ),
+                )
+        return out
+
+    def test_matches_serial_derivation(self, spark):
+        from lightcrawler_spark.operators.chunking import (
+            assign_aspect_buckets,
+            generate_aspect_buckets,
+        )
+
+        buckets = generate_aspect_buckets()
+        got = {
+            r["image_id"]: r
+            for r in assign_aspect_buckets(
+                self._imgs(spark), batch_size=4, num_partitions=8
+            ).collect()
+        }
+        want = self._brute(200, buckets, 4)
+        assert len(got) == 200
+        for iid, exp in want.items():
+            g = got[iid]
+            for k, v in exp.items():
+                assert g[k] == v, (iid, k, g[k], v)
+            # bucket dims come from the chosen bucket row
+            assert (g["bucket_w"], g["bucket_h"]) == buckets[g["bucket_id"]]
+
+    @pytest.mark.parametrize("parts", [2, 8, 16])
+    def test_partitioning_invariant(self, spark, parts):
+        from lightcrawler_spark.operators.chunking import (
+            assign_aspect_buckets,
+        )
+
+        out = assign_aspect_buckets(
+            self._imgs(spark), batch_size=4, num_partitions=parts
+        )
+        rows = sorted(
+            (r["image_id"], r["bucket_id"], r["rank_in_bucket"],
+             r["batch_idx"], r["batch_is_ragged"])
+            for r in out.collect()
+        )
+        ref = sorted(
+            (r["image_id"], r["bucket_id"], r["rank_in_bucket"],
+             r["batch_idx"], r["batch_is_ragged"])
+            for r in assign_aspect_buckets(
+                self._imgs(spark), batch_size=4, num_partitions=4
+            ).collect()
+        )
+        assert rows == ref
+
+    def test_mega_bucket_spans_partitions(self, spark):
+        """A single dominant aspect must NOT collapse to one task: with
+        every image square, all rows share one bucket, and the grouped
+        prefix sum must still spread them over the range partitions."""
+        from lightcrawler_spark.operators.chunking import (
+            assign_aspect_buckets,
+        )
+
+        imgs = spark.range(500).select(
+            F.format_string("img_%012d", F.col("id")).alias("image_id"),
+            F.lit(32).alias("w"),
+            F.lit(32).alias("h"),
+        )
+        out = assign_aspect_buckets(imgs, batch_size=10, num_partitions=8)
+        assert out.select("bucket_id").distinct().count() == 1
+        ranks = [r["rank_in_bucket"] for r in out.collect()]
+        assert sorted(ranks) == list(range(500))
+        # batches dense 0..49, exactly 10 rows each, none ragged
+        batches = out.groupBy("batch_idx").count().collect()
+        assert sorted(r["batch_idx"] for r in batches) == list(range(50))
+        assert {r["count"] for r in batches} == {10}
+        assert out.filter(F.col("batch_is_ragged")).count() == 0

@@ -42,7 +42,8 @@ sys.path.insert(0, "/root/repo")
 # --- instrumented stores -----------------------------------------------------
 
 def _timing_store(root: str, compact_every: int | None,
-                  kill_round: int | None):
+                  kill_round: int | None,
+                  compact_files: int | None = None):
     """RoundStore that records per-round commit walltimes; optionally
     SIGKILLs the process at the most adversarial point of round
     `kill_round` — after the pages write, before the frontier write —
@@ -51,7 +52,8 @@ def _timing_store(root: str, compact_every: int | None,
 
     class SoakStore(RoundStore):
         def __init__(self, spark):
-            super().__init__(spark, root, compact_every=compact_every)
+            super().__init__(spark, root, compact_every=compact_every,
+                             compact_files=compact_files)
             self.commit_walls: list[tuple[int, float]] = []
 
         def write(self, table, round_no, df):
@@ -116,13 +118,15 @@ def cmd_run(a) -> dict:
         web, spark, per_host_budget=a.budget, n_seeds=a.seeds or a.hosts,
         max_rounds=a.rounds, seen_filter=a.seen,
     )
-    if a.no_row_repartition:
-        # A/B control: disable the rows-based fetch-repartition gate
-        # (spec.fetch_repartition_rows), reverting to pre-gate behavior
-        # where per-host budgets below salt_fetch_threshold leave the
-        # fetch exchange to AQE's byte-based coalescer.
-        spec = dataclasses.replace(spec, fetch_repartition_rows=10**15)
-    store_cls = _timing_store(a.store, a.compact_every, a.kill_round)
+    if a.row_repartition > 0:
+        # A/B treatment: enable the opt-in rows arm of the fetch
+        # repartition gate (spec.fetch_repartition_rows; off by default
+        # after the leg-10 A/B measured it as a ~7.5% loss at the
+        # many-hosts shape — see config.py).
+        spec = dataclasses.replace(
+            spec, fetch_repartition_rows=a.row_repartition)
+    store_cls = _timing_store(a.store, a.compact_every, a.kill_round,
+                              compact_files=a.compact_files or None)
     store = store_cls(spark)
     engine = CrawlEngine(spark, spec, GenerativeFetcher(web, spec),
                          store=store)
@@ -401,6 +405,10 @@ def main() -> None:
     ap.add_argument("--skew-pct", type=int, default=0)
     ap.add_argument("--store", default="/tmp/lightcrawler_soak")
     ap.add_argument("--compact-every", type=int, default=10)
+    ap.add_argument("--compact-files", type=int, default=0,
+                    help="segment width for compaction rewrites "
+                         "(0 = store default: 8; leg-13 A/B rejected "
+                         "a wider default)")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--kill-round", type=int, default=None)
@@ -409,9 +417,10 @@ def main() -> None:
     ap.add_argument("--no-products", dest="products", action="store_false")
     ap.add_argument("--seen", choices=["exact", "bloom"], default="exact",
                     help="URL-seen set: exact anti-join or LSM sharded Bloom")
-    ap.add_argument("--no-row-repartition", action="store_true",
-                    help="A/B: disable the rows-based fetch-repartition "
-                         "gate (leave the fetch exchange to AQE)")
+    ap.add_argument("--row-repartition", type=int, default=0,
+                    help="A/B: enable the opt-in rows arm of the fetch-"
+                         "repartition gate at this row threshold "
+                         "(0 = off, the default after the leg-10 A/B)")
     ap.add_argument("--no-aqe", action="store_true",
                     help="disable AQE (A/B: per-stage replan vs barrier cost)")
     ap.add_argument("--event-log", default=None,

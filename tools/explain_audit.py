@@ -134,6 +134,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("partition-total prefix broadcast", r"BroadcastHashJoin"),
     ],
+    # grouped prefix sum: the in-bucket rank window must be keyed by
+    # (physical partition, bucket) — a bare partitionBy(bucket_id) would
+    # funnel a popular aspect (a corpus-scale mega-bucket) into one task
+    "aspect_bucket_batches": [
+        ("rank window keyed by (_pid, bucket)",
+         r"Window.*\[_pid#\d+, bucket_id#\d+\]"),
+        ("no bucket-only window partitioning",
+         r"!Window [^\n]*\[bucket_id#\d+\][^\n]*$"),
+        ("grouped-prefix offsets broadcast", r"BroadcastHashJoin"),
+    ],
     # BM25: corpus stats were collapsed to literals at plan-build time —
     # the scoring pass is one codegen'd scan, no join, no shuffle
     "bm25_rank": [

@@ -1,4 +1,12 @@
 #!/bin/bash
+# HISTORICAL RECORD — this script ran when the rows arm of the fetch
+# repartition gate was ON by default, so 10a disabled it via the
+# then-existing --no-row-repartition flag. The leg-10 A/B it produced
+# flipped the default OFF (config.py fetch_repartition_rows = 0); to
+# reproduce today run 10a with no flag and 10b with
+# --row-repartition 50000. A third, event-log-free gate-on arm was
+# added as soak_gate_on_clean_1e5.json (isolates logging overhead).
+#
 # Round-4 fourth campaign (run after the post-fix leg-8 rerun):
 #
 #  - Leg 10 (a/b): rows-based fetch-repartition gate A/B at the leg-2
