@@ -3326,6 +3326,87 @@ def q_raw_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_snapshots(snap).select("doc_id", "url", "source")
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best cluster representative selection
+    (operators/textdedup.py:select_cluster_representatives) — the
+    LAION/DataComp step after near-dup clustering: one winner per
+    cluster by lexicographic quality (n_chars, then a derived score),
+    ties to lowest doc_id. Scale shape under audit: winner selection is
+    max(struct) + equi-join + min(id) — partial-aggregating all the way,
+    NO rank window, so a 10^8-row spam mega-cluster never lands in one
+    window partition. The oracle re-derives the winner with a plain
+    row_number window (independent algebra, same answer)."""
+    from lightcrawler_spark.operators.textdedup import (
+        select_cluster_representatives,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (F.col("doc_id") % 60).cast("long").alias("component"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 1000)
+        .cast("long").alias("q2"),
+    )
+    reps = select_cluster_representatives(
+        d, cluster_col="component", id_col="doc_id",
+        quality_cols=("n_chars", "q2"),
+    )
+    return reps.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("q2").cast("long").alias("q2"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def q_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.py:hard_negatives): per anchor, the top-3
+    most-similar DIFFERENT-label vectors with cosine ≥ 0.2 — candidates
+    from the same SRP-LSH bucket equi-join as embedding_lsh (never
+    all-pairs), rank window on the anchor id (maximal-cardinality key,
+    per-partition rows ≤ bucket size). The oracle rebuilds the SRP
+    buckets from the shared md5 weight formula and re-ranks with SQL
+    windows."""
+    from lightcrawler_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=3, min_sim=0.2, n_bits=4).select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard integrity manifest
+    (operators/chunking.py:shard_manifest over assign_shards): per
+    shard — sample count, payload bytes, key range, md5 over the
+    layout-ordered key:size list. Byte offsets come from the two-stage
+    distributed prefix sum; the signature fold is bounded by the shard
+    byte cap (one tar file), never O(corpus). Oracle = DuckDB's serial
+    running sum + string_agg(... ORDER BY offset), digest for digest."""
+    from lightcrawler_spark.operators.chunking import (
+        assign_shards, shard_manifest,
+    )
+
+    samples = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("n_chars") * 7 + 100).cast("long").alias("n_bytes"),
+    )
+    sharded = assign_shards(samples, shard_bytes=500_000,
+                            order_col="image_id", size_col="n_bytes")
+    return shard_manifest(sharded).select(
+        F.col("shard_idx").cast("long").alias("shard_idx"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("first_key").cast("long").alias("first_key"),
+        F.col("last_key").cast("long").alias("last_key"),
+        "content_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3454,6 +3535,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_guaranteed_recall": q_phash_guaranteed_recall,
         "frontier_age": q_frontier_age,
         "raw_replay": q_raw_replay,
+        "cluster_representatives": q_cluster_representatives,
+        "hard_negative_mine": q_hard_negative_mine,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -3475,6 +3559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked round — judged against the shipped CORRECTNESS_r*.json
     artifacts. Deterministic given the artifacts; falls back to the
     registry's stable grouping order when none are present.
+
+    Within a tier (same last-checked round, including never-checked),
+    NEWEST registry entries go first: a brand-new query has had no
+    independent execution at all, while an older never-driver-checked
+    one has at least survived prior judge/golden runs.
     """
     full = _registry()
     import glob
@@ -3500,7 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     pos = {k: i for i, k in enumerate(full)}
     rest = [k for k in full if k not in _WINDOW_FLAGSHIPS]
-    rest.sort(key=lambda k: (last_checked.get(k, -1), pos[k]))
+    rest.sort(key=lambda k: (last_checked.get(k, -1), -pos[k]))
     ordered = [k for k in _WINDOW_FLAGSHIPS if k in full] + rest
     return {k: full[k] for k in ordered}
 
@@ -6306,6 +6395,100 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source, s.score_milli,
   (d.domain_docs >= 50 AND d.sum_milli < 450 * d.domain_docs)
     AS domain_blocked
 FROM s JOIN d USING (source)
+""",
+        "cluster_representatives": """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         doc_id % 60 AS component,
+         (doc_id * 2654435761) % 1000 AS q2
+  FROM documents
+),
+r AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY component) AS cluster_size,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY n_chars DESC, q2 DESC, doc_id ASC
+         ) AS rn
+  FROM d
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(q2 AS BIGINT) AS q2,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1
+""",
+        "hard_negative_mine": """
+WITH w AS (
+  SELECT b, i, CAST(ascii(substr(md5(b || '_' || i), 1, 1)) - 79 AS DOUBLE) AS wt
+  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+       (SELECT unnest(generate_series(1, 64)) AS i)
+),
+ux AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN sum(x * wt) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM ux JOIN w USING (i) GROUP BY vec_id, b
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY b) AS bucket
+  FROM bits GROUP BY vec_id
+),
+e AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, e.label, bk.bucket
+  FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, c.v), 6) AS sim
+  FROM e a JOIN e c ON a.bucket = c.bucket AND a.label <> c.label
+),
+r AS (
+  SELECT anchor_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC
+         ) AS rank
+  FROM pairs WHERE sim >= 0.2
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""",
+        "shard_manifest": """
+WITH s AS (
+  SELECT doc_id AS image_id,
+         CAST(n_chars * 7 + 100 AS BIGINT) AS n_bytes
+  FROM documents
+),
+o AS (
+  SELECT image_id, n_bytes,
+         COALESCE(sum(n_bytes) OVER (
+           ORDER BY image_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_byte
+  FROM s
+),
+a AS (
+  SELECT image_id, n_bytes,
+         CAST(floor(start_byte / 500000.0) AS BIGINT) AS shard_idx,
+         start_byte - CAST(floor(start_byte / 500000.0) AS BIGINT) * 500000
+           AS off
+  FROM o
+)
+SELECT CAST(shard_idx AS BIGINT) AS shard_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(image_id) AS BIGINT) AS first_key,
+       CAST(max(image_id) AS BIGINT) AS last_key,
+       md5(string_agg(image_id || ':' || n_bytes, ',' ORDER BY off))
+         AS content_md5
+FROM a GROUP BY shard_idx
 """,
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only

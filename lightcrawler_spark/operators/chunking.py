@@ -33,6 +33,7 @@ __all__ = [
     "assign_shards",
     "generate_aspect_buckets",
     "assign_aspect_buckets",
+    "shard_manifest",
 ]
 
 
@@ -306,4 +307,54 @@ def assign_aspect_buckets(
              * F.lit(batch_size)) < F.lit(batch_size),
         )
         .drop("_pid", "_cum", "_offset", "_bbase", "_btotal")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str = "shard_idx",
+    key_col: str = "image_id",
+    offset_col: str = "offset_in_shard",
+    size_col: str = "n_bytes",
+) -> DataFrame:
+    """Integrity manifest for WebDataset-style shards — one row per
+    shard with sample count, payload bytes, the key range, and a
+    deterministic content signature (md5 over the layout-ordered
+    ``key:size`` list). The manifest is what a training job checks
+    before mounting a shard and what an incremental writer diffs to
+    skip unchanged shards; consumes ``assign_shards`` output.
+
+    Scale shape: one hash aggregate on the shard id. Per-shard state is
+    BOUNDED BY CONSTRUCTION — a shard holds at most
+    ``shard_bytes / min_sample_bytes`` samples (it is one tar file), so
+    the sort+concat signature fold is O(shard), never O(corpus), and
+    map-side combine keeps the shuffle at one row per shard per task.
+    No window, no skew hazard (shard ids are sequential and uniform by
+    construction of the byte binning).
+    """
+    item = F.struct(
+        F.col(offset_col).alias("off"),
+        F.concat_ws(
+            ":", F.col(key_col).cast("string"),
+            F.col(size_col).cast("string"),
+        ).alias("kv"),
+    )
+    return (
+        df.groupBy(F.col(shard_col))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum(F.col(size_col)).cast("long").alias("total_bytes"),
+            F.min(F.col(key_col)).alias("first_key"),
+            F.max(F.col(key_col)).alias("last_key"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(item)),
+                        lambda s: s["kv"],
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .withColumnRenamed(shard_col, "shard_idx")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_expr", "brute_force_topk", "srp_bucket_expr", "lsh_topk",
            "ivf_topk", "cosine_near_dup_pairs", "semantic_dedup_assignments",
-           "ann_recall"]
+           "ann_recall", "hard_negatives"]
 
 
 def _dot(a, b):
@@ -401,4 +401,65 @@ def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "int_dot", "sim_q", "rank")
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    min_sim: float = 0.0,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    most-similar items with a DIFFERENT label — the near-misses a
+    CLIP-style training batch needs (in-batch random negatives are
+    mostly easy; retrieval-mined negatives with high cosine but a
+    different class carry the gradient signal). An image+caption
+    pipeline runs this after dedup: ``label`` is the dup-cluster /
+    concept / source-class id, so same-label pairs (potential
+    positives) are never emitted as negatives.
+
+    ``min_sim`` floors the band (below it negatives are easy and
+    worthless); pairs at or above it rank by (sim desc, neighbor id
+    asc) — fully deterministic.
+
+    Scale shape: candidates come from the SAME SRP-LSH bucket equi-join
+    as ``lsh_topk`` — never all-pairs; recall is the standard LSH trade
+    (a hard negative in another bucket is missed; ``ann_recall``
+    measures it). The per-anchor rank window partitions on the ANCHOR
+    id — maximal cardinality, bounded per-partition rows (≤ bucket
+    size), so no mega-key collapse. One bucket shuffle + one window,
+    both skew-safe by construction.
+    """
+    bucket = srp_bucket_expr(vec_col, n_bits)
+    a = embeddings.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_label"),
+        bucket.alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("a_label") != F.col("c_label"))
+        .withColumn(
+            "sim", F.round(cosine_expr(F.col("a_vec"), F.col("c_vec")), 6)
+        )
+        .filter(F.col("sim") >= F.lit(min_sim))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neighbor_id", "sim", "rank")
     )

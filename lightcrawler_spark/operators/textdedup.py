@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "dedup_lines",
     "mask_duplicate_ngrams",
+    "select_cluster_representatives",
 ]
 
 
@@ -507,3 +508,57 @@ def mask_duplicate_ngrams(
     )
     out = df.join(masked, id_col)
     return out if keep_text else out.drop(text_col)
+
+
+def select_cluster_representatives(
+    df: DataFrame,
+    cluster_col: str = "component",
+    id_col: str = "doc_id",
+    quality_cols: tuple[str, ...] = ("n_chars",),
+    keep_cluster_size: bool = True,
+) -> DataFrame:
+    """Keep ONE row per near-dup cluster — the highest-quality member —
+    the curation step that consumes ``connected_components`` /
+    ``dedup_cluster_assignments`` output (LAION/DataComp "keep best of
+    each dup group": highest resolution image, longest caption, best
+    quality score; the reference keeps whichever dup arrives first,
+    DaoXlegalLawContentRecord.class.php:96-121).
+
+    Quality is the lexicographic struct of ``quality_cols`` (higher
+    wins on each, in order); ties break on the LOWEST ``id_col`` so the
+    winner is deterministic under any partitioning — required for the
+    resume/oracle contracts.
+
+    Scale shape: a spam campaign can put 10^8 near-identical pages in
+    ONE cluster, so a rank window partitioned by cluster id is exactly
+    the mega-key collapse this engine bans. Three partial-aggregating
+    shapes instead: (1) ``groupBy(cluster).agg(max(struct(quality)))``
+    — map-side combine collapses the mega-cluster to one row per map
+    task before the shuffle; (2) an equi-join back on
+    (cluster, best-quality struct) keeps only quality-maximal members;
+    (3) ``min(id)`` among those breaks ties. Every stage is a hash
+    aggregate or an AQE-skew-splittable equi-join; nothing serializes
+    on the hot cluster.
+
+    Returns the representative rows of ``df`` (original columns), plus
+    ``cluster_size`` when ``keep_cluster_size``.
+    """
+    qual = F.struct(*[F.col(c) for c in quality_cols]).alias("_q")
+    agg = [F.max(qual).alias("_best")]
+    if keep_cluster_size:
+        agg.append(F.count("*").alias("cluster_size"))
+    best = df.groupBy(cluster_col).agg(*agg)
+    maximal = df.join(best, cluster_col).filter(
+        F.struct(*[F.col(c) for c in quality_cols]) == F.col("_best")
+    )
+    winner = maximal.groupBy(cluster_col).agg(
+        F.min(F.col(id_col)).alias("_wid")
+    )
+    out_cols = list(df.columns) + (
+        ["cluster_size"] if keep_cluster_size else []
+    )
+    return (
+        maximal.join(winner, cluster_col)
+        .filter(F.col(id_col) == F.col("_wid"))
+        .select(*out_cols)
+    )

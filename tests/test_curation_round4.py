@@ -1,0 +1,152 @@
+"""Round-4 curation additions: keep-best cluster representatives,
+contrastive hard-negative mining, WebDataset shard manifests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lightcrawler_spark.operators.chunking import (
+    assign_shards, shard_manifest,
+)
+from lightcrawler_spark.operators.similarity import hard_negatives
+from lightcrawler_spark.operators.textdedup import (
+    select_cluster_representatives,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, component long, n_chars long, q2 long")
+
+
+class TestClusterRepresentatives:
+    def test_quality_argmax_and_ties(self, spark):
+        # cluster 0: clear n_chars winner; cluster 1: n_chars tie broken
+        # by q2; cluster 2: full quality tie broken by LOWEST id
+        df = _docs(spark, [
+            (1, 0, 100, 5), (2, 0, 300, 1), (3, 0, 200, 9),
+            (10, 1, 50, 2), (11, 1, 50, 7), (12, 1, 40, 9),
+            (20, 2, 10, 3), (21, 2, 10, 3), (22, 2, 10, 3),
+        ])
+        out = select_cluster_representatives(
+            df, cluster_col="component", id_col="doc_id",
+            quality_cols=("n_chars", "q2"),
+        ).orderBy("component").collect()
+        assert [(r.component, r.doc_id, r.cluster_size) for r in out] == [
+            (0, 2, 3), (1, 11, 3), (2, 20, 3),
+        ]
+
+    def test_mega_cluster_partitioning_invariance(self, spark):
+        # one cluster holding every row (the spam shape): exactly one
+        # winner, identical under 1-partition and 16-partition layouts
+        rows = [(i, 0, (i * 37) % 50, (i * 11) % 7) for i in range(400)]
+        df = _docs(spark, rows)
+        outs = []
+        for parts in (1, 16):
+            out = select_cluster_representatives(
+                df.repartition(parts), cluster_col="component",
+                id_col="doc_id", quality_cols=("n_chars", "q2"),
+            ).collect()
+            assert len(out) == 1
+            assert out[0].cluster_size == 400
+            outs.append((out[0].doc_id, out[0].n_chars, out[0].q2))
+        assert outs[0] == outs[1]
+        # the winner is the true lexicographic argmax, lowest-id tie
+        best = max((r[2], r[3], -r[0]) for r in rows)
+        assert outs[0] == (-best[2], best[0], best[1])
+
+    def test_single_quality_col_and_no_size(self, spark):
+        df = _docs(spark, [(1, 0, 5, 0), (2, 0, 9, 0), (3, 1, 1, 0)])
+        out = select_cluster_representatives(
+            df.drop("q2"), cluster_col="component", id_col="doc_id",
+            quality_cols=("n_chars",), keep_cluster_size=False,
+        )
+        assert "cluster_size" not in out.columns
+        got = {(r.component, r.doc_id) for r in out.collect()}
+        assert got == {(0, 2), (1, 3)}
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_floors_sim(self, spark):
+        # two tight direction-clusters; labels split WITHIN each, so the
+        # hardest negatives are the near-identical other-label vectors
+        vecs = []
+        for j in range(8):
+            vecs.append(([1.0, 0.01 * j, 0.0, 0.0], j % 2))
+        for j in range(8):
+            vecs.append(([0.0, 0.0, 1.0, 0.01 * j], 2 + j % 2))
+        out = hard_negatives(
+            _emb(spark, vecs), k=3, min_sim=0.5, n_bits=2).collect()
+        assert out, "expected candidates inside shared SRP buckets"
+        by_id = {i: lab for i, (_, lab) in enumerate(vecs)}
+        for r in out:
+            assert by_id[r.anchor_id] != by_id[r.neighbor_id]
+            assert r.anchor_id != r.neighbor_id
+            assert r.sim >= 0.5
+            assert 1 <= r.rank <= 3
+
+    def test_rank_is_deterministic_and_dense(self, spark):
+        vecs = [([1.0, float(j) / 10, 0.5, 0.0], j % 3) for j in range(12)]
+        a = hard_negatives(_emb(spark, vecs), k=2, min_sim=0.0).collect()
+        b = hard_negatives(_emb(spark, vecs), k=2, min_sim=0.0).collect()
+        key = lambda r: (r.anchor_id, r.rank)  # noqa: E731
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        for r in a:
+            assert r.rank <= 2
+        # per anchor, ranks are 1..n with no gaps
+        from collections import defaultdict
+        ranks = defaultdict(list)
+        for r in a:
+            ranks[r.anchor_id].append(r.rank)
+        for v in ranks.values():
+            assert sorted(v) == list(range(1, len(v) + 1))
+
+
+class TestShardManifest:
+    def _sharded(self, spark, n=200, shard_bytes=10_000):
+        samples = spark.range(n).select(
+            F.col("id").alias("image_id"),
+            (F.col("id") % 7 * 53 + 211).cast("long").alias("n_bytes"),
+        )
+        return assign_shards(samples, shard_bytes=shard_bytes,
+                             order_col="image_id", size_col="n_bytes")
+
+    def test_manifest_counts_and_ranges(self, spark):
+        sharded = self._sharded(spark)
+        m = shard_manifest(sharded).collect()
+        assert sum(r.n_samples for r in m) == 200
+        total = sum(r.total_bytes for r in m)
+        assert total == sum((i % 7) * 53 + 211 for i in range(200))
+        # shards are contiguous key ranges in layout order
+        by_idx = sorted(m, key=lambda r: r.shard_idx)
+        for prev, nxt in zip(by_idx, by_idx[1:]):
+            assert prev.last_key < nxt.first_key
+        # a shard overflows by at most one sample
+        for r in by_idx[:-1]:
+            assert r.total_bytes < 10_000 + (6 * 53 + 211)
+
+    def test_signature_partitioning_invariance(self, spark):
+        sharded = self._sharded(spark)
+        a = {r.shard_idx: r.content_md5
+             for r in shard_manifest(sharded.repartition(1)).collect()}
+        b = {r.shard_idx: r.content_md5
+             for r in shard_manifest(sharded.repartition(16)).collect()}
+        assert a == b and len(a) >= 3
+
+    def test_signature_detects_content_change(self, spark):
+        sharded = self._sharded(spark)
+        base = {r.shard_idx: r.content_md5
+                for r in shard_manifest(sharded).collect()}
+        bumped = sharded.withColumn(
+            "n_bytes",
+            F.when(F.col("image_id") == 0,
+                   F.col("n_bytes") + 1).otherwise(F.col("n_bytes")))
+        changed = {r.shard_idx: r.content_md5
+                   for r in shard_manifest(bumped).collect()}
+        assert changed[0] != base[0]
+        assert all(changed[k] == base[k] for k in base if k != 0)

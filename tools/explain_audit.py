@@ -134,6 +134,29 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("partition-total prefix broadcast", r"BroadcastHashJoin"),
     ],
+    # keep-best representative: winner via max(struct)+join+min(id) —
+    # a spam mega-cluster must never become one rank-window partition
+    "cluster_representatives": [
+        ("partial-agg winner selection", r"partial_max"),
+        ("no window at all", r"!Window"),
+    ],
+    # hard negatives: SRP bucket equi-join candidates (never all-pairs,
+    # no per-row md5), rank window keyed on the maximal-cardinality
+    # anchor id only
+    "hard_negative_mine": [
+        ("bucket equi-join (no cross join)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no per-row md5 in bucket expr", r"!md5\("),
+        ("rank window on anchor id", r"windowspecdefinition\(anchor_id"),
+    ],
+    # shard manifest: offsets from the distributed prefix sum (partition
+    # totals broadcast), signature fold inside a hash aggregate bounded
+    # by the shard byte cap — no rank window on the shard id
+    "shard_manifest": [
+        ("manifest is a hash aggregate", r"HashAggregate"),
+        ("partition-total prefix broadcast", r"BroadcastHashJoin"),
+        ("no rank window on shard id", r"!windowspecdefinition\(shard_idx"),
+    ],
     # grouped prefix sum: the in-bucket rank window must be keyed by
     # (physical partition, bucket) — a bare partitionBy(bucket_id) would
     # funnel a popular aspect (a corpus-scale mega-bucket) into one task
