@@ -3407,6 +3407,44 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-driven frontier prioritization
+    (operators/scheduler.py:priority_from_pagerank): the Cho/
+    Garcia-Molina/Page crawl ordering — P2 levels from link analysis
+    instead of the reference's regex lists. Same dyadic 64-node contract
+    graph as link_pagerank (doubles exact), doubling-based tiers
+    compared as shifted int64s (no float hazard), nodes 64-69 absent
+    from the graph prove the crawl-the-unknown-last level-0 default.
+    Scale shape: max collapses to a driver scalar, tiering is one
+    codegen'd CASE, the rank join is an AQE-splittable equi-join."""
+    from lightcrawler_spark.operators.graph import pagerank
+    from lightcrawler_spark.operators.scheduler import (
+        priority_from_pagerank,
+    )
+
+    n = 64
+    base = spark.range(n)
+    edges = base.select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        base.filter(F.col("id") % 2 == 0).select(
+            F.col("id").alias("src"), F.floor(F.col("id") / 2).alias("dst")
+        )
+    )
+    nodes = base.select(F.col("id").alias("node"))
+    ranks = pagerank(edges, nodes=nodes, iterations=3, damping=0.5)
+    frontier = spark.range(70).select(
+        F.col("id").alias("node"),
+        F.concat(F.lit("http://pr.test/n/"),
+                 F.col("id").cast("string")).alias("url"),
+    )
+    return priority_from_pagerank(frontier, ranks, levels=4).select(
+        F.col("node").cast("long").alias("node"),
+        "url",
+        F.col("priority_level").cast("int").alias("priority_level"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3538,6 +3576,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": q_cluster_representatives,
         "hard_negative_mine": q_hard_negative_mine,
         "shard_manifest": q_shard_manifest,
+        "pagerank_priority": q_pagerank_priority,
     }
 
 
@@ -6395,6 +6434,56 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source, s.score_milli,
   (d.domain_docs >= 50 AND d.sum_milli < 450 * d.domain_docs)
     AS domain_blocked
 FROM s JOIN d USING (source)
+""",
+        "pagerank_priority": """
+WITH nodes AS (SELECT i AS node FROM generate_series(0, 63) t(i)),
+edges AS (
+  SELECT i AS src, (2 * i + 1) % 64 AS dst FROM generate_series(0, 63) t(i)
+  UNION ALL
+  SELECT i, i // 2 FROM generate_series(0, 63) t(i) WHERE i % 2 = 0
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / 64 AS rank FROM nodes),
+r1 AS (
+  SELECT n.node,
+         0.5 / 64 + 0.5 * coalesce(sum(r0.rank / deg.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r0 ON r0.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         0.5 / 64 + 0.5 * coalesce(sum(r1.rank / deg.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r1 ON r1.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         0.5 / 64 + 0.5 * coalesce(sum(r2.rank / deg.outd), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r2 ON r2.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node
+),
+s AS (
+  SELECT node, CAST(floor(rank * 1048576) AS BIGINT) AS scaled FROM r3
+),
+mx AS (SELECT max(scaled) AS m FROM s),
+f AS (SELECT i AS node FROM generate_series(0, 69) t(i))
+SELECT CAST(f.node AS BIGINT) AS node,
+       'http://pr.test/n/' || f.node AS url,
+       CAST(CASE WHEN s.scaled IS NULL THEN 0
+                 WHEN s.scaled >= mx.m THEN 3
+                 WHEN s.scaled * 2 >= mx.m THEN 2
+                 WHEN s.scaled * 4 >= mx.m THEN 1
+                 ELSE 0 END AS INT) AS priority_level
+FROM f LEFT JOIN s ON s.node = f.node, mx
 """,
         "cluster_representatives": """
 WITH d AS (

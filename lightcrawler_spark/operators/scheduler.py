@@ -40,6 +40,7 @@ __all__ = [
     "interleave_rank",
     "salted_repartition",
     "recrawl_schedule",
+    "priority_from_pagerank",
     "backoff_blocked_hosts",
 ]
 
@@ -477,4 +478,60 @@ def frontier_age_report(frontier: DataFrame, current_round: int,
             F.round(F.col("_sw").cast("double") / F.col("n_pending"), 6),
         )
         .drop("_sw")
+    )
+
+
+def priority_from_pagerank(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    levels: int = 4,
+    node_col: str = "node",
+    rank_col: str = "rank",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """P2 at web scale: derive the frontier's ``priority_level`` from
+    link-graph PageRank (operators/graph.py:pagerank) instead of the
+    reference's hand-written regex priority lists
+    (UrlCache/PHPCrawlerURLCacheBase.class.php:98-138) — the crawl
+    ordering Cho, Garcia-Molina & Page showed reaches important pages
+    first. Output plugs straight into pop_order()/pop_per_host, and
+    MIN-combines with admission/politeness like every other P2 source.
+
+    Tiering is doubling-based and integer-exact: a page lands in the
+    highest level whose threshold ``max_rank / 2^j`` it clears —
+    computed as ``scaled << j >= max_scaled`` on
+    ``scaled = floor(rank * 2^scale_bits)`` int64s, so the verdict has
+    no float-comparison hazard between engines (ranks from the dyadic
+    contract graph are exact; real-valued ranks just tier
+    deterministically on their scaled floor).
+
+    Scale shape: one partial-aggregating max() collapsed to a driver
+    scalar (O(1), same idiom as the BM25 corpus stats), then the tier
+    is ONE codegen'd CASE in the scan — no shuffle beyond the
+    frontier ⋈ ranks equi-join on the node id, which AQE can
+    skew-split; a frontier row without a rank (not yet in the link
+    graph) gets level 0, the crawl-the-unknown-last default.
+    """
+    scaled = F.floor(F.col(rank_col) * F.lit(1 << scale_bits)).cast("long")
+    r = ranks.select(F.col(node_col), scaled.alias("_scaled"))
+    max_scaled = int(
+        r.agg(F.max("_scaled")).collect()[0][0] or 0
+    )
+    tier = F.lit(0)
+    if max_scaled > 0:  # all-zero/empty ranks → everything level 0
+        # j doublings from max → level levels-1-j; built inside-out so
+        # the TIGHTEST threshold (j=0, the top tier) is evaluated first
+        for j in reversed(range(levels)):
+            tier = F.when(
+                F.col("_scaled") * F.lit(1 << j) >= F.lit(max_scaled),
+                F.lit(levels - 1 - j),
+            ).otherwise(tier)
+    return (
+        frontier.join(r, node_col, "left")
+        .withColumn(
+            "priority_level",
+            F.when(F.col("_scaled").isNull(), F.lit(0))
+            .otherwise(tier).cast("int"),
+        )
+        .drop("_scaled")
     )

@@ -150,3 +150,44 @@ class TestShardManifest:
                    for r in shard_manifest(bumped).collect()}
         assert changed[0] != base[0]
         assert all(changed[k] == base[k] for k in base if k != 0)
+
+
+class TestPagerankPriority:
+    def _ranks(self, spark, rows):
+        return spark.createDataFrame(rows, "node long, rank double")
+
+    def test_doubling_tiers_and_unknown_default(self, spark):
+        from lightcrawler_spark.operators.scheduler import (
+            priority_from_pagerank,
+        )
+        # max=0.5: tiers at >=0.5 → 3, >=0.25 → 2, >=0.125 → 1, else 0
+        ranks = self._ranks(spark, [
+            (0, 0.5), (1, 0.25), (2, 0.125), (3, 0.0625), (4, 0.26),
+        ])
+        frontier = spark.range(7).select(F.col("id").alias("node"))
+        out = {r.node: r.priority_level
+               for r in priority_from_pagerank(frontier, ranks).collect()}
+        assert out == {0: 3, 1: 2, 2: 1, 3: 0, 4: 2, 5: 0, 6: 0}
+
+    def test_empty_ranks_all_level_zero(self, spark):
+        from lightcrawler_spark.operators.scheduler import (
+            priority_from_pagerank,
+        )
+        ranks = self._ranks(spark, [])
+        frontier = spark.range(4).select(F.col("id").alias("node"))
+        out = priority_from_pagerank(frontier, ranks).collect()
+        assert {r.priority_level for r in out} == {0}
+
+    def test_feeds_pop_order(self, spark):
+        from lightcrawler_spark.operators.scheduler import (
+            pop_global, priority_from_pagerank,
+        )
+        ranks = self._ranks(spark, [(i, 1.0 / (1 << i)) for i in range(6)])
+        frontier = spark.range(6).select(
+            F.col("id").alias("node"),
+            F.col("id").alias("insert_seq"),
+        )
+        pri = priority_from_pagerank(frontier, ranks)
+        popped = pop_global(pri, budget=3).orderBy("pop_rank").collect()
+        # highest-rank nodes pop first, insert order breaks ties
+        assert [r.node for r in popped] == [0, 1, 2]

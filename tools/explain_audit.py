@@ -134,6 +134,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("partition-total prefix broadcast", r"BroadcastHashJoin"),
     ],
+    # pagerank-driven P2: the doubling tiers must be one codegen'd CASE
+    # over the scaled rank; the rank join must be an equi-join
+    "pagerank_priority": [
+        ("rank join is an equi-join",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("codegen'd tier CASE", r"\*\(\d+\)"),
+        ("no rank-ordering window", r"!windowspecdefinition"),
+    ],
     # keep-best representative: winner via max(struct)+join+min(id) —
     # a spam mega-cluster must never become one rank-window partition
     "cluster_representatives": [
