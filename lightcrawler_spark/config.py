@@ -125,6 +125,17 @@ class CrawlSpec:
     # and any Crawl-delay / latency / backoff dim so the most
     # conservative signal still wins. 0 = off (uniform per-host budget).
     apportion_round_budget: int = 0
+    # memory-store stats hygiene: sever Catalyst statistics on every
+    # stored frame (checkpoint + JVM-side internalCreateDataFrame
+    # rewrap, CrawlEngine._to_local — constant defaultSizeInBytes, zero
+    # driver round-trip). A bare checkpoint inherits its source plan's
+    # sizeInBytes, which per-host rounds multiply through their joins:
+    # stored stats then compound geometrically until Catalyst grinds
+    # inside BigInteger.multiply by round ~10 (measured 2.5e7-digit
+    # BigInts). False = checkpoint-only, the regression-probe arm of
+    # tests/test_stats_flatten.py; never disable in real crawls.
+    # Durable stores are unaffected (parquet scans carry real stats).
+    sever_stored_stats: bool = True
     # URL-seen set mode (P1). "exact": new links anti-join the full
     # frontier key set every round — bit-exact reference parity, but an
     # O(frontier) scan+shuffle per round. "bloom": the north-rule design

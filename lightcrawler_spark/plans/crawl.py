@@ -828,17 +828,21 @@ class CrawlEngine:
         # stores materialize in their own write instead. On the fused
         # path this is THE round's Spark job; it also fires the stats
         # Observation and pins the fetch-results checkpoint. The
-        # materialization is collect → LocalRelation (not a checkpoint:
-        # a LogicalRDD INHERITS the source plan's size statistics, which
-        # the per-host round pipeline multiplies through its joins, so
-        # stored stats would compound ~4× per round and Catalyst's
-        # sizeInBytes BigInts grind planning to a halt by round ~10; a
-        # LocalRelation carries real tiny stats, and the memory store
-        # backs micro-scale crawls by contract). write() then stores it
-        # without scheduling any further job (LocalTableScan collects
-        # driver-side).
+        # materialization is checkpoint + stats-severing rewrap
+        # (_to_local): a bare checkpoint inherits the round pipeline's
+        # join-multiplied sizeInBytes and stored stats then compound
+        # geometrically across rounds — periodic flattening CANNOT fix
+        # this, because old checkpointed frames persist in the
+        # cumulative frontier union and keep compounding off the worst
+        # stored frame (measured: a flatten-every-3 hybrid still blew
+        # past 3e4 digits by round 12); every stored frame must carry
+        # underivable stats. sever_stored_stats=False is the
+        # regression-probe arm of tests/test_stats_flatten.py only.
         if not getattr(self.store, "materializes", False):
-            new = self._to_local(new)
+            if spec.sever_stored_stats:
+                new = self._to_local(new)
+            else:
+                new = new.localCheckpoint(eager=True)
         if fused:
             stats = _observed_stats(obs)
             if stats is None:  # listener lost — re-aggregate (rare)
@@ -914,13 +918,33 @@ class CrawlEngine:
         self._round_block_rdds.clear()
 
     def _to_local(self, df: DataFrame) -> DataFrame:
-        """collect → LocalRelation: materializes like an eager checkpoint
-        (fires pending Observations, pins upstream lazy checkpoints) but
-        the result carries REAL tiny statistics instead of inheriting the
-        source plan's join-multiplied sizeInBytes — the memory-store
-        stat-compounding fix (see the `new` materialization comment).
-        Only ever called on budget-bounded frames in memory-store mode."""
-        return self.spark.createDataFrame(df.collect(), df.schema)
+        """Materialize + SEVER Catalyst statistics, JVM-side.
+
+        An eager localCheckpoint materializes the frame (fires pending
+        Observations, pins upstream lazy checkpoints) but its LogicalRDD
+        INHERITS the source plan's sizeInBytes — which the per-host
+        round pipeline multiplies through its joins, so stored stats
+        compound geometrically across rounds (measured: 2.5e7-DIGIT
+        BigInts by round 10, planning ground to a halt inside
+        BigInteger.multiply). Re-wrapping the checkpointed internal RDD
+        through internalCreateDataFrame builds a fresh LogicalRDD whose
+        stats are the CONSTANT defaultSizeInBytes — derivation severed,
+        so nothing compounds — at zero cost: no driver collect (the
+        earlier collect→createDataFrame form of this fix cost a driver
+        round-trip per round, 43% of the fixture engine bench, BENCH_r03
+        7.7s → 11.2s), no recompute (toRdd of a checkpointed plan IS the
+        materialized RDD), and the same single action per round.
+        tests/test_stats_flatten.py pins the digit bound and trace
+        parity. Only ever called on memory-store frames; durable stores
+        re-read parquet, which carries real scan statistics."""
+        ck = df.localCheckpoint(eager=True)
+        jdf = ck._jdf
+        return DataFrame(
+            self.spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            ),
+            self.spark,
+        )
 
     def _write_seen_bloom_delta(self, round_no: int, rows: DataFrame) -> None:
         """Build one sharded Bloom delta over this round's NEW frontier
