@@ -3445,6 +3445,89 @@ def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third composed flagship — the image+caption CURATION chain, end
+    to end in one plan: phash pigeonhole near-dup pairs
+    (operators/images.py:phash_near_dup_pairs) → min-label connected
+    components (operators/graph.py:dedup_cluster_assignments) →
+    keep-best representative per cluster
+    (operators/textdedup.py:select_cluster_representatives, quality =
+    (area, caption length), ties to lowest id) → nearest-aspect bucket
+    (operators/chunking.py:assign_aspect_buckets) → WebDataset shard
+    binning on the distributed prefix sum
+    (operators/chunking.py:assign_shards). The whole chain is
+    re-derived by one chained-CTE DuckDB oracle (recursive CC, window
+    re-rank, serial running sum), so a green row certifies the
+    curation subsystem's composition, not just its pieces. Scale
+    shapes: band equi-join candidates, shuffle-bounded CC, window-free
+    argmax winner, O(P)-driver prefix sum."""
+    from lightcrawler_spark.operators.chunking import (
+        assign_aspect_buckets, assign_shards,
+    )
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.images import phash_near_dup_pairs
+    from lightcrawler_spark.operators.textdedup import (
+        select_cluster_representatives,
+    )
+
+    imgs = (
+        spark.range(300)
+        .select(
+            F.col("id").alias("image_id"),
+            (F.col("id") % 60).alias("_g"),
+            F.floor(F.col("id") / 60).cast("long").alias("_j"),
+            (F.lit(24) + (F.col("id") % 10) * 8).cast("int").alias("w"),
+            (F.lit(24) + (F.col("id") % 7) * 4).cast("int").alias("h"),
+            (F.lit(8) + (F.col("id") * 13) % 23).cast("long")
+            .alias("cap_len"),
+        )
+        .select(
+            "image_id", "_j", "w", "h", "cap_len",
+            (F.col("_g") * F.lit(2654435761))
+            .bitwiseXOR(F.shiftleft(F.col("_g") * F.lit(40503), 32))
+            .alias("_base"),
+        )
+        .select(
+            "image_id", "w", "h", "cap_len",
+            (F.col("w").cast("long") * F.col("h")).alias("area"),
+            F.when(
+                F.col("_j") > 0,
+                F.col("_base").bitwiseXOR(
+                    F.pow(F.lit(2.0), (F.col("_j") * 2).cast("double"))
+                    .cast("long")
+                ),
+            )
+            .otherwise(F.col("_base"))
+            .alias("phash"),
+        )
+    )
+    pairs = phash_near_dup_pairs(imgs, max_hamming=6, id_col="image_id")
+    clusters = dedup_cluster_assignments(
+        pairs, imgs, id_col="image_id"
+    ).select("image_id", "cluster")
+    reps = select_cluster_representatives(
+        imgs.join(clusters, "image_id"),
+        cluster_col="cluster", id_col="image_id",
+        quality_cols=("area", "cap_len"),
+    )
+    bucketed = assign_aspect_buckets(reps, batch_size=4, num_partitions=8)
+    sharded = assign_shards(
+        bucketed.withColumn("n_bytes", F.col("area") * 3),
+        shard_bytes=100_000, order_col="image_id", size_col="n_bytes",
+    )
+    return sharded.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.col("area").cast("long").alias("area"),
+        F.col("cap_len").cast("long").alias("cap_len"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("bucket_id").cast("int").alias("bucket_id"),
+        F.col("shard_idx").cast("long").alias("shard_idx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3577,6 +3660,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mine": q_hard_negative_mine,
         "shard_manifest": q_shard_manifest,
         "pagerank_priority": q_pagerank_priority,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -6434,6 +6518,82 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source, s.score_milli,
   (d.domain_docs >= 50 AND d.sum_milli < 450 * d.domain_docs)
     AS domain_blocked
 FROM s JOIN d USING (source)
+""",
+        "curation_pipeline": """
+WITH RECURSIVE
+imgs AS (
+  SELECT i AS image_id,
+         CAST(24 + (i % 10) * 8 AS INTEGER) AS w,
+         CAST(24 + (i % 7) * 4 AS INTEGER) AS h,
+         CAST(8 + (i * 13) % 23 AS BIGINT) AS cap_len,
+         CAST((24 + (i % 10) * 8) AS BIGINT) * (24 + (i % 7) * 4) AS area,
+         CASE WHEN i // 60 > 0
+              THEN xor(xor((i % 60) * 2654435761, ((i % 60) * 40503) << 32),
+                       CAST(power(2, (i // 60) * 2) AS BIGINT))
+              ELSE xor((i % 60) * 2654435761, ((i % 60) * 40503) << 32)
+         END AS ph
+  FROM generate_series(0, 299) t(i)
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 6
+    AND ((a.ph >> 0) & 65535 = (b.ph >> 0) & 65535
+      OR (a.ph >> 16) & 65535 = (b.ph >> 16) & 65535
+      OR (a.ph >> 32) & 65535 = (b.ph >> 32) & 65535
+      OR (a.ph >> 48) & 65535 = (b.ph >> 48) & 65535)
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT image_id, image_id FROM imgs
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+),
+clus AS (SELECT node AS image_id, min(comp) AS cluster
+         FROM reach GROUP BY node),
+j AS (SELECT i.*, c.cluster FROM imgs i JOIN clus c USING (image_id)),
+szs AS (SELECT cluster, count(*) AS cluster_size FROM j GROUP BY cluster),
+reps AS (
+  SELECT * FROM (
+    SELECT j.*, s.cluster_size,
+           row_number() OVER (
+             PARTITION BY j.cluster
+             ORDER BY j.area DESC, j.cap_len DESC, j.image_id ASC
+           ) AS rn
+    FROM j JOIN szs s USING (cluster)
+  ) WHERE rn = 1
+),
+buckets(bucket_id, bucket_w, bucket_h) AS (VALUES
+  (0,16,64),(1,16,56),(2,24,48),(3,24,40),(4,32,32),
+  (5,40,24),(6,48,24),(7,56,16),(8,64,16)
+),
+bucked AS (
+  SELECT * FROM (
+    SELECT r.*, b.bucket_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.image_id
+             ORDER BY abs(CAST(r.w AS BIGINT) * b.bucket_h
+                          - CAST(r.h AS BIGINT) * b.bucket_w), b.bucket_id
+           ) AS pick
+    FROM reps r CROSS JOIN buckets b
+  ) WHERE pick = 1
+),
+offs AS (
+  SELECT *, COALESCE(sum(area * 3) OVER (
+    ORDER BY image_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_byte
+  FROM bucked
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(image_id AS BIGINT) AS image_id,
+       CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+       CAST(area AS BIGINT) AS area,
+       CAST(cap_len AS BIGINT) AS cap_len,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(bucket_id AS INTEGER) AS bucket_id,
+       CAST(floor(start_byte / 100000.0) AS BIGINT) AS shard_idx
+FROM offs
 """,
         "pagerank_priority": """
 WITH nodes AS (SELECT i AS node FROM generate_series(0, 63) t(i)),
