@@ -426,6 +426,11 @@ def hard_negatives(
     worthless); pairs at or above it rank by (sim desc, neighbor id
     asc) — fully deterministic.
 
+    NULL labels never pair (``label <> label`` is NULL-falsy on both
+    sides): an unlabeled row yields no anchors and no negatives, the
+    conservative default for unclustered strays — assign labels (e.g.
+    dedup cluster ids) before mining if those rows must participate.
+
     Scale shape: candidates come from the SAME SRP-LSH bucket equi-join
     as ``lsh_topk`` — never all-pairs; recall is the standard LSH trade
     (a hard negative in another bucket is missed; ``ann_recall``

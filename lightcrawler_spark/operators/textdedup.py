@@ -529,6 +529,15 @@ def select_cluster_representatives(
     winner is deterministic under any partitioning — required for the
     resume/oracle contracts.
 
+    NULL quality fields are safe: struct ordering puts NULL below any
+    value (a null-quality row never beats a scored one) and struct
+    equality is null-safe per field (the winner probe still matches),
+    so an all-null cluster falls back to its lowest-id member rather
+    than vanishing — pinned in tests/test_curation_round4.py. Note the
+    SQL-window oracle formulation must order NULLS LAST... ASC ties to
+    mirror this if null quality ever reaches a contract query (the
+    shipped ones synthesize non-null quality).
+
     Scale shape: a spam campaign can put 10^8 near-identical pages in
     ONE cluster, so a rank window partitioned by cluster id is exactly
     the mega-key collapse this engine bans. Three partial-aggregating

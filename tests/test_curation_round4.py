@@ -191,3 +191,30 @@ class TestPagerankPriority:
         popped = pop_global(pri, budget=3).orderBy("pop_rank").collect()
         # highest-rank nodes pop first, insert order breaks ties
         assert [r.node for r in popped] == [0, 1, 2]
+
+
+class TestNullEdges:
+    def test_representatives_null_quality_semantics(self, spark):
+        # documented semantics: NULL quality sorts below any value (a
+        # null-quality row never beats a scored one) and struct equality
+        # is null-safe, so an all-null cluster falls back to its
+        # lowest-id member instead of vanishing
+        df = spark.createDataFrame(
+            [(1, 0, 10, 1), (2, 0, None, 1), (11, 1, None, 1),
+             (10, 1, None, 1)],
+            "doc_id long, component long, n_chars long, q2 long")
+        out = select_cluster_representatives(
+            df, cluster_col="component", id_col="doc_id",
+            quality_cols=("n_chars", "q2"),
+        ).collect()
+        assert {(r.component, r.doc_id) for r in out} == {(0, 1), (1, 10)}
+
+    def test_hard_negatives_null_labels_never_pair(self, spark):
+        rows = [(0, [1.0, 0.0], 1), (1, [1.0, 0.01], None),
+                (2, [1.0, 0.02], 2), (3, [1.0, 0.03], None)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = hard_negatives(df, k=5, min_sim=0.0, n_bits=1).collect()
+        ids = {r.anchor_id for r in out} | {r.neighbor_id for r in out}
+        assert 1 not in ids and 3 not in ids
+        assert {r.anchor_id for r in out} <= {0, 2}
