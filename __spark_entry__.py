@@ -3528,6 +3528,34 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataComp-style top-fraction curation cut
+    (operators/sampling.py:quantile_gate): keep the top 30% of documents
+    by exact integer quality score. The threshold is an EXACT
+    distributed order statistic via radix-select (two ≤65k-row
+    histogram aggregates, no global sort, no approx_percentile error —
+    a sketch-error here is a curation-policy bug); the data pass is one
+    codegen'd `score >= T` literal filter. Tie-inclusive at the cut, so
+    fully deterministic. The oracle re-derives T with a descending
+    cumulative window over the score histogram — independent algebra,
+    same threshold."""
+    from lightcrawler_spark.operators.sampling import quantile_gate
+    from lightcrawler_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 10000).cast("long")
+        .alias("score_m4"),
+    )
+    return quantile_gate(scored, score_col="score_m4",
+                         keep_top_frac=0.3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_m4").cast("long").alias("score_m4"),
+        F.col("score_threshold").cast("long").alias("score_threshold"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3661,6 +3689,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "pagerank_priority": q_pagerank_priority,
         "curation_pipeline": q_curation_pipeline,
+        "quality_quantile_gate": q_quality_quantile_gate,
     }
 
 
@@ -6518,6 +6547,41 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source, s.score_milli,
   (d.domain_docs >= 50 AND d.sum_milli < 450 * d.domain_docs)
     AS domain_blocked
 FROM s JOIN d USING (source)
+""",
+        "quality_quantile_gate": """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) + 1.0 AS words
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         round(punct / greatest(n, 1.0), 6) AS punct_ratio,
+         round(n / words, 4) AS mean_word_len, n
+  FROM q
+),
+s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(round(round(
+           least(n / 10.0, 50.0)
+           + CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 25.0 ELSE 0.0 END
+           + CASE WHEN mean_word_len > 3.0 AND mean_word_len < 12.0 THEN 25.0 ELSE 0.0 END,
+         4) * 10000) AS BIGINT) AS score_m4
+  FROM r
+),
+c AS (SELECT score_m4 AS v, count(*) AS cnt FROM s GROUP BY 1),
+k AS (SELECT CAST(greatest(ceil(0.3 * count(*)), 1) AS BIGINT) AS kk FROM s),
+cum AS (
+  SELECT v, sum(cnt) OVER (
+    ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cge
+  FROM c
+),
+t AS (SELECT max(v) AS thr FROM cum, k WHERE cge >= kk)
+SELECT s.doc_id, s.score_m4, CAST(t.thr AS BIGINT) AS score_threshold
+FROM s, t WHERE s.score_m4 >= t.thr
 """,
         "curation_pipeline": """
 WITH RECURSIVE

@@ -27,6 +27,8 @@ __all__ = [
     "stratified_sample",
     "cap_per_key",
     "temperature_rebalance",
+    "exact_score_quantile",
+    "quantile_gate",
 ]
 
 
@@ -256,4 +258,87 @@ def train_val_test_split(
     )
     return df.withColumn("split", split).withColumn(
         "split_u", F.round(u, 9)
+    )
+
+
+def exact_score_quantile(
+    df: DataFrame,
+    score_col: str,
+    n_keep: int,
+) -> tuple[int, int]:
+    """Exact distributed order statistic WITHOUT a global sort: the
+    threshold T such that at least ``n_keep`` rows have
+    ``score >= T`` (the largest such integer score) — radix-select over
+    the integer score domain:
+
+      1. ``groupBy(score >> 16)`` histogram — one partial-aggregating
+         shuffle of ≤ 65,536 tiny rows regardless of corpus size or
+         score cardinality; a descending driver scan finds the 16-bit
+         bucket holding the n_keep-th largest score.
+      2. ``groupBy(score)`` WITHIN that one bucket (filter pushed to
+         the scan) — again ≤ 65,536 rows; a second descending scan
+         pins T exactly.
+
+    Two jobs, two O(65k) driver collects, exact for any n — the
+    pattern a top-X%-by-quality gate needs where approx_percentile's
+    error is a curation-policy bug and a global sort is a 100 TB
+    shuffle. Scores must be non-negative int64 (the engine's
+    milli-score idiom). Returns (T, n_total).
+    """
+    hi_col = F.floor(F.col(score_col) / F.lit(65536)).cast("long")
+    hist = (
+        df.groupBy(hi_col.alias("_hi")).agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    buckets = sorted(((r["_hi"], r["_c"]) for r in hist), reverse=True)
+    n_total = sum(c for _, c in buckets)
+    if n_total == 0:
+        return 0, 0
+    k = min(max(n_keep, 1), n_total)
+    seen = 0
+    target_hi = buckets[-1][0]
+    for hi, c in buckets:
+        if seen + c >= k:
+            target_hi = hi
+            break
+        seen += c
+    fine = (
+        df.filter(hi_col == F.lit(target_hi))
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    thr = None
+    for s, c in sorted(((r["_s"], r["_c"]) for r in fine), reverse=True):
+        seen += c
+        thr = s
+        if seen >= k:
+            break
+    return int(thr), n_total
+
+
+def quantile_gate(
+    df: DataFrame,
+    score_col: str = "score_milli",
+    keep_top_frac: float = 0.3,
+) -> DataFrame:
+    """DataComp-style curation cut: keep the top ``keep_top_frac`` of
+    rows by integer score, EXACTLY and deterministically. The threshold
+    comes from ``exact_score_quantile`` (radix-select, no sort, no
+    sketch); the gate itself is one codegen'd ``score >= T`` scan with
+    T a literal, so the data pass is filter-pushdown-friendly.
+
+    Tie-inclusive: every row tied at the cut survives (at least
+    ``ceil(keep_top_frac * n)`` rows pass; never an arbitrary
+    partition-order-dependent drop among equals — required for the
+    resume/oracle determinism contracts). Adds ``score_threshold``.
+    """
+    import math
+
+    n_keep = max(1, math.ceil(keep_top_frac * max(df.count(), 1)))
+    thr, n_total = exact_score_quantile(df, score_col, n_keep)
+    if n_total == 0:
+        return df.withColumn("score_threshold", F.lit(0).cast("long"))
+    return df.filter(F.col(score_col) >= F.lit(thr)).withColumn(
+        "score_threshold", F.lit(thr).cast("long")
     )

@@ -218,3 +218,37 @@ class TestNullEdges:
         ids = {r.anchor_id for r in out} | {r.neighbor_id for r in out}
         assert 1 not in ids and 3 not in ids
         assert {r.anchor_id for r in out} <= {0, 2}
+
+
+class TestQuantileGate:
+    def test_radix_select_matches_sorted_reference(self, spark):
+        from lightcrawler_spark.operators.sampling import (
+            exact_score_quantile,
+        )
+        # scores span several 16-bit radix buckets and carry heavy ties
+        vals = [(i * 37) % 5 * 70_000 + (i * 13) % 11 for i in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "score long")
+        ordered = sorted(vals, reverse=True)
+        for n_keep in (1, 7, 150, 499, 500):
+            thr, n = exact_score_quantile(df, "score", n_keep)
+            assert n == 500
+            assert thr == ordered[n_keep - 1]
+
+    def test_gate_tie_inclusive_and_partition_invariant(self, spark):
+        from lightcrawler_spark.operators.sampling import quantile_gate
+        import math
+        vals = [(i, (i * 7) % 50) for i in range(400)]
+        df = spark.createDataFrame(vals, "doc_id long, score long")
+        outs = []
+        for parts in (1, 16):
+            out = quantile_gate(df.repartition(parts), "score",
+                                keep_top_frac=0.25).collect()
+            kept = sorted(r.doc_id for r in out)
+            thr = out[0].score_threshold
+            # at least ceil(frac*n) survive; every tie at the cut kept
+            assert len(kept) >= math.ceil(0.25 * 400)
+            assert all(s >= thr for _, s in vals
+                       if _ in set(kept)), "kept row below threshold"
+            assert {d for d, s in vals if s >= thr} == set(kept)
+            outs.append((thr, kept))
+        assert outs[0] == outs[1]

@@ -134,6 +134,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("partition-total prefix broadcast", r"BroadcastHashJoin"),
     ],
+    # exact top-fraction cut: the data pass must be a codegen'd literal
+    # filter — the order statistic came from radix-select histograms,
+    # never a global sort or a rank window over the corpus
+    "quality_quantile_gate": [
+        ("codegen'd literal gate", r"\*\(\d+\)"),
+        ("no global sort", r"!\bSort \["),
+        ("no corpus-wide window", r"!windowspecdefinition"),
+    ],
     # pagerank-driven P2: the doubling tiers must be one codegen'd CASE
     # over the scaled rank; the rank join must be an equi-join
     "pagerank_priority": [
