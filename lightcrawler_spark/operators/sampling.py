@@ -264,7 +264,8 @@ def train_val_test_split(
 def exact_score_quantile(
     df: DataFrame,
     score_col: str,
-    n_keep: int,
+    n_keep: int | None,
+    keep_frac: float = 0.0,
 ) -> tuple[int, int]:
     """Exact distributed order statistic WITHOUT a global sort: the
     threshold T such that at least ``n_keep`` rows have
@@ -282,18 +283,40 @@ def exact_score_quantile(
     Two jobs, two O(65k) driver collects, exact for any n — the
     pattern a top-X%-by-quality gate needs where approx_percentile's
     error is a curation-policy bug and a global sort is a 100 TB
-    shuffle. Scores must be non-negative int64 (the engine's
-    milli-score idiom). Returns (T, n_total).
+    shuffle.
+
+    Contract: scores must be non-negative 32-BIT integers (the
+    engine's milli-score idiom) — the ≤65,536-bucket bound of the
+    coarse histogram holds only for a 2×16-bit split; a wider domain
+    would make the driver collect unbounded, so it raises instead
+    (rescale the score, or add a radix level). NULL scores are
+    unscored: they never survive a top cut and are excluded from n.
+
+    ``n_keep=None`` derives k as ``ceil(keep_frac × n)`` from the
+    coarse histogram's own total — no separate count() pass.
+    Returns (T, n_total).
     """
+    import math
+
+    df = df.filter(F.col(score_col).isNotNull())
     hi_col = F.floor(F.col(score_col) / F.lit(65536)).cast("long")
     hist = (
         df.groupBy(hi_col.alias("_hi")).agg(F.count("*").alias("_c"))
         .collect()
     )
     buckets = sorted(((r["_hi"], r["_c"]) for r in hist), reverse=True)
+    if buckets and (buckets[0][0] > 65535 or buckets[-1][0] < 0):
+        raise ValueError(
+            "score domain too wide for one radix level (scores must be "
+            f"non-negative and < 2^32; saw coarse bucket {buckets[0][0]} "
+            f"… {buckets[-1][0]}). The ≤65,536-row bounded-collect "
+            "contract breaks beyond 32 bits — rescale the score column."
+        )
     n_total = sum(c for _, c in buckets)
     if n_total == 0:
         return 0, 0
+    if n_keep is None:
+        n_keep = math.ceil(keep_frac * n_total)
     k = min(max(n_keep, 1), n_total)
     seen = 0
     target_hi = buckets[-1][0]
@@ -331,14 +354,19 @@ def quantile_gate(
     Tie-inclusive: every row tied at the cut survives (at least
     ``ceil(keep_top_frac * n)`` rows pass; never an arbitrary
     partition-order-dependent drop among equals — required for the
-    resume/oracle determinism contracts). Adds ``score_threshold``.
+    resume/oracle determinism contracts). NULL scores never pass (an
+    unscored row cannot be in any top fraction). Adds
+    ``score_threshold``. Three data passes total: coarse histogram
+    (which also yields n — no separate count job), fine histogram,
+    literal filter.
     """
-    import math
-
-    n_keep = max(1, math.ceil(keep_top_frac * max(df.count(), 1)))
-    thr, n_total = exact_score_quantile(df, score_col, n_keep)
+    thr, n_total = exact_score_quantile(
+        df, score_col, n_keep=None, keep_frac=keep_top_frac
+    )
     if n_total == 0:
-        return df.withColumn("score_threshold", F.lit(0).cast("long"))
+        return df.filter(F.col(score_col).isNotNull()).withColumn(
+            "score_threshold", F.lit(0).cast("long")
+        )
     return df.filter(F.col(score_col) >= F.lit(thr)).withColumn(
         "score_threshold", F.lit(thr).cast("long")
     )

@@ -204,19 +204,23 @@ class MemoryRoundStore:
         self._wm = round_no
 
     def write(self, table: str, round_no: int, df: DataFrame) -> None:
-        # Stored as-is. CONTRACT: the engine flattens every frontier-
-        # feeding frame it writes here (CrawlEngine._to_local — collect +
-        # re-create, so stored plans carry REAL statistics, not the round
-        # pipeline's join-multiplied sizeInBytes). A localCheckpoint is
-        # NOT enough: it truncates lineage but inherits the source
-        # plan's stats, and with per-host rounds (no LIMIT to reset
-        # them) the frontier⇄pages stats feedback compounds ~4× per
-        # round until Catalyst's sizeInBytes BigInts hit millions of
-        # digits by round ~10 (measured: 2s → 16s → 106s per-round
-        # planning, grinding in BigInteger.multiply). The pages table
-        # may stay a flat select over the fetch-results checkpoint: with
-        # the frontier side always flat, its stats are bounded per round
-        # and the feedback loop cannot re-close.
+        # Stored as-is. CONTRACT: the engine SEVERS the statistics of
+        # every frontier-feeding frame it writes here (CrawlEngine.
+        # _to_local — eager localCheckpoint + internalCreateDataFrame
+        # rewrap, so the stored LogicalRDD carries the CONSTANT
+        # defaultSizeInBytes instead of the round pipeline's
+        # join-multiplied sizeInBytes; no driver collect). A bare
+        # localCheckpoint is NOT enough: it truncates lineage but
+        # inherits the source plan's stats, and with per-host rounds
+        # (no LIMIT to reset them) the frontier⇄pages stats feedback
+        # compounds geometrically until Catalyst's sizeInBytes BigInts
+        # hit tens of millions of digits by round ~10 (measured:
+        # 2s → 16s → 106s per-round planning, grinding in
+        # BigInteger.multiply; tests/test_stats_flatten.py pins both
+        # directions). The pages table may stay a flat select over the
+        # fetch-results checkpoint: with the frontier side always
+        # severed, its stats are bounded per round and the feedback
+        # loop cannot re-close.
         self._tables.setdefault(table, {})[round_no] = df
 
     def _parts_upto(self, table: str, lo: int, hi: int) -> list[DataFrame]:

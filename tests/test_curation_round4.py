@@ -252,3 +252,21 @@ class TestQuantileGate:
             assert {d for d, s in vals if s >= thr} == set(kept)
             outs.append((thr, kept))
         assert outs[0] == outs[1]
+
+    def test_null_scores_are_unscored(self, spark):
+        from lightcrawler_spark.operators.sampling import quantile_gate
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30), (4, None), (5, 20)],
+            "doc_id long, score long")
+        out = quantile_gate(df, "score", keep_top_frac=0.5).collect()
+        # n counts only the 3 scored rows; ceil(0.5*3)=2 -> thr=20
+        assert sorted(r.doc_id for r in out) == [3, 5]
+        assert all(r.score_threshold == 20 for r in out)
+
+    def test_wide_domain_raises(self, spark):
+        from lightcrawler_spark.operators.sampling import (
+            exact_score_quantile,
+        )
+        df = spark.range(5).select((F.col("id") * (1 << 40)).alias("s"))
+        with pytest.raises(ValueError, match="too wide"):
+            exact_score_quantile(df, "s", 2)

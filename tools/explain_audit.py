@@ -180,7 +180,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("rank window keyed by (_pid, bucket)",
          r"Window.*\[_pid#\d+, bucket_id#\d+\]"),
         ("no bucket-only window partitioning",
-         r"!Window [^\n]*\[bucket_id#\d+\][^\n]*$"),
+         # a regressed partitionBy(bucket_id) puts bucket_id FIRST in
+         # windowspecdefinition; the good plan leads with _pid (no '$'
+         # anchor — checks run without re.MULTILINE)
+         r"!windowspecdefinition\(bucket_id#\d+,"),
         ("grouped-prefix offsets broadcast", r"BroadcastHashJoin"),
     ],
     # BM25: corpus stats were collapsed to literals at plan-build time —

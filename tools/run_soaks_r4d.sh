@@ -47,17 +47,18 @@ run_leg() {
   fi
 }
 
-# Leg 10a: gate OFF (pre-fix behavior; doubles as leg-9 img control).
+# Leg 10a: rows arm OFF (now the config default, so no flag needed;
+# doubles as leg-9 img control).
 run_leg soak_gate_off_1e5 tools/engine_soak.py run \
   --nodes 20000000 --hosts 2048 --budget 48 --rounds 40 --cpus 32 \
-  --compact-every 10 --store /tmp/lc_soak_goff --fresh --no-products \
-  --no-row-repartition
+  --compact-every 10 --store /tmp/lc_soak_goff --fresh --no-products
 
-# Leg 10b: gate ON + event log for the driver-gap decomposition.
+# Leg 10b: rows arm ON (the then-default 50k threshold, now opt-in)
+# + event log for the driver-gap decomposition.
 run_leg soak_gate_on_1e5 tools/engine_soak.py run \
   --nodes 20000000 --hosts 2048 --budget 48 --rounds 40 --cpus 32 \
   --compact-every 10 --store /tmp/lc_soak_gon --fresh --no-products \
-  --event-log /tmp/lc_evlog_gon
+  --row-repartition 50000 --event-log /tmp/lc_evlog_gon
 
 # Leg 11: 90% single-host skew, otherwise the 10b shape.
 run_leg soak_skew90_1e5 tools/engine_soak.py run \

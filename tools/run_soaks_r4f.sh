@@ -44,10 +44,13 @@ run_leg() {
   fi
 }
 
-# Leg 13: the leg-10a shape with the new compaction width (32 files).
+# Leg 13: the leg-10a shape with the 32-file compaction width (was
+# briefly the store default when this first ran; now the explicit
+# treatment flag so a rerun reproduces the SAME arm).
 run_leg soak_cwidth_1e5 tools/engine_soak.py run \
   --nodes 20000000 --hosts 2048 --budget 48 --rounds 40 --cpus 32 \
-  --compact-every 10 --store /tmp/lc_soak_cw --fresh --no-products
+  --compact-every 10 --store /tmp/lc_soak_cw --fresh --no-products \
+  --compact-files 32
 
 # Leg 14: 10^9 seen keys x 10^8 probes, 1024 shards, 1% FPP.
 run_leg dedup_soak_1e9 tools/dedup_soak.py \
