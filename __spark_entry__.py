@@ -3556,6 +3556,136 @@ def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination for an image corpus
+    (operators/images.py:phash_decontaminate): drop every corpus image
+    whose phash is within Hamming 6 of ANY benchmark image — the
+    image-side sibling of `decontaminate` (n-gram eval-overlap ban).
+    bands = max_hamming + 1 gives GUARANTEED pigeonhole recall, so the
+    contract is exact and the oracle is the bare all-pairs NOT EXISTS
+    with no candidacy clause. Fixture: 80 hash-mixed groups × 5
+    variants (exact dup, Hamming 4, 6, 7, far); the eval set holds the
+    bases of groups 0–39 — so kept = all of groups 40–79 plus the
+    7-bit/far variants of the contaminated groups."""
+    from lightcrawler_spark.operators.images import phash_decontaminate
+
+    d4 = 562958543486978        # bits {1,17,33,49}      — Hamming 4
+    d6 = 2308094843387643912    # bits {3,11,19,35,51,61} — Hamming 6
+    d7 = 2308094843387643928    # d6 + bit {4} (bit 4 clear in d6) — 7
+    far = 6148914691236517205   # alternating 01… (32 bits)
+    mix = (
+        (F.col("_g") * F.lit(2654435761))
+        .bitwiseXOR(F.shiftleft(F.col("_g") * F.lit(40503), 32))
+    )
+    corpus = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("image_id"),
+            (F.col("id") % 80).alias("_g"),
+            F.floor(F.col("id") / 80).cast("long").alias("_j"),
+        )
+        .select(
+            "image_id",
+            mix.bitwiseXOR(
+                F.when(F.col("_j") == 1, F.lit(d4))
+                .when(F.col("_j") == 2, F.lit(d6))
+                .when(F.col("_j") == 3, F.lit(d7))
+                .when(F.col("_j") == 4, F.lit(far))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("phash"),
+        )
+    )
+    evalset = spark.range(40).select(
+        F.col("id").alias("_g")
+    ).select(mix.alias("phash"))
+    return phash_decontaminate(corpus, evalset, max_hamming=6).select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("phash").cast("long").alias("phash"),
+    )
+
+
+def q_caption_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-caption boilerplate flagging
+    (operators/images.py:flag_frequent_captions): normalize (lower,
+    trim, collapse whitespace) and flag captions occurring ≥ 50 times
+    corpus-wide — the LAION/DataComp "stock photo" frequency cut.
+    Captions derive deterministically from doc_id: three casings of
+    'stock photo' and two of 'an image' that must COLLAPSE to two
+    frequent groups, plus unique per-doc tails that must stay freq=0.
+    The oracle re-derives the normalization and a full groupBy count
+    independently (no broadcast-frequent shortcut)."""
+    from lightcrawler_spark.operators.images import flag_frequent_captions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 10
+    caps = docs.withColumn(
+        "caption",
+        F.when(m == 0, F.lit("Stock  Photo"))
+        .when(m == 1, F.lit(" stock photo "))
+        .when(m == 2, F.lit("STOCK PHOTO"))
+        .when(m == 3, F.lit("An Image"))
+        .when(m == 4, F.lit("an  image"))
+        .otherwise(F.concat(F.lit("photo of item "), F.col("doc_id"))),
+    )
+    return flag_frequent_captions(caps, min_freq=50).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("caption_norm").alias("caption_norm"),
+        F.col("caption_freq").cast("long").alias("caption_freq"),
+        F.col("caption_boilerplate").alias("caption_boilerplate"),
+    )
+
+
+def q_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pixel verification of near-dup candidates
+    (operators/images.py:psnr_verify_pairs): decode both blobs of each
+    candidate pair and keep PSNR ≥ 40 dB — the input_hint's per-row
+    invariant applied pairwise, the precision stage after banded
+    phash/dhash candidate generation. Fixture: 8 base images, each with
+    an exact re-encode (999.0 dB), a ±1-noise copy (≥ 48 dB, verified),
+    a ±80-noise copy (≈ 12 dB, hash-collision false positive), and a
+    dim-mismatched image (0.0 dB by definition). Rows-only contract:
+    the decode is the Python codec, not SQL-expressible; verdicts are
+    pinned value-exact by tests/test_curation_images_r4b.py."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+    from lightcrawler_spark.operators.images import psnr_verify_pairs
+
+    rows, pair_rows = [], []
+    for g in range(8):
+        base = (
+            (np.arange(24 * 24 * 3, dtype=np.int64) * (7 + g) + g * 13)
+            % 251
+        ).astype(np.uint8).reshape(24, 24, 3)
+        rng = np.random.default_rng(1000 + g)
+        tiny = np.clip(
+            base.astype(np.int32)
+            + rng.integers(-1, 2, size=base.shape), 0, 255
+        ).astype(np.uint8)
+        loud = np.clip(
+            base.astype(np.int32)
+            + rng.integers(-80, 81, size=base.shape), 0, 255
+        ).astype(np.uint8)
+        small = base[:16, :16].copy()
+        gid = g * 4
+        rows += [
+            (gid + 0, bytearray(encode_image(base, "png"))),
+            (gid + 1, bytearray(encode_image(tiny, "png"))),
+            (gid + 2, bytearray(encode_image(loud, "png"))),
+            (gid + 3, bytearray(encode_image(small, "png"))),
+        ]
+        pair_rows += [(gid, gid + 1), (gid, gid + 2), (gid, gid + 3),
+                      (gid, gid)]
+    images = spark.createDataFrame(rows, "image_id long, bytes binary")
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    return psnr_verify_pairs(pairs, images, threshold_db=40.0).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("psnr_ok").alias("psnr_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3690,6 +3820,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_priority": q_pagerank_priority,
         "curation_pipeline": q_curation_pipeline,
         "quality_quantile_gate": q_quality_quantile_gate,
+        "image_decontaminate": q_image_decontaminate,
+        "caption_boilerplate": q_caption_boilerplate,
+        "psnr_verify": q_psnr_verify,
     }
 
 
@@ -6803,8 +6936,65 @@ SELECT CAST(shard_idx AS BIGINT) AS shard_idx,
          AS content_md5
 FROM a GROUP BY shard_idx
 """,
+        "image_decontaminate": """
+WITH corpus AS (
+  SELECT i AS image_id, i % 80 AS g, i // 80 AS j
+  FROM generate_series(0, 399) t(i)
+),
+hashed AS (
+  SELECT CAST(image_id AS BIGINT) AS image_id,
+    xor(xor(g * 2654435761, (g * 40503) << 32),
+        CASE j WHEN 1 THEN 562958543486978
+               WHEN 2 THEN 2308094843387643912
+               WHEN 3 THEN 2308094843387643928
+               WHEN 4 THEN 6148914691236517205
+               ELSE 0 END) AS phash
+  FROM corpus
+),
+evalset AS (
+  SELECT xor(g * 2654435761, (g * 40503) << 32) AS phash
+  FROM generate_series(0, 39) t(g)
+)
+SELECT c.image_id, c.phash
+FROM hashed c
+WHERE NOT EXISTS (
+  SELECT 1 FROM evalset e WHERE bit_count(xor(c.phash, e.phash)) <= 6
+)
+""",
+        "caption_boilerplate": """
+WITH caps AS (
+  SELECT doc_id,
+    CASE doc_id % 10
+      WHEN 0 THEN 'Stock  Photo'
+      WHEN 1 THEN ' stock photo '
+      WHEN 2 THEN 'STOCK PHOTO'
+      WHEN 3 THEN 'An Image'
+      WHEN 4 THEN 'an  image'
+      ELSE 'photo of item ' || doc_id
+    END AS caption
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g')
+           AS caption_norm
+  FROM caps
+),
+freq AS (
+  SELECT caption_norm, count(*) AS n FROM norm GROUP BY caption_norm
+)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       n.caption_norm,
+       CAST(CASE WHEN f.n >= 50 THEN f.n ELSE 0 END AS BIGINT)
+         AS caption_freq,
+       f.n >= 50 AS caption_boilerplate
+FROM norm n JOIN freq f USING (caption_norm)
+""",
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are
         # unit-tested instead (tests/test_operators.py).
+        # psnr_verify: decoded-pixel PSNR over the Python image codec —
+        # not SQL-expressible → rows-only; verdicts pinned value-exact
+        # by tests/test_curation_images_r4b.py.
     }

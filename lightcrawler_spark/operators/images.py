@@ -37,6 +37,9 @@ __all__ = [
     "verify_images",
     "phash_near_dup_pairs",
     "consensus_near_dup_pairs",
+    "phash_decontaminate",
+    "flag_frequent_captions",
+    "psnr_verify_pairs",
     "resize_images",
     "letterbox_images",
     "scrub_image_metadata",
@@ -747,3 +750,184 @@ def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
         )
         .select("id_a", "id_b", "phash_hamming", "dhash_hamming")
     )
+
+
+# --- curation: eval-set decontamination, caption boilerplate, PSNR verify --
+
+
+def phash_decontaminate(corpus: DataFrame, evalset: DataFrame,
+                        max_hamming: int = 6,
+                        id_col: str = "image_id",
+                        phash_col: str = "phash",
+                        broadcast_eval: bool = True) -> DataFrame:
+    """Eval-set decontamination for an image corpus: drop every corpus
+    row whose phash is within Hamming ``max_hamming`` of ANY eval-set
+    (benchmark) phash — the image-side sibling of
+    textdedup.decontaminate (which bans by n-gram overlap). The
+    DataComp/LAION pipelines run exactly this step so a trained model
+    is never scored on its own near-duplicate training images.
+
+    EXACT contract, not probabilistic: bands = max_hamming + 1 bit
+    chunks give guaranteed pigeonhole recall at distance ≤ max_hamming
+    (see _hash_band_keys), so the result equals the all-pairs
+    definition and the oracle needs no candidacy clause.
+
+    Scale shape: the eval set is the small side (benchmark suites are
+    1e5–1e6 hashes vs a 1e10 corpus) — its exploded band keys are
+    broadcast (``broadcast_eval``), so candidate generation is a
+    map-side hash join on the corpus scan with NO corpus shuffle. The
+    exact popcount runs per CANDIDATE; banned ids are distinct'd (a
+    shuffle bounded by the contaminated subset, not the corpus) and
+    removed with a left_anti join on the id. Null corpus phashes are
+    never candidates and are KEPT (can't prove contamination).
+    """
+    bands = max_hamming + 1
+    ev = evalset.select(F.col(phash_col).alias("ev_ph"))
+    ev_chunks = ev.select(
+        "ev_ph",
+        F.explode(F.array(*_hash_band_keys(F.col("ev_ph"), bands)))
+        .alias("chunk_key"),
+    ).distinct()
+    if broadcast_eval:
+        ev_chunks = F.broadcast(ev_chunks)
+    co_chunks = corpus.select(
+        F.col(id_col).alias("_ban_id"),
+        F.col(phash_col).alias("co_ph"),
+        F.explode(F.array(*_hash_band_keys(F.col(phash_col), bands)))
+        .alias("chunk_key"),
+    )
+    banned = (
+        co_chunks.join(ev_chunks, "chunk_key")
+        .filter(
+            F.bit_count(F.col("co_ph").bitwiseXOR(F.col("ev_ph")))
+            <= max_hamming
+        )
+        .select(F.col("_ban_id"))
+        .distinct()
+    )
+    return corpus.join(
+        banned, corpus[id_col] == banned["_ban_id"], "left_anti"
+    )
+
+
+def flag_frequent_captions(df: DataFrame, caption_col: str = "caption",
+                           min_freq: int = 100) -> DataFrame:
+    """Caption boilerplate detection: flag rows whose NORMALIZED caption
+    (lowercased, trimmed, inner whitespace collapsed) occurs at least
+    ``min_freq`` times corpus-wide — at web scale these are the "stock
+    photo", "image", alt-text-template captions that dominate crawled
+    image+caption pairs and teach a contrastive model nothing (the
+    LAION/DataComp frequency-cut). Downstream drops or down-weights
+    flagged rows; this op only annotates, mirroring the
+    flag-then-filter split of with_quality_score.
+
+    Scale shape: one hash-groupBy on the normalized caption (map-side
+    partial combine), then the SURVIVING frequent set — tiny by
+    construction (captions repeated ≥ min_freq over 1e10 rows number in
+    the thousands) — is broadcast back as a left join, so the corpus is
+    never shuffled and the mega-caption skew key never lands on one
+    reducer. Null captions normalize to null, never match the join, and
+    come out freq=0 / boilerplate=false.
+
+    Adds: caption_norm, caption_freq (corpus-wide count when frequent,
+    else 0), caption_boilerplate (bool).
+    """
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.col(caption_col))), r"\s+", " "
+    )
+    with_norm = df.withColumn("caption_norm", norm)
+    frequent = (
+        with_norm.groupBy("caption_norm")
+        .agg(F.count(F.lit(1)).alias("_cap_freq"))
+        .filter(
+            F.col("_cap_freq") >= min_freq
+        )
+        .filter(F.col("caption_norm").isNotNull())
+    )
+    out = with_norm.join(F.broadcast(frequent), "caption_norm", "left")
+    return (
+        out.withColumn(
+            "caption_freq", F.coalesce(F.col("_cap_freq"), F.lit(0))
+        )
+        .withColumn(
+            "caption_boilerplate", F.col("_cap_freq").isNotNull()
+        )
+        .drop("_cap_freq")
+    )
+
+
+def psnr_verify_pairs(pairs: DataFrame, images: DataFrame,
+                      threshold_db: float = 40.0,
+                      id_col: str = "image_id",
+                      bytes_col: str = "bytes") -> DataFrame:
+    """Exact pixel verification of near-dup CANDIDATE pairs: decode
+    both blobs and compute PSNR; a pair is a verified duplicate only at
+    PSNR ≥ ``threshold_db`` (the input_hint's ≥ 40 dB per-row
+    invariant, applied pairwise). This is the precision stage the
+    banded phash/dhash candidates need — perceptual hashes admit
+    structurally-similar-but-different images; decoded-pixel PSNR does
+    not. Run it AFTER consensus_near_dup_pairs, never on the corpus
+    cross product.
+
+    Scale shape: two equi-joins attach bytes to the candidate pairs
+    (candidates ≪ corpus — both joins are keyed hash joins sized by
+    the candidate set), then ONE Arrow batch pass decodes and scores.
+    Dim-mismatched pairs score psnr_db=0.0/psnr_ok=false (different
+    images by definition); undecodable or null blobs yield null
+    psnr_db and psnr_ok=false (can't verify ⇒ not a confirmed dup —
+    the conservative direction for a DROP decision downstream).
+
+    Returns: id_a, id_b, psnr_db (double, 2dp; 999.0 for exact-equal
+    pixels), psnr_ok (bool).
+    """
+    im = images.select(
+        F.col(id_col).alias("_pid"), F.col(bytes_col).alias("_pbytes")
+    )
+    joined = (
+        pairs.join(im, pairs["id_a"] == im["_pid"])
+        .select("id_a", "id_b", F.col("_pbytes").alias("bytes_a"))
+        .join(
+            im.select(
+                F.col("_pid").alias("_pid2"),
+                F.col("_pbytes").alias("bytes_b"),
+            ),
+            F.col("id_b") == F.col("_pid2"),
+        )
+        .select("id_a", "id_b", "bytes_a", "bytes_b")
+    )
+    id_a_t = pairs.schema["id_a"].dataType
+    id_b_t = pairs.schema["id_b"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_a_t),
+            T.StructField("id_b", id_b_t),
+            T.StructField("psnr_db", T.DoubleType()),
+            T.StructField("psnr_ok", T.BooleanType()),
+        ]
+    )
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dbs, oks = [], []
+            for ba, bb in zip(pdf["bytes_a"], pdf["bytes_b"]):
+                if ba is None or bb is None:
+                    dbs.append(None); oks.append(False)
+                    continue
+                try:
+                    arr_a = decode_image(bytes(ba))
+                    arr_b = decode_image(bytes(bb))
+                except Exception:
+                    dbs.append(None); oks.append(False)
+                    continue
+                if arr_a.shape != arr_b.shape:
+                    dbs.append(0.0); oks.append(False)
+                    continue
+                p = psnr(arr_a, arr_b)
+                db = 999.0 if not np.isfinite(p) else round(p, 2)
+                dbs.append(db); oks.append(db >= threshold_db)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["psnr_db"] = pd.array(dbs, dtype="Float64")
+            out["psnr_ok"] = oks
+            yield out
+
+    return joined.mapInPandas(_verify, out_schema)

@@ -142,6 +142,34 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no global sort", r"!\bSort \["),
         ("no corpus-wide window", r"!windowspecdefinition"),
     ],
+    # image eval-set decontamination: eval band keys broadcast (corpus
+    # never shuffles for candidacy), banned ids removed by anti-join,
+    # all hamming math JVM-side
+    "image_decontaminate": [
+        ("eval band keys broadcast-joined", r"BroadcastHashJoin"),
+        ("banned ids removed via anti-join", r"LeftAnti"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # caption boilerplate: frequency via hash-groupBy with map-side
+    # combine, surviving frequent set broadcast back — the corpus is
+    # never shuffled and a mega-caption never lands on one reducer
+    "caption_boilerplate": [
+        ("map-side partial count", r"partial_count"),
+        ("frequent set broadcast back", r"BroadcastHashJoin"),
+        ("no corpus-wide window", r"!windowspecdefinition"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # PSNR pair verification: candidate-sized equi-joins attach bytes,
+    # then exactly ONE Arrow decode pass
+    "psnr_verify": [
+        ("candidate equi-joins",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("single Arrow decode pass", r"MapInPandas"),
+    ],
     # pagerank-driven P2: the doubling tiers must be one codegen'd CASE
     # over the scaled rank; the rank join must be an equi-join
     "pagerank_priority": [
