@@ -3686,6 +3686,149 @@ def q_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_fixture_images() -> list:
+    """Shared fixture for the image_quality_gate contract: 9 images
+    exercising every verdict path of the low-information gate. The
+    CONSTRUCTION is shared between the Spark query and the VALUES
+    oracle; the statistics math is implemented twice, independently
+    (vectorized numpy in the operator kernel vs scalar loops in
+    _image_quality_values_sql), so a kernel bug cannot cancel out."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(encode_image(a.astype(np.uint8), "png"))
+
+    solid_gray = np.full((24, 24, 3), 128)
+    solid_color = np.zeros((24, 24, 3)); solid_color[..., 0] = 10
+    solid_color[..., 1] = 200; solid_color[..., 2] = 30
+    noise = np.random.default_rng(42).integers(
+        0, 256, size=(24, 24, 3))
+    ramp = np.repeat(
+        (np.arange(24) * 3)[None, :, None], 24, axis=0
+    ).repeat(3, axis=2)
+    checker = np.where(
+        ((np.arange(24)[:, None] + np.arange(24)[None, :]) % 2 == 0),
+        255, 0
+    )[..., None].repeat(3, axis=2)
+    near_solid = np.full((24, 24, 3), 200); near_solid[0, 0] = (0, 0, 0)
+    tiny = np.random.default_rng(7).integers(0, 256, size=(2, 2, 3))
+    return [
+        (0, enc(solid_gray)),
+        (1, enc(solid_color)),
+        (2, enc(noise)),
+        (3, enc(ramp)),
+        (4, enc(checker)),
+        (5, enc(near_solid)),
+        (6, bytearray(b"notanimage")),
+        (7, None),
+        (8, enc(tiny)),
+    ]
+
+
+def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-information image gate
+    (operators/images.py:with_image_quality_stats + low_information_expr):
+    histogram entropy, variance-of-Laplacian blur score, modal-pixel
+    solidity and grayscale detection in ONE Arrow pass, verdict derived
+    JVM-side. Fixture paths: solid (entropy 0 → low), linear ramp
+    (interior Laplacian exactly 0 → low/blurred), seeded noise (keep),
+    per-pixel checkerboard (entropy exactly 1.0, huge Laplacian → keep),
+    near-solid placeholder (modal fraction 0.998 → low), corrupt blob /
+    NULL (null stats, NULL verdict), 2×2 (no interior → lap 0 → low).
+    Oracle: same fixture, independent scalar-loop statistics, verdict
+    re-derived in SQL from the VALUES stats."""
+    from lightcrawler_spark.operators.images import (
+        low_information_expr,
+        with_image_quality_stats,
+    )
+
+    df = spark.createDataFrame(
+        _quality_fixture_images(), "image_id long, bytes binary"
+    )
+    return (
+        with_image_quality_stats(df)
+        .withColumn("low_information", low_information_expr())
+        .select(
+            F.col("image_id").cast("long").alias("image_id"),
+            "qual_entropy", "qual_lap_var",
+            F.col("qual_modal_count").cast("long").alias("qual_modal_count"),
+            F.col("qual_n_pixels").cast("long").alias("qual_n_pixels"),
+            "qual_grayscale", "low_information",
+        )
+    )
+
+
+def _image_quality_values_sql() -> str:
+    """Independent reimplementation of the quality statistics with
+    scalar loops (collections.Counter histogram + math.log2 entropy,
+    sequential integer Laplacian accumulation) over the SHARED fixture;
+    the low_information verdict is re-derived in SQL from the stats."""
+    import math
+    from collections import Counter
+
+    from lightcrawler_spark.imagecodec import decode_image
+
+    rows = []
+    for image_id, blob in _quality_fixture_images():
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            rows.append(
+                f"({image_id}, NULL, NULL, NULL, NULL, NULL)"
+            )
+            continue
+        h, w = arr.shape[0], arr.shape[1]
+        n = h * w
+        gray = [
+            [int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
+             for x in range(w)]
+            for y in range(h)
+        ]
+        hist = Counter(v for row in gray for v in row)
+        entropy = round(
+            -sum((c / n) * math.log2(c / n) for c in hist.values()), 4
+        )
+        if h >= 3 and w >= 3:
+            s = ss = ln = 0
+            for y in range(1, h - 1):
+                for x in range(1, w - 1):
+                    l = (4 * gray[y][x] - gray[y][x - 1] - gray[y][x + 1]
+                         - gray[y - 1][x] - gray[y + 1][x])
+                    s += l; ss += l * l; ln += 1
+            lap = round(float(ln * ss - s * s) / float(ln * ln), 4)
+        else:
+            lap = 0.0
+        modal = Counter(
+            (int(arr[y][x][0]), int(arr[y][x][1]), int(arr[y][x][2]))
+            for y in range(h) for x in range(w)
+        ).most_common(1)[0][1]
+        gs = all(
+            int(arr[y][x][0]) == int(arr[y][x][1]) == int(arr[y][x][2])
+            for y in range(h) for x in range(w)
+        )
+        rows.append(
+            f"({image_id}, {entropy}, {lap}, {modal}, {n}, "
+            f"{str(bool(gs)).lower()})"
+        )
+    return (
+        "SELECT CAST(image_id AS BIGINT) AS image_id,\n"
+        "       CAST(qual_entropy AS DOUBLE) AS qual_entropy,\n"
+        "       CAST(qual_lap_var AS DOUBLE) AS qual_lap_var,\n"
+        "       CAST(qual_modal_count AS BIGINT) AS qual_modal_count,\n"
+        "       CAST(qual_n_pixels AS BIGINT) AS qual_n_pixels,\n"
+        "       CAST(qual_grayscale AS BOOLEAN) AS qual_grayscale,\n"
+        "       CASE WHEN qual_entropy IS NULL THEN NULL\n"
+        "            ELSE (qual_entropy < 1.0 OR qual_lap_var < 1.0\n"
+        "                  OR qual_modal_count > 0.9 * qual_n_pixels)\n"
+        "       END AS low_information\n"
+        "FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(image_id, qual_entropy, qual_lap_var,"
+        " qual_modal_count, qual_n_pixels, qual_grayscale)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3823,6 +3966,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decontaminate": q_image_decontaminate,
         "caption_boilerplate": q_caption_boilerplate,
         "psnr_verify": q_psnr_verify,
+        "image_quality_gate": q_image_quality_gate,
     }
 
 
@@ -6990,6 +7134,7 @@ SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
        f.n >= 50 AS caption_boilerplate
 FROM norm n JOIN freq f USING (caption_norm)
 """,
+        "image_quality_gate": _image_quality_values_sql(),
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

@@ -184,6 +184,57 @@ def bench_image_decode(spark: SparkSession) -> dict:
     return {"sec": dt, "images_per_sec": n / dt, "ok": ok}
 
 
+def bench_image_curation(spark: SparkSession) -> dict:
+    """The round-4 curation screens at volume: low-information signals
+    (entropy / Laplacian blur / modal solidity, one Arrow pass) +
+    codegen'd verdict + normalized-caption frequency cut over the same
+    image+caption schema. Measures the quality-gate kernels a 100 TB
+    curation pass spends most of its non-decode time in."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.operators.images import (
+        flag_frequent_captions,
+        low_information_expr,
+        with_image_quality_stats,
+    )
+
+    base = make_images(256)
+    reps = max(1, N_IMAGES // 256)
+    df = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"]), r["caption"]) for r in base],
+        "image_id string, bytes binary, caption string",
+    )
+    big = (
+        df.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+        # half the corpus keeps the 6 shared stock captions (frequent →
+        # boilerplate-cut), half gets a unique tail (survives the cut) —
+        # so the frequency gate does real work instead of flagging all
+        .withColumn(
+            "caption",
+            F.when(
+                F.xxhash64("image_id") % 2 == 0, F.col("caption")
+            ).otherwise(F.concat_ws(" ", "caption", "image_id")),
+        )
+        .repartition(CPUS * 2)
+    )
+    t0 = time.time()
+    gated = (
+        with_image_quality_stats(big)
+        .withColumn("low_information", low_information_expr())
+    )
+    kept = (
+        flag_frequent_captions(gated, min_freq=reps * 4)
+        .filter(
+            (~F.col("low_information")) & (~F.col("caption_boilerplate"))
+        )
+        .count()
+    )
+    dt = time.time() - t0
+    n = 256 * reps
+    log(f"image_curation: {n} images gated ({kept} kept) in {dt:.1f}s = "
+        f"{n / dt:,.0f} imgs/s")
+    return {"sec": dt, "curation_imgs_per_sec": n / dt, "kept": kept}
+
+
 def bench_audio_pipeline(spark: SparkSession) -> dict:
     """Audio leg of the multimodal pipeline at volume: WAV encode →
     container parse → exact-integer PCM features, all executor-side
@@ -420,6 +471,10 @@ def run(spark: SparkSession) -> dict:
     r = best_of(bench_image_decode)
     queries["image_decode_verify"] = round(r["sec"], 3)
     extra["images_per_sec"] = round(r["images_per_sec"])
+
+    r = best_of(bench_image_curation)
+    queries["image_curation_gate"] = round(r["sec"], 3)
+    extra["curation_imgs_per_sec"] = round(r["curation_imgs_per_sec"])
 
     r = best_of(bench_audio_pipeline)
     queries["audio_pipeline"] = round(r["sec"], 3)

@@ -161,6 +161,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no corpus-wide window", r"!windowspecdefinition"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # low-information gate: ONE Arrow pass computes the signals, the
+    # verdict is a codegen'd JVM expression, nothing moves
+    "image_quality_gate": [
+        ("single Arrow stats pass", r"ArrowEvalPython|MapInPandas"),
+        ("no shuffle (row-local signals)", r"!Exchange"),
+        ("codegen'd verdict", r"\*\(\d+\)"),
+    ],
     # PSNR pair verification: candidate-sized equi-joins attach bytes,
     # then exactly ONE Arrow decode pass
     "psnr_verify": [
