@@ -788,6 +788,166 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse quantizer (operators/clustering.py:
+    kmeans_centroids): 3 Lloyd iterations, k=8, exact int64 micro-unit
+    arithmetic throughout — deterministic at any parallelism, so the
+    unrolled-CTE DuckDB oracle hash-matches the centroids bit-for-bit.
+    Assignment is a zero-shuffle literal-inlined projection; the update
+    is one map-side-combined groupBy per iteration. Trains the
+    `centroids` table ivf_topk accepts."""
+    from lightcrawler_spark.operators.clustering import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_centroids(emb, k=8, iters=3).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("centroid").alias("centroid"),
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment over the trained quantizer
+    (operators/clustering.py:kmeans_assignments): pure codegen
+    projection — the k centroids are inlined literals, distance is an
+    exact int64 fold, ties break to the lowest cid — zero join, zero
+    shuffle over the corpus."""
+    from lightcrawler_spark.operators.clustering import (
+        kmeans_assignments,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    return kmeans_assignments(emb, cents).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's k-means blocking (operators/
+    clustering.py:semantic_dedup_kmeans; Abbas et al. 2023): cluster,
+    pair within clusters only (cid equi-join, never n²), exact cosine
+    ≥ 0.35, min-label connected components, min-id canonical per group
+    — the k-means-block counterpart of `embedding_near_dup`'s SRP
+    blocking, sharing the output contract of
+    similarity.semantic_dedup_assignments."""
+    from lightcrawler_spark.operators.clustering import semantic_dedup_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return semantic_dedup_kmeans(emb, k=4, iters=2, threshold=0.35).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
+def _kmeans_oracle_cte(k: int, iters: int, dim: int = 64,
+                       source: str = "SELECT vec_id, embedding"
+                                     " FROM embeddings") -> str:
+    """Unrolled-iteration CTE chain re-deriving Lloyd's k-means with
+    independent relational algebra: per-(vector, centroid, dim) exploded
+    squared differences summed by GROUP BY (vs the kernel's inlined
+    zip_with fold), rank-1 argmin (vs array_min of structs), exact
+    nonneg-mod floor division (vs Python //). Ends at CTE c{iters} =
+    (cid, cv) in micro-units. Exactness holds because both sides do the
+    identical float64→round→int64 quantization once and integer math
+    after — the element must be cast to DOUBLE explicitly, because
+    DuckDB's FLOAT * INT arithmetic stays float32 (verified: 133/500
+    sf0.01 vectors quantize ≥1 component off by one micro-unit on the
+    float32 path) while the kernel's quantize_micro_expr promotes to
+    double before the multiply."""
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv"
+        f" FROM ({source}))",
+        f"dims AS (SELECT unnest(range({dim})) AS pos)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" qv AS cv FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts += [
+            f"d{t} AS (SELECT q.vec_id, c.cid,"
+            " sum((q.qv[p.pos+1] - c.cv[p.pos+1])"
+            " * (q.qv[p.pos+1] - c.cv[p.pos+1])) AS dist"
+            f" FROM q, c{p} c, dims p GROUP BY 1, 2)",
+            f"a{t} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+            " row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cid) AS rn FROM d{t}) WHERE rn = 1)",
+            f"m{t} AS (SELECT a{t}.cid, p.pos, sum(q.qv[p.pos+1]) AS s,"
+            f" count(*) AS n FROM a{t} JOIN q USING (vec_id), dims p"
+            " GROUP BY 1, 2)",
+            f"n{t} AS (SELECT cid,"
+            " list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv"
+            f" FROM m{t} GROUP BY cid)",
+            f"c{t} AS (SELECT i.cid, coalesce(x.cv, i.cv) AS cv"
+            f" FROM c{p} i LEFT JOIN n{t} x USING (cid))",
+        ]
+    return ",\n".join(parts)
+
+
+def _kmeans_centroids_oracle_sql() -> str:
+    return (
+        "WITH " + _kmeans_oracle_cte(8, 3) + "\n"
+        "SELECT CAST(cid AS BIGINT) AS cid, cv AS centroid FROM c3"
+    )
+
+
+def _kmeans_assign_oracle_sql() -> str:
+    return (
+        "WITH " + _kmeans_oracle_cte(8, 3) + ",\n"
+        "df AS (SELECT q.vec_id, c.cid,"
+        " sum((q.qv[p.pos+1] - c.cv[p.pos+1])"
+        " * (q.qv[p.pos+1] - c.cv[p.pos+1])) AS dist"
+        " FROM q, c3 c, dims p GROUP BY 1, 2)\n"
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(cid AS BIGINT) AS cid, CAST(dist AS BIGINT) AS dist\n"
+        "FROM (SELECT vec_id, cid, dist, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df)\n"
+        "WHERE rn = 1"
+    )
+
+
+def _semantic_dedup_kmeans_oracle_sql() -> str:
+    cte = _kmeans_oracle_cte(
+        4, 2,
+        source="SELECT vec_id, embedding FROM embeddings"
+               " WHERE vec_id < 300",
+    )
+    return (
+        "WITH RECURSIVE " + cte + ",\n"
+        "df AS (SELECT q.vec_id, c.cid,"
+        " sum((q.qv[p.pos+1] - c.cv[p.pos+1])"
+        " * (q.qv[p.pos+1] - c.cv[p.pos+1])) AS dist"
+        " FROM q, c2 c, dims p GROUP BY 1, 2),\n"
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+        " AS rn FROM df) WHERE rn = 1),\n"
+        "e AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, asg.cid\n"
+        "      FROM embeddings e JOIN asg USING (vec_id)\n"
+        "      WHERE e.vec_id < 300),\n"
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+        "          FROM e a JOIN e b ON a.cid = b.cid"
+        " AND a.vec_id < b.vec_id\n"
+        "          WHERE round(list_cosine_similarity(a.v, b.v), 6)"
+        " >= 0.35),\n"
+        "sym AS (SELECT id_a AS s, id_b AS t2 FROM pairs\n"
+        "        UNION ALL SELECT id_b, id_a FROM pairs),\n"
+        "reach(node, comp) AS (\n"
+        "  SELECT vec_id, vec_id FROM e\n"
+        "  UNION\n"
+        "  SELECT sym.t2, reach.comp FROM reach"
+        " JOIN sym ON sym.s = reach.node\n"
+        ")\n"
+        "SELECT CAST(node AS BIGINT) AS vec_id,\n"
+        "       CAST(min(comp) AS BIGINT) AS cluster,\n"
+        "       (node = min(comp)) AS is_canonical\n"
+        "FROM reach GROUP BY node"
+    )
+
+
 # ---------------------------------------------------------------------------
 # content-extraction queries (SURVEY.md §2.4 E11–E19, §2.3 C7/C8/C11,
 # §2.5 P7/P12, §2.1 S9)
@@ -3636,21 +3796,19 @@ def q_caption_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pixel verification of near-dup candidates
-    (operators/images.py:psnr_verify_pairs): decode both blobs of each
-    candidate pair and keep PSNR ≥ 40 dB — the input_hint's per-row
-    invariant applied pairwise, the precision stage after banded
-    phash/dhash candidate generation. Fixture: 8 base images, each with
-    an exact re-encode (999.0 dB), a ±1-noise copy (≥ 48 dB, verified),
-    a ±80-noise copy (≈ 12 dB, hash-collision false positive), and a
-    dim-mismatched image (0.0 dB by definition). Rows-only contract:
-    the decode is the Python codec, not SQL-expressible; verdicts are
-    pinned value-exact by tests/test_curation_images_r4b.py."""
+def _psnr_fixture() -> tuple[list, list]:
+    """Shared fixture for the psnr_verify contract: 8 base images, each
+    with an exact re-encode pair (999.0 dB), a ±1-noise copy (≥ 48 dB,
+    verified), a ±80-noise copy (≈ 12 dB, the hash-collision false
+    positive PSNR must reject), and a dim-mismatched image (0.0 dB by
+    definition). The CONSTRUCTION is shared between the Spark query and
+    the VALUES oracle; the PSNR math is implemented twice, independently
+    (vectorized numpy `psnr` in the operator kernel vs a sequential
+    scalar loop in _psnr_verify_values_sql), so a kernel bug cannot
+    cancel out. Returns (image rows, candidate pair rows)."""
     import numpy as np
 
     from lightcrawler_spark.imagecodec import encode_image
-    from lightcrawler_spark.operators.images import psnr_verify_pairs
 
     rows, pair_rows = [], []
     for g in range(8):
@@ -3677,12 +3835,63 @@ def q_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         pair_rows += [(gid, gid + 1), (gid, gid + 2), (gid, gid + 3),
                       (gid, gid)]
+    return rows, pair_rows
+
+
+def q_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pixel verification of near-dup candidates
+    (operators/images.py:psnr_verify_pairs): decode both blobs of each
+    candidate pair and keep PSNR ≥ 40 dB — the input_hint's per-row
+    invariant applied pairwise, the precision stage after banded
+    phash/dhash candidate generation (fixture: _psnr_fixture). The
+    oracle re-derives every verdict from scalar-loop PSNR over the
+    shared fixture; verdicts are additionally pinned value-exact by
+    tests/test_curation_images_r4b.py."""
+    from lightcrawler_spark.operators.images import psnr_verify_pairs
+
+    rows, pair_rows = _psnr_fixture()
     images = spark.createDataFrame(rows, "image_id long, bytes binary")
     pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
     return psnr_verify_pairs(pairs, images, threshold_db=40.0).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("psnr_ok").alias("psnr_ok"),
+    )
+
+
+def _psnr_verify_values_sql() -> str:
+    """Oracle for psnr_verify: re-derive every candidate pair's verdict
+    from a sequential scalar-loop PSNR over the SHARED fixture
+    (_psnr_fixture) — deliberately NOT the vectorized numpy `psnr` of
+    the kernel — embedded as VALUES; the ≥ 40 dB decision itself is
+    made in SQL."""
+    import math
+
+    from lightcrawler_spark.imagecodec import decode_image
+
+    rows, pair_rows = _psnr_fixture()
+    decoded = {i: decode_image(bytes(b)) for i, b in rows}
+    p_rows = []
+    for a, b in pair_rows:
+        arr_a, arr_b = decoded[a], decoded[b]
+        if arr_a.shape != arr_b.shape:
+            p_rows.append(f"({a}, {b}, 0.0)")
+            continue
+        fa = [int(v) for v in arr_a.reshape(-1)]
+        fb = [int(v) for v in arr_b.reshape(-1)]
+        sse = sum((x - y) * (x - y) for x, y in zip(fa, fb))
+        if sse == 0:
+            db = 999.0
+        else:
+            db = round(10.0 * math.log10(255.0 ** 2 * len(fa) / sse), 2)
+        p_rows.append(f"({a}, {b}, {db})")
+    return (
+        "WITH p(id_a, id_b, psnr_db) AS (VALUES\n"
+        + ",\n".join(p_rows) + ")\n"
+        "SELECT CAST(id_a AS BIGINT) AS id_a,\n"
+        "       CAST(id_b AS BIGINT) AS id_b,\n"
+        "       (psnr_db >= 40.0) AS psnr_ok\n"
+        "FROM p"
     )
 
 
@@ -3760,14 +3969,52 @@ def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_quality_values_sql() -> str:
-    """Independent reimplementation of the quality statistics with
-    scalar loops (collections.Counter histogram + math.log2 entropy,
-    sequential integer Laplacian accumulation) over the SHARED fixture;
-    the low_information verdict is re-derived in SQL from the stats."""
+def _scalar_quality_stats(arr):
+    """Scalar-loop reimplementation of the quality statistics
+    (collections.Counter histogram + math.log2 entropy, sequential
+    integer Laplacian accumulation) — deliberately NOT the vectorized
+    numpy math of image_quality_stats_udf, so oracle and kernel cannot
+    share a bug. Returns (entropy, lap_var, modal_count, n_pixels,
+    grayscale)."""
     import math
     from collections import Counter
 
+    h, w = arr.shape[0], arr.shape[1]
+    n = h * w
+    gray = [
+        [int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
+         for x in range(w)]
+        for y in range(h)
+    ]
+    hist = Counter(v for row in gray for v in row)
+    entropy = round(
+        -sum((c / n) * math.log2(c / n) for c in hist.values()), 4
+    )
+    if h >= 3 and w >= 3:
+        s = ss = ln = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                l = (4 * gray[y][x] - gray[y][x - 1] - gray[y][x + 1]
+                     - gray[y - 1][x] - gray[y + 1][x])
+                s += l; ss += l * l; ln += 1
+        lap = round(float(ln * ss - s * s) / float(ln * ln), 4)
+    else:
+        lap = 0.0
+    modal = Counter(
+        (int(arr[y][x][0]), int(arr[y][x][1]), int(arr[y][x][2]))
+        for y in range(h) for x in range(w)
+    ).most_common(1)[0][1]
+    gs = all(
+        int(arr[y][x][0]) == int(arr[y][x][1]) == int(arr[y][x][2])
+        for y in range(h) for x in range(w)
+    )
+    return entropy, lap, modal, n, gs
+
+
+def _image_quality_values_sql() -> str:
+    """Independent reimplementation of the quality statistics with
+    scalar loops (_scalar_quality_stats) over the SHARED fixture; the
+    low_information verdict is re-derived in SQL from the stats."""
     from lightcrawler_spark.imagecodec import decode_image
 
     rows = []
@@ -3779,35 +4026,7 @@ def _image_quality_values_sql() -> str:
                 f"({image_id}, NULL, NULL, NULL, NULL, NULL)"
             )
             continue
-        h, w = arr.shape[0], arr.shape[1]
-        n = h * w
-        gray = [
-            [int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
-             for x in range(w)]
-            for y in range(h)
-        ]
-        hist = Counter(v for row in gray for v in row)
-        entropy = round(
-            -sum((c / n) * math.log2(c / n) for c in hist.values()), 4
-        )
-        if h >= 3 and w >= 3:
-            s = ss = ln = 0
-            for y in range(1, h - 1):
-                for x in range(1, w - 1):
-                    l = (4 * gray[y][x] - gray[y][x - 1] - gray[y][x + 1]
-                         - gray[y - 1][x] - gray[y + 1][x])
-                    s += l; ss += l * l; ln += 1
-            lap = round(float(ln * ss - s * s) / float(ln * ln), 4)
-        else:
-            lap = 0.0
-        modal = Counter(
-            (int(arr[y][x][0]), int(arr[y][x][1]), int(arr[y][x][2]))
-            for y in range(h) for x in range(w)
-        ).most_common(1)[0][1]
-        gs = all(
-            int(arr[y][x][0]) == int(arr[y][x][1]) == int(arr[y][x][2])
-            for y in range(h) for x in range(w)
-        )
+        entropy, lap, modal, n, gs = _scalar_quality_stats(arr)
         rows.append(
             f"({image_id}, {entropy}, {lap}, {modal}, {n}, "
             f"{str(bool(gs)).lower()})"
@@ -3826,6 +4045,235 @@ def _image_quality_values_sql() -> str:
         "FROM (VALUES\n" + ",\n".join(rows)
         + "\n) AS t(image_id, qual_entropy, qual_lap_var,"
         " qual_modal_count, qual_n_pixels, qual_grayscale)"
+    )
+
+
+def _precision_fixture() -> list:
+    """Shared fixture for the precision_curation flagship: 10 content
+    groups × (base, ±1-noise near-dup, ±80-noise lookalike) + 4
+    low-information images + 1 corrupt blob, with a boilerplate caption
+    ('Stock  Photo') on every id ≡ 3 (mod 7) and unique captions
+    elsewhere. Returns (image_id, blob_or_corrupt, caption)."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(encode_image(a.astype(np.uint8), "png"))
+
+    def cap(i):
+        return "Stock  Photo" if i % 7 == 3 else f"photo item {i}"
+
+    rows = []
+    for g in range(10):
+        base = np.random.default_rng(100 + g).integers(
+            0, 256, size=(24, 24, 3))
+        tiny = np.clip(
+            base + np.random.default_rng(200 + g).integers(
+                -1, 2, size=base.shape), 0, 255)
+        loud = np.clip(
+            base + np.random.default_rng(300 + g).integers(
+                -80, 81, size=base.shape), 0, 255)
+        for j, arr in enumerate((base, tiny, loud)):
+            i = 3 * g + j
+            rows.append((i, enc(arr), cap(i)))
+    solid = np.full((24, 24, 3), 128)
+    solid_color = np.zeros((24, 24, 3))
+    solid_color[..., 0] = 10; solid_color[..., 1] = 200
+    solid_color[..., 2] = 30
+    ramp = np.repeat(
+        (np.arange(24) * 3)[None, :, None], 24, axis=0
+    ).repeat(3, axis=2)
+    near_solid = np.full((24, 24, 3), 200); near_solid[0, 0] = (0, 0, 0)
+    for k, arr in enumerate((solid, solid_color, ramp, near_solid)):
+        i = 30 + k
+        rows.append((i, enc(arr), cap(i)))
+    rows.append((34, bytearray(b"notanimage"), cap(34)))
+    return rows
+
+
+def _precision_eval_hashes() -> list:
+    """Benchmark eval-set hashes for the decontamination stage: the
+    phashes of groups 0 and 1's base images (fixture ids 0 and 3)."""
+    from lightcrawler_spark.imagecodec import decode_image, phash64
+
+    rows = dict((i, b) for i, b, _ in _precision_fixture())
+    return [phash64(decode_image(bytes(rows[0]))),
+            phash64(decode_image(bytes(rows[3])))]
+
+
+def q_precision_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth composed flagship — the round-4 PRECISION-curation chain
+    over real decoded bytes, end to end in one plan: low-information
+    gate (with_image_quality_stats + low_information_expr; drops
+    solids/ramp/placeholder/corrupt) → caption boilerplate cut
+    (flag_frequent_captions, min_freq=3) → phash+dhash over survivors →
+    eval-set decontamination (phash_decontaminate, guaranteed-recall
+    bands) → two-family near-dup candidates (consensus_near_dup_pairs,
+    bands=7 so the pigeonhole guarantee makes candidacy EXACT at
+    Hamming ≤ 6) → decoded-pixel PSNR verification (psnr_verify_pairs,
+    ≥ 40 dB) → min-label connected components → cluster sizes +
+    canonical representative. bands=7 everywhere means the DuckDB
+    oracle needs NO candidacy clause: it re-derives the whole chain
+    from per-image VALUES stats (independent scalar math) + all-pairs
+    scalar PSNR + recursive-CTE CC. A green row certifies the round-4
+    curation operators COMPOSE, not just pass alone."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.images import (
+        consensus_near_dup_pairs,
+        flag_frequent_captions,
+        low_information_expr,
+        phash_decontaminate,
+        psnr_verify_pairs,
+        with_dhash,
+        with_image_quality_stats,
+        with_phash,
+    )
+
+    df = spark.createDataFrame(
+        _precision_fixture(), "image_id long, bytes binary, caption string"
+    )
+    q1 = (
+        with_image_quality_stats(df)
+        .withColumn("low_information", low_information_expr())
+        .filter(F.col("low_information") == F.lit(False))
+    )
+    q2 = flag_frequent_captions(q1, min_freq=3).filter(
+        ~F.col("caption_boilerplate")
+    )
+    hashed = (
+        with_dhash(with_phash(q2))
+        .withColumnRenamed("phash_calc", "phash")
+        .withColumnRenamed("dhash_calc", "dhash")
+    )
+    evalset = spark.createDataFrame(
+        [(h,) for h in _precision_eval_hashes()], "phash long"
+    )
+    q3 = phash_decontaminate(hashed, evalset, max_hamming=6)
+    pairs = consensus_near_dup_pairs(
+        q3.select("image_id", "phash", "dhash"), max_hamming=6, bands=7
+    )
+    verified = psnr_verify_pairs(
+        pairs.select("id_a", "id_b"),
+        q3.select("image_id", "bytes"),
+        threshold_db=40.0,
+    ).filter(F.col("psnr_ok"))
+    clusters = dedup_cluster_assignments(
+        verified.select("id_a", "id_b"), q3, id_col="image_id"
+    )
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.join(F.broadcast(sizes), "cluster")
+        .select(
+            F.col("image_id").cast("long").alias("image_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("is_canonical").alias("is_canonical"),
+        )
+    )
+
+
+def _precision_curation_values_sql() -> str:
+    """Chained oracle for precision_curation: per-image VALUES stats
+    from the independent scalar math (_scalar_quality_stats), hashes
+    from the shared kernels (hash correctness is proven elsewhere —
+    image_features/image_dhash VALUES contracts), ALL-pairs scalar-loop
+    PSNR, then the entire gate → cut → decontaminate → consensus →
+    verify → CC chain re-derived in pure SQL (recursive CTE for the
+    components)."""
+    import math
+
+    from lightcrawler_spark.imagecodec import decode_image, dhash64, phash64
+
+    decoded, t_rows = {}, []
+    for image_id, blob, caption in _precision_fixture():
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            t_rows.append(
+                f"({image_id}, '{caption}', NULL, NULL, NULL, NULL, "
+                f"NULL, NULL)"
+            )
+            continue
+        decoded[image_id] = arr
+        entropy, lap, modal, n, _ = _scalar_quality_stats(arr)
+        t_rows.append(
+            f"({image_id}, '{caption}', {entropy}, {lap}, {modal}, {n}, "
+            f"{phash64(arr)}, {dhash64(arr)})"
+        )
+    p_rows = []
+    ids = sorted(decoded)
+    for i, a in enumerate(ids):
+        fa = [int(v) for v in decoded[a].reshape(-1)]
+        for b in ids[i + 1:]:
+            fb = [int(v) for v in decoded[b].reshape(-1)]
+            sse = sum((x - y) * (x - y) for x, y in zip(fa, fb))
+            if sse == 0:
+                db = 999.0
+            else:
+                mse = sse / len(fa)
+                db = round(10.0 * math.log10(255.0 ** 2 / mse), 2)
+            p_rows.append(f"({a}, {b}, {db})")
+    ev_rows = ", ".join(f"({h})" for h in _precision_eval_hashes())
+    return (
+        "WITH RECURSIVE\n"
+        "t(image_id, caption, entropy, lap, modal, npx, phash, dhash)"
+        " AS (VALUES\n" + ",\n".join(t_rows) + "),\n"
+        "p(id_a, id_b, psnr_db) AS (VALUES\n"
+        + ",\n".join(p_rows) + "),\n"
+        "ev(ephash) AS (VALUES " + ev_rows + "),\n"
+        "q1 AS (\n"
+        "  SELECT * FROM t\n"
+        "  WHERE entropy IS NOT NULL\n"
+        "    AND NOT (entropy < 1.0 OR lap < 1.0 OR modal > 0.9 * npx)\n"
+        "),\n"
+        "n AS (\n"
+        "  SELECT image_id, phash, dhash,\n"
+        "         regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g')"
+        " AS cn\n"
+        "  FROM q1\n"
+        "),\n"
+        "f AS (SELECT cn, count(*) AS c FROM n GROUP BY cn),\n"
+        "q2 AS (\n"
+        "  SELECT n.image_id, n.phash, n.dhash FROM n\n"
+        "  JOIN f USING (cn) WHERE f.c < 3\n"
+        "),\n"
+        "q3 AS (\n"
+        "  SELECT * FROM q2\n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM ev\n"
+        "    WHERE bit_count(xor(q2.phash, ephash)) <= 6)\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT a.image_id AS ia, b.image_id AS ib\n"
+        "  FROM q3 a JOIN q3 b ON a.image_id < b.image_id\n"
+        "  WHERE bit_count(xor(a.phash, b.phash)) <= 6\n"
+        "    AND bit_count(xor(a.dhash, b.dhash)) <= 6\n"
+        "),\n"
+        "ver AS (\n"
+        "  SELECT ia, ib FROM cand\n"
+        "  JOIN p ON p.id_a = ia AND p.id_b = ib\n"
+        "  WHERE p.psnr_db >= 40.0\n"
+        "),\n"
+        "sym AS (SELECT ia AS s, ib AS t2 FROM ver\n"
+        "        UNION ALL SELECT ib, ia FROM ver),\n"
+        "reach(node, comp) AS (\n"
+        "  SELECT image_id, image_id FROM q3\n"
+        "  UNION\n"
+        "  SELECT sym.t2, reach.comp FROM reach\n"
+        "  JOIN sym ON sym.s = reach.node\n"
+        "),\n"
+        "cc AS (SELECT node AS image_id, min(comp) AS cluster\n"
+        "       FROM reach GROUP BY node),\n"
+        "sz AS (SELECT cluster, count(*) AS cluster_size,\n"
+        "              min(image_id) AS rep\n"
+        "       FROM cc GROUP BY cluster)\n"
+        "SELECT CAST(cc.image_id AS BIGINT) AS image_id,\n"
+        "       CAST(cc.cluster AS BIGINT) AS cluster,\n"
+        "       CAST(sz.cluster_size AS BIGINT) AS cluster_size,\n"
+        "       (cc.image_id = sz.rep) AS is_canonical\n"
+        "FROM cc JOIN sz USING (cluster)"
     )
 
 
@@ -3877,6 +4325,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
+        "kmeans_centroids": q_kmeans_centroids,
+        "kmeans_assign": q_kmeans_assign,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "publish_time_normalize": q_publish_time,
         "doc_no_normalize": q_doc_no_normalize,
         "title_guess": q_title_guess,
@@ -3967,6 +4418,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_boilerplate": q_caption_boilerplate,
         "psnr_verify": q_psnr_verify,
         "image_quality_gate": q_image_quality_gate,
+        "precision_curation": q_precision_curation,
     }
 
 
@@ -5090,6 +5542,9 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        sim, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
 """,
+        "kmeans_centroids": _kmeans_centroids_oracle_sql(),
+        "kmeans_assign": _kmeans_assign_oracle_sql(),
+        "semantic_dedup_kmeans": _semantic_dedup_kmeans_oracle_sql(),
         "publish_time_normalize": """
 WITH s AS (
   SELECT o_orderkey,
@@ -7135,6 +7590,8 @@ SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
 FROM norm n JOIN freq f USING (caption_norm)
 """,
         "image_quality_gate": _image_quality_values_sql(),
+        "precision_curation": _precision_curation_values_sql(),
+        "psnr_verify": _psnr_verify_values_sql(),
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

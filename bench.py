@@ -434,7 +434,7 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "boilerplate_lines", "bpe_pairs", "budget_apportion",
         "embedding_quantize", "canonical_alias", "quantized_topk",
         "warc_revisit", "cdc_chunks", "archive_pipeline",
-        "dataset_split",
+        "dataset_split", "precision_curation", "kmeans_centroids",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
