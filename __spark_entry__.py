@@ -4102,23 +4102,13 @@ def _precision_eval_hashes() -> list:
             phash64(decode_image(bytes(rows[3])))]
 
 
-def q_precision_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourth composed flagship — the round-4 PRECISION-curation chain
-    over real decoded bytes, end to end in one plan: low-information
-    gate (with_image_quality_stats + low_information_expr; drops
-    solids/ramp/placeholder/corrupt) → caption boilerplate cut
-    (flag_frequent_captions, min_freq=3) → phash+dhash over survivors →
-    eval-set decontamination (phash_decontaminate, guaranteed-recall
-    bands) → two-family near-dup candidates (consensus_near_dup_pairs,
-    bands=7 so the pigeonhole guarantee makes candidacy EXACT at
-    Hamming ≤ 6) → decoded-pixel PSNR verification (psnr_verify_pairs,
-    ≥ 40 dB) → min-label connected components → cluster sizes +
-    canonical representative. bands=7 everywhere means the DuckDB
-    oracle needs NO candidacy clause: it re-derives the whole chain
-    from per-image VALUES stats (independent scalar math) + all-pairs
-    scalar PSNR + recursive-CTE CC. A green row certifies the round-4
-    curation operators COMPOSE, not just pass alone."""
-    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+def _precision_verified_stage(spark: SparkSession):
+    """The pre-CC stage of precision_curation — gate → boilerplate cut
+    → phash+dhash → eval decontamination → consensus candidates → PSNR
+    verification. Split out so tools/explain_audit.py can assert the
+    plan shape of this stage directly (the flagship's FINAL plan hides
+    it behind the connected-components localCheckpoint). Returns
+    (verified pair DF, decontaminated survivor DF)."""
     from lightcrawler_spark.operators.images import (
         consensus_near_dup_pairs,
         flag_frequent_captions,
@@ -4158,6 +4148,28 @@ def q_precision_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         q3.select("image_id", "bytes"),
         threshold_db=40.0,
     ).filter(F.col("psnr_ok"))
+    return verified, q3
+
+
+def q_precision_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth composed flagship — the round-4 PRECISION-curation chain
+    over real decoded bytes, end to end in one plan: low-information
+    gate (with_image_quality_stats + low_information_expr; drops
+    solids/ramp/placeholder/corrupt) → caption boilerplate cut
+    (flag_frequent_captions, min_freq=3) → phash+dhash over survivors →
+    eval-set decontamination (phash_decontaminate, guaranteed-recall
+    bands) → two-family near-dup candidates (consensus_near_dup_pairs,
+    bands=7 so the pigeonhole guarantee makes candidacy EXACT at
+    Hamming ≤ 6) → decoded-pixel PSNR verification (psnr_verify_pairs,
+    ≥ 40 dB) → min-label connected components → cluster sizes +
+    canonical representative. bands=7 everywhere means the DuckDB
+    oracle needs NO candidacy clause: it re-derives the whole chain
+    from per-image VALUES stats (independent scalar math) + all-pairs
+    scalar PSNR + recursive-CTE CC. A green row certifies the round-4
+    curation operators COMPOSE, not just pass alone."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+
+    verified, q3 = _precision_verified_stage(spark)
     clusters = dedup_cluster_assignments(
         verified.select("id_a", "id_b"), q3, id_col="image_id"
     )

@@ -546,6 +546,39 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no window", r"!Window"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # k-means assignment: the scale path must be a pure codegen'd
+    # projection — the k trained centroids are inlined literal arrays,
+    # so there is NO join, NO shuffle and NO Python between the scan
+    # and the (cid, dist) output
+    "kmeans_assign": [
+        ("no join (centroids inlined as literals)", r"!Join"),
+        ("no shuffle (pure projection)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
+    # precision-curation flagship, final plan: the CC result is a
+    # checkpoint-backed scan, so here we assert the size join-back is
+    # broadcast and nothing after the checkpoint regresses
+    "precision_curation": [
+        ("cluster sizes joined back broadcast", r"BroadcastHashJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no unpartitioned window",
+         r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+    ],
+    # precision-curation PRE-CC stage (gate → cut → hash → decontaminate
+    # → consensus candidates → PSNR verify — the part the checkpoint
+    # hides from the final plan): decode/PSNR are Arrow passes, the
+    # candidate/bytes attachments are hash equi-joins, never cartesian
+    "precision_verify_stage": [
+        ("Arrow decode/PSNR passes", r"ArrowEvalPython|MapInPandas"),
+        ("hash equi-joins",
+         r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no unpartitioned window",
+         r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+    ],
 }
 
 
@@ -614,6 +647,16 @@ def _pagerank_iteration_plan(spark):
     )
 
 
+def _precision_verify_stage_plan(spark):
+    """The pre-CC stage of precision_curation (gate → cut → hash →
+    decontaminate → consensus → PSNR verify) — the exact DF the
+    flagship feeds to connected components, whose localCheckpoint hides
+    this stage from the final plan."""
+    import __spark_entry__ as entrymod
+
+    return entrymod._precision_verified_stage(spark)[0]
+
+
 def _minhash_band_join_plan(spark):
     """The candidate-pair stage of minhash_dedup (pre-CC)."""
     from pyspark.sql import functions as F
@@ -633,6 +676,7 @@ EXTRA_PLANS = {
     "cc_iteration": _cc_iteration_plan,
     "pagerank_iteration": _pagerank_iteration_plan,
     "minhash_band_join": _minhash_band_join_plan,
+    "precision_verify_stage": _precision_verify_stage_plan,
 }
 
 
