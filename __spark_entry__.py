@@ -843,6 +843,64 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the KMEANS-TRAINED coarse quantizer — the
+    composition that closes the loop: operators/clustering.py:
+    kmeans_centroids trains the `centroids` table, dequantized
+    micro-units feed operators/similarity.py:ivf_topk, which does its
+    own argmax-cosine list assignment + n_probe=2 + exact re-rank.
+    Production IVF trains its quantizer instead of sampling it
+    (embedding_ivf is the sampled-centroid variant of the same search);
+    the oracle re-derives training AND search in one CTE chain."""
+    from lightcrawler_spark.operators.clustering import kmeans_centroids
+    from lightcrawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=2).select(
+        F.col("cid").cast("long").alias("vec_id"),
+        F.transform(
+            "centroid", lambda c: c.cast("double") / F.lit(1000000.0)
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=3, n_probe=2, centroids=cents).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_semdedup_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for SemDeDup's k-means stage
+    (operators/clustering.py:kmeans_block_pairs at threshold=-1 = the
+    pure blocking output): recall/precision of same-cluster candidacy
+    against exact all-pairs cosine ≥ 0.35 truth on a bounded slice —
+    the measurement loop that justifies k, exactly the role dedup_recall
+    plays for MinHash banding and ann_recall for SRP/IVF search. One
+    row: counts + ratios (counts are O(1) driver scalars)."""
+    from lightcrawler_spark.operators.clustering import kmeans_block_pairs
+    from lightcrawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    truth = cosine_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+    cand = kmeans_block_pairs(emb, k=4, iters=2, threshold=-1.0).select(
+        "id_a", "id_b"
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "inner")
+    n_truth, n_cand, n_hits = truth.count(), cand.count(), hits.count()
+    base = spark.createDataFrame(
+        [(n_truth, n_cand, n_hits)],
+        "n_truth long, n_candidates long, n_hits long",
+    )
+    # F.round (HALF_UP) matches DuckDB round; Python round() would not
+    return base.select(
+        "n_truth", "n_candidates", "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+    )
+
+
 def _kmeans_oracle_cte(k: int, iters: int, dim: int = 64,
                        source: str = "SELECT vec_id, embedding"
                                      " FROM embeddings") -> str:
@@ -907,6 +965,100 @@ def _kmeans_assign_oracle_sql() -> str:
         "FROM (SELECT vec_id, cid, dist, row_number() OVER"
         " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df)\n"
         "WHERE rn = 1"
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Training (unrolled k-means CTEs) + search (the embedding_ivf
+    algebra) in one chain: centroids = c2 dequantized to DOUBLE lists,
+    then argmax-cosine list assignment, 2 probed lists, exact re-rank."""
+    return (
+        "WITH " + _kmeans_oracle_cte(8, 2) + ",\n"
+        "cents AS (SELECT cid,"
+        " list_transform(cv, c -> c / 1000000.0) AS cvec FROM c2),\n"
+        "lists AS (\n"
+        "  SELECT neighbor_id, c_vec, cid FROM (\n"
+        "    SELECT e.vec_id AS neighbor_id,"
+        " e.embedding::DOUBLE[] AS c_vec, c.cid,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY e.vec_id\n"
+        "             ORDER BY round(list_cosine_similarity("
+        "e.embedding::DOUBLE[], c.cvec), 6) DESC, c.cid ASC\n"
+        "           ) AS crank\n"
+        "    FROM embeddings e, cents c\n"
+        "  ) WHERE crank <= 1\n"
+        "),\n"
+        "probes AS (\n"
+        "  SELECT query_id, q_vec, cid FROM (\n"
+        "    SELECT q.vec_id AS query_id,"
+        " q.embedding::DOUBLE[] AS q_vec, c.cid,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY q.vec_id\n"
+        "             ORDER BY round(list_cosine_similarity("
+        "q.embedding::DOUBLE[], c.cvec), 6) DESC, c.cid ASC\n"
+        "           ) AS crank\n"
+        "    FROM embeddings q, cents c WHERE q.vec_id < 10\n"
+        "  ) WHERE crank <= 2\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT p.query_id, l.neighbor_id,\n"
+        "         round(list_cosine_similarity(p.q_vec, l.c_vec), 6)"
+        " AS sim\n"
+        "  FROM probes p JOIN lists l USING (cid)\n"
+        "  WHERE p.query_id <> l.neighbor_id\n"
+        "),\n"
+        "r AS (\n"
+        "  SELECT query_id, neighbor_id, sim,\n"
+        "         row_number() OVER (\n"
+        "           PARTITION BY query_id ORDER BY sim DESC,"
+        " neighbor_id ASC\n"
+        "         ) AS rank\n"
+        "  FROM cand\n"
+        ")\n"
+        "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
+        "       CAST(neighbor_id AS BIGINT) AS neighbor_id,\n"
+        "       sim, CAST(rank AS INT) AS rank\n"
+        "FROM r WHERE rank <= 3"
+    )
+
+
+def _semdedup_block_recall_oracle_sql() -> str:
+    """Training + assignment re-derived by the kmeans CTEs, candidacy =
+    same-cid pairs, truth = exact all-pairs cosine ≥ 0.35 on the same
+    slice, ratios in SQL."""
+    cte = _kmeans_oracle_cte(
+        4, 2,
+        source="SELECT vec_id, embedding FROM embeddings"
+               " WHERE vec_id < 200",
+    )
+    return (
+        "WITH " + cte + ",\n"
+        "df AS (SELECT q.vec_id, c.cid,"
+        " sum((q.qv[p.pos+1] - c.cv[p.pos+1])"
+        " * (q.qv[p.pos+1] - c.cv[p.pos+1])) AS dist"
+        " FROM q, c2 c, dims p GROUP BY 1, 2),\n"
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+        " AS rn FROM df) WHERE rn = 1),\n"
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        " WHERE vec_id < 200),\n"
+        "truth AS (SELECT a.vec_id AS ia, b.vec_id AS ib\n"
+        "          FROM e a JOIN e b ON a.vec_id < b.vec_id\n"
+        "          WHERE round(list_cosine_similarity(a.v, b.v), 6)"
+        " >= 0.35),\n"
+        "cand AS (SELECT a.vec_id AS ia, b.vec_id AS ib\n"
+        "         FROM asg a JOIN asg b ON a.cid = b.cid"
+        " AND a.vec_id < b.vec_id),\n"
+        "hits AS (SELECT 1 FROM truth JOIN cand USING (ia, ib)),\n"
+        "s AS (SELECT (SELECT count(*) FROM truth) AS n_truth,\n"
+        "             (SELECT count(*) FROM cand) AS n_candidates,\n"
+        "             (SELECT count(*) FROM hits) AS n_hits)\n"
+        "SELECT CAST(n_truth AS BIGINT) AS n_truth,\n"
+        "       CAST(n_candidates AS BIGINT) AS n_candidates,\n"
+        "       CAST(n_hits AS BIGINT) AS n_hits,\n"
+        "       round(n_hits / n_truth, 6) AS recall,\n"
+        "       round(n_hits / n_candidates, 6) AS precision\n"
+        "FROM s"
     )
 
 
@@ -4340,6 +4492,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+        "ivf_trained": q_ivf_trained,
+        "semdedup_block_recall": q_semdedup_block_recall,
         "publish_time_normalize": q_publish_time,
         "doc_no_normalize": q_doc_no_normalize,
         "title_guess": q_title_guess,
@@ -5557,6 +5711,8 @@ FROM r WHERE rank <= 3
         "kmeans_centroids": _kmeans_centroids_oracle_sql(),
         "kmeans_assign": _kmeans_assign_oracle_sql(),
         "semantic_dedup_kmeans": _semantic_dedup_kmeans_oracle_sql(),
+        "ivf_trained": _ivf_trained_oracle_sql(),
+        "semdedup_block_recall": _semdedup_block_recall_oracle_sql(),
         "publish_time_normalize": """
 WITH s AS (
   SELECT o_orderkey,

@@ -51,6 +51,7 @@ __all__ = [
     "quantize_micro_expr",
     "kmeans_centroids",
     "kmeans_assignments",
+    "kmeans_block_pairs",
     "semantic_dedup_kmeans",
 ]
 
@@ -167,6 +168,47 @@ def kmeans_assignments(
     )
 
 
+def kmeans_block_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate near-dup pairs under k-means blocking: train, assign,
+    self-equi-join on cid (cost ∝ Σ cluster_size², never n²), keep
+    rounded exact cosine ≥ ``threshold``. Returns (id_a, id_b, sim).
+    ``threshold=-1.0`` keeps every same-block pair — the pure blocking
+    output a recall evaluator measures against exact truth."""
+    cents = kmeans_centroids(
+        embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cent_list = _collect_centroids(cents)
+    from .similarity import cosine_expr
+
+    q = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        quantize_micro_expr(F.col(vec_col)).alias("_kq"),
+    )
+    cid_expr, _ = _nearest_expr(F.col("_kq"), cent_list)
+    tagged = q.select(F.col(id_col), F.col("_v"), cid_expr.alias("cid"))
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"), "cid"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"), "cid"
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def semantic_dedup_kmeans(
     embeddings: DataFrame,
     k: int = 8,
@@ -195,32 +237,10 @@ def semantic_dedup_kmeans(
     """
     from .graph import dedup_cluster_assignments
 
-    cents = kmeans_centroids(
-        embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
-    )
-    cent_list = _collect_centroids(cents)
-    from .similarity import cosine_expr
-
-    q = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        quantize_micro_expr(F.col(vec_col)).alias("_kq"),
-    )
-    cid_expr, _ = _nearest_expr(F.col("_kq"), cent_list)
-    tagged = q.select(F.col(id_col), F.col("_v"), cid_expr.alias("cid"))
-    a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"), "cid"
-    )
-    b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"), "cid"
-    )
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
-        .filter(F.col("sim") >= F.lit(float(threshold)))
-        .select("id_a", "id_b")
-    )
+    pairs = kmeans_block_pairs(
+        embeddings, k=k, iters=iters, threshold=threshold,
+        vec_col=vec_col, id_col=id_col,
+    ).select("id_a", "id_b")
     return dedup_cluster_assignments(
         pairs, embeddings.select(id_col), id_col=id_col
     )
