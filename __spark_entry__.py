@@ -4489,11 +4489,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
-        "kmeans_centroids": q_kmeans_centroids,
-        "kmeans_assign": q_kmeans_assign,
-        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
-        "ivf_trained": q_ivf_trained,
-        "semdedup_block_recall": q_semdedup_block_recall,
         "publish_time_normalize": q_publish_time,
         "doc_no_normalize": q_doc_no_normalize,
         "title_guess": q_title_guess,
@@ -4585,6 +4580,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psnr_verify": q_psnr_verify,
         "image_quality_gate": q_image_quality_gate,
         "precision_curation": q_precision_curation,
+        # NOTE: append new entries at the END — the driver-window
+        # rotation in queries() treats higher registry position as
+        # "newer" when prioritizing never-checked entries
+        "kmeans_centroids": q_kmeans_centroids,
+        "kmeans_assign": q_kmeans_assign,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+        "ivf_trained": q_ivf_trained,
+        "semdedup_block_recall": q_semdedup_block_recall,
     }
 
 
