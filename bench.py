@@ -44,6 +44,7 @@ N_NEW = N_SEEN
 N_PAGES = _env_n("SPARK_GRAFT_PAGES_N", int(60_000 * SCALE))
 N_IMAGES = _env_n("SPARK_GRAFT_IMAGES_N", int(20_000 * SCALE))
 N_AUDIO = _env_n("SPARK_GRAFT_AUDIO_N", int(20_000 * SCALE))
+N_VECTORS = _env_n("SPARK_GRAFT_VECTORS_N", int(400_000 * SCALE))
 
 
 def log(msg: str) -> None:
@@ -265,6 +266,52 @@ def bench_audio_pipeline(spark: SparkSession) -> dict:
     return {"sec": dt, "clips_per_sec": n / dt, "ok": ok}
 
 
+def bench_kmeans_assign(spark: SparkSession) -> dict:
+    """Embedding-clustering leg of the training-data pipeline at volume:
+    nearest-centroid assignment (operators/clustering.py:
+    kmeans_assignments) over synthetic 64-dim vectors built JVM-side
+    from spark.range — the IVF/SemDeDup scale path, a zero-shuffle
+    codegen'd projection doing k×dim exact int64 MACs per row."""
+    from lightcrawler_spark.operators.clustering import kmeans_assignments
+
+    dim, k = 64, 16
+    cents = spark.createDataFrame(
+        [
+            (
+                c,
+                [
+                    int(((c * 2654435761 + i * 40503) % 2_000_001)
+                        - 1_000_000)
+                    for i in range(dim)
+                ],
+            )
+            for c in range(k)
+        ],
+        "cid int, centroid array<bigint>",
+    )
+    n = N_VECTORS
+    vecs = spark.range(0, n, 1, CPUS * 4).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
+            ).cast("double") / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    row = (
+        kmeans_assignments(vecs, cents)
+        .agg(F.count("*").alias("n"), F.sum("cid").alias("s"),
+             F.min("dist").alias("d"))
+        .collect()[0]
+    )
+    dt = time.time() - t0
+    log(f"kmeans_assign: {n} vectors x {k} cents x {dim}d in {dt:.1f}s "
+        f"= {n / dt:,.0f} vec/s (checksum {row['s']})")
+    return {"sec": dt, "vectors_per_sec": n / dt, "checksum": int(row["s"])}
+
+
 def bench_per_host_schedule(spark: SparkSession) -> dict:
     """P8 scale mode (fixed in r3): per-host politeness pop + the
     deterministic host interleave over a synthetic frontier — the round
@@ -479,6 +526,10 @@ def run(spark: SparkSession) -> dict:
     r = best_of(bench_audio_pipeline)
     queries["audio_pipeline"] = round(r["sec"], 3)
     extra["audio_clips_per_sec"] = round(r["clips_per_sec"])
+
+    r = best_of(bench_kmeans_assign)
+    queries["kmeans_assign_synthetic"] = round(r["sec"], 3)
+    extra["kmeans_vectors_per_sec"] = round(r["vectors_per_sec"])
 
     r = best_of(bench_per_host_schedule)
     queries["per_host_schedule_synthetic"] = round(r["sec"], 3)

@@ -104,7 +104,10 @@ def kmeans_centroids(
     throughout: init = the k rows with the smallest ids (cid 0..k-1 in
     id order — the convention any two engines can reproduce, unlike a
     random or kmeans|| seed), exact int64 micro-unit arithmetic, empty
-    clusters keep their previous centroid.
+    clusters keep their previous centroid. Determinism requires
+    ``id_col`` values to be UNIQUE (duplicate smallest ids would make
+    the init row choice a tie) — the same key-uniqueness precondition
+    warc_records documents for its order column.
 
     Returns ``(cid int, centroid array<bigint>)`` in micro-units —
     feed to :func:`kmeans_assignments`, or dequantize
@@ -157,8 +160,16 @@ def kmeans_assignments(
     """Assign every vector to its nearest trained centroid. Pure
     projection (centroids inlined as literals — zero join, zero
     shuffle); returns ``(id_col, cid, dist)`` with dist the exact int64
-    squared euclidean distance in micro-units²."""
+    squared euclidean distance in micro-units².
+
+    Preconditions: ``centroids`` must be non-empty, and input vectors
+    must be non-null with the centroid dimensionality (a NULL vector
+    yields a NULL distance on every centroid, and which cid the
+    struct-min then emits is engine-defined — filter nulls upstream,
+    as every registry caller does)."""
     cents = _collect_centroids(centroids)
+    if not cents:
+        raise ValueError("kmeans_assignments requires >=1 centroid")
     q = df.select(
         F.col(id_col), quantize_micro_expr(F.col(vec_col)).alias("_kq")
     )

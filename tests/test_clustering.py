@@ -89,6 +89,17 @@ def test_assignment_tie_breaks_to_lowest_cid(spark):
     assert row["dist"] == 1000 * 1000
 
 
+def test_empty_centroids_raise(spark):
+    from lightcrawler_spark.operators.clustering import kmeans_assignments
+
+    cents = spark.createDataFrame([], "cid int, centroid array<bigint>")
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="centroid"):
+        kmeans_assignments(df, cents)
+
+
 def test_semantic_dedup_blocks_by_cluster(spark):
     from lightcrawler_spark.operators.clustering import (
         kmeans_assignments,

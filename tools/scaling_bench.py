@@ -41,7 +41,12 @@ REPS = int(os.environ.get("SCALING_REPS", "8"))
 # Spark workloads so every report carries its contemporaneous
 # environmental bound. Spark efficiency ÷ hostcpu efficiency =
 # environment-normalized efficiency.
-WORKLOADS = ("dedup", "pages", "images", "audio", "hostcpu", "hostbw")
+WORKLOADS = tuple(
+    os.environ.get(
+        "SCALING_WORKLOADS",
+        "dedup,pages,images,audio,kmeans,hostcpu,hostbw",
+    ).split(",")
+)
 
 
 class _HostCeiling:
@@ -113,6 +118,7 @@ def serve(cpus: int) -> None:
         "pages": lambda: bench.bench_page_pipeline(spark)["pages_per_sec"],
         "images": lambda: bench.bench_image_decode(spark)["images_per_sec"],
         "audio": lambda: bench.bench_audio_pipeline(spark)["clips_per_sec"],
+        "kmeans": lambda: bench.bench_kmeans_assign(spark)["vectors_per_sec"],
         "hostcpu": lambda: ceiling.run("hostcpu"),
         "hostbw": lambda: ceiling.run("hostbw"),
     }
@@ -192,10 +198,11 @@ def main() -> None:
         report[f"{w}_efficiency"] = round(speedup / (hi / lo), 3)
     host_eff = report.get("hostcpu_efficiency", 0.0)
     if host_eff:
-        for w in ("dedup", "pages", "images"):
-            report[f"{w}_efficiency_vs_host_ceiling"] = round(
-                report[f"{w}_efficiency"] / host_eff, 3
-            )
+        for w in ("dedup", "pages", "images", "kmeans"):
+            if w in WORKLOADS:
+                report[f"{w}_efficiency_vs_host_ceiling"] = round(
+                    report[f"{w}_efficiency"] / host_eff, 3
+                )
     print(json.dumps(report, indent=2))
 
 
