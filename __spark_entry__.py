@@ -871,6 +871,34 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the TRAINED-IVF search (q_ivf_trained's exact
+    configuration) against the exact cosine top-3
+    (operators/similarity.py:ann_recall) — the trained-IVF row of the
+    eval matrix next to ann_recall's SRP-LSH row: quantifies what
+    n_probe=2 over a k=8 trained quantizer gives up vs brute force.
+    Both sides are k·Q-row tables, broadcast-sized at any corpus."""
+    from lightcrawler_spark.operators.clustering import kmeans_centroids
+    from lightcrawler_spark.operators.similarity import ann_recall, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, k=8, iters=2).select(
+        F.col("cid").cast("long").alias("vec_id"),
+        F.transform(
+            "centroid", lambda c: c.cast("double") / F.lit(1000000.0)
+        ).alias("embedding"),
+    )
+    exact = brute_force_topk(emb, q, k=3)
+    approx = ivf_topk(emb, q, k=3, n_probe=2, centroids=cents)
+    return ann_recall(exact, approx).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "recall",
+    )
+
+
 def q_semdedup_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality evaluation for SemDeDup's k-means stage
     (operators/clustering.py:kmeans_block_pairs at threshold=-1 = the
@@ -968,12 +996,12 @@ def _kmeans_assign_oracle_sql() -> str:
     )
 
 
-def _ivf_trained_oracle_sql() -> str:
-    """Training (unrolled k-means CTEs) + search (the embedding_ivf
-    algebra) in one chain: centroids = c2 dequantized to DOUBLE lists,
-    then argmax-cosine list assignment, 2 probed lists, exact re-rank."""
+def _ivf_trained_cte() -> str:
+    """WITH-body shared by ivf_trained and ivf_recall: k-means training
+    CTEs + dequantized centroids + the embedding_ivf search algebra,
+    ending at CTE r = ranked candidates."""
     return (
-        "WITH " + _kmeans_oracle_cte(8, 2) + ",\n"
+        _kmeans_oracle_cte(8, 2) + ",\n"
         "cents AS (SELECT cid,"
         " list_transform(cv, c -> c / 1000000.0) AS cvec FROM c2),\n"
         "lists AS (\n"
@@ -1014,11 +1042,56 @@ def _ivf_trained_oracle_sql() -> str:
         " neighbor_id ASC\n"
         "         ) AS rank\n"
         "  FROM cand\n"
-        ")\n"
+        ")"
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Training (unrolled k-means CTEs) + search (the embedding_ivf
+    algebra) in one chain: centroids = c2 dequantized to DOUBLE lists,
+    then argmax-cosine list assignment, 2 probed lists, exact re-rank."""
+    return (
+        "WITH " + _ivf_trained_cte() + "\n"
         "SELECT CAST(query_id AS BIGINT) AS query_id,\n"
         "       CAST(neighbor_id AS BIGINT) AS neighbor_id,\n"
         "       sim, CAST(rank AS INT) AS rank\n"
         "FROM r WHERE rank <= 3"
+    )
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """Recall@3 of the trained-IVF search against the exact cosine
+    top-3 — the trained-IVF row of the eval matrix (ann_recall covers
+    SRP-LSH). Reuses the shared training+search WITH-body, adds the
+    brute-force exact side and the recall aggregate."""
+    return (
+        "WITH " + _ivf_trained_cte() + ",\n"
+        "ap AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),\n"
+        "qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe\n"
+        "       FROM embeddings WHERE vec_id < 10),\n"
+        "expairs AS (\n"
+        "  SELECT qx.query_id, e.vec_id AS neighbor_id,\n"
+        "         round(list_cosine_similarity(qx.qe,"
+        " e.embedding::DOUBLE[]), 6) AS sim\n"
+        "  FROM qx, embeddings e WHERE e.vec_id <> qx.query_id\n"
+        "),\n"
+        "ex AS (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        "    SELECT query_id, neighbor_id,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY query_id ORDER BY sim DESC,"
+        " neighbor_id ASC\n"
+        "           ) AS rank\n"
+        "    FROM expairs) WHERE rank <= 3\n"
+        ")\n"
+        "SELECT CAST(ex.query_id AS BIGINT) AS query_id,\n"
+        "       CAST(count(*) AS BIGINT) AS n_exact,\n"
+        "       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,\n"
+        "       round(count(ap.neighbor_id) * 1.0 / count(*), 6)"
+        " AS recall\n"
+        "FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id\n"
+        "                    AND ap.neighbor_id = ex.neighbor_id\n"
+        "GROUP BY ex.query_id"
     )
 
 
@@ -4588,6 +4661,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "ivf_trained": q_ivf_trained,
         "semdedup_block_recall": q_semdedup_block_recall,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -5716,6 +5790,7 @@ FROM r WHERE rank <= 3
         "semantic_dedup_kmeans": _semantic_dedup_kmeans_oracle_sql(),
         "ivf_trained": _ivf_trained_oracle_sql(),
         "semdedup_block_recall": _semdedup_block_recall_oracle_sql(),
+        "ivf_recall": _ivf_recall_oracle_sql(),
         "publish_time_normalize": """
 WITH s AS (
   SELECT o_orderkey,
