@@ -312,6 +312,38 @@ def bench_kmeans_assign(spark: SparkSession) -> dict:
     return {"sec": dt, "vectors_per_sec": n / dt, "checksum": int(row["s"])}
 
 
+def bench_kmeans_train(spark: SparkSession) -> dict:
+    """Full Lloyd-iteration training throughput (kmeans_centroids over
+    the same synthetic vectors as bench_kmeans_assign): each iteration
+    is the assignment projection PLUS the (dim+1)-column map-side-
+    combined groupBy shuffle — the leg that witnesses the UPDATE
+    stage's partial aggregation at volume. Metric: vector-iterations/s.
+    Not in the per-round bench run (assignment covers the hot path);
+    reachable via SCALING_WORKLOADS=kmeans_train."""
+    from lightcrawler_spark.operators.clustering import kmeans_centroids
+
+    dim, k, iters = 64, 16, 2
+    n = N_VECTORS
+    vecs = spark.range(0, n, 1, CPUS * 4).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
+            ).cast("double") / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    cents = kmeans_centroids(vecs, k=k, iters=iters)
+    chk = cents.agg(F.sum(F.element_at("centroid", 1)).alias("s")).collect()
+    dt = time.time() - t0
+    rate = n * iters / dt
+    log(f"kmeans_train: {n} vectors x {iters} iters (k={k}, {dim}d) in "
+        f"{dt:.1f}s = {rate:,.0f} vec-iters/s (checksum {chk[0]['s']})")
+    return {"sec": dt, "vec_iters_per_sec": rate,
+            "checksum": int(chk[0]["s"])}
+
+
 def bench_per_host_schedule(spark: SparkSession) -> dict:
     """P8 scale mode (fixed in r3): per-host politeness pop + the
     deterministic host interleave over a synthetic frontier — the round

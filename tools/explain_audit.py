@@ -566,6 +566,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window",
          r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
     ],
+    # SemDeDup k-means blocking: the candidate-pair stage must be a cid
+    # EQUI-join (cost ∝ Σ cluster_size², never the n² cartesian), with
+    # assignment inlined as literals (no per-row Python, no extra join)
+    "kmeans_block_join": [
+        ("cid equi-join",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("no rank window", r"!windowspecdefinition"),
+    ],
     # precision-curation PRE-CC stage (gate → cut → hash → decontaminate
     # → consensus candidates → PSNR verify — the part the checkpoint
     # hides from the final plan): decode/PSNR are Arrow passes, the
@@ -657,6 +668,25 @@ def _precision_verify_stage_plan(spark):
     return entrymod._precision_verified_stage(spark)[0]
 
 
+def _kmeans_block_join_plan(spark):
+    """The candidate-pair stage of semantic_dedup_kmeans (pre-CC):
+    kmeans_block_pairs over a synthetic embedding table."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.clustering import kmeans_block_pairs
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
+            ).cast("double") / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+    return kmeans_block_pairs(emb, k=4, iters=1, threshold=0.2)
+
+
 def _minhash_band_join_plan(spark):
     """The candidate-pair stage of minhash_dedup (pre-CC)."""
     from pyspark.sql import functions as F
@@ -677,6 +707,7 @@ EXTRA_PLANS = {
     "pagerank_iteration": _pagerank_iteration_plan,
     "minhash_band_join": _minhash_band_join_plan,
     "precision_verify_stage": _precision_verify_stage_plan,
+    "kmeans_block_join": _kmeans_block_join_plan,
 }
 
 

@@ -119,6 +119,9 @@ def serve(cpus: int) -> None:
         "images": lambda: bench.bench_image_decode(spark)["images_per_sec"],
         "audio": lambda: bench.bench_audio_pipeline(spark)["clips_per_sec"],
         "kmeans": lambda: bench.bench_kmeans_assign(spark)["vectors_per_sec"],
+        # not in the default list — opt in via SCALING_WORKLOADS
+        "kmeans_train": lambda: bench.bench_kmeans_train(spark)[
+            "vec_iters_per_sec"],
         "hostcpu": lambda: ceiling.run("hostcpu"),
         "hostbw": lambda: ceiling.run("hostbw"),
     }
