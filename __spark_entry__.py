@@ -11,6 +11,7 @@ the driver's rows-only check.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -911,14 +912,26 @@ def q_semdedup_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightcrawler_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    truth = cosine_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
-    cand = kmeans_block_pairs(emb, k=4, iters=2, threshold=-1.0).select(
-        "id_a", "id_b"
+    truth = cosine_near_dup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
     )
-    hits = truth.join(cand, ["id_a", "id_b"], "inner")
-    n_truth, n_cand, n_hits = truth.count(), cand.count(), hits.count()
+    cand = kmeans_block_pairs(emb, k=4, iters=2, threshold=-1.0).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    # full-outer + one aggregate: all three counts in ONE job — the
+    # truth cross and the block join each execute once, not twice
+    row = (
+        truth.join(cand, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_truth"),
+            F.count("_c").alias("n_candidates"),
+            F.count(F.when(F.col("_t").isNotNull()
+                           & F.col("_c").isNotNull(), 1)).alias("n_hits"),
+        )
+        .collect()[0]
+    )
     base = spark.createDataFrame(
-        [(n_truth, n_cand, n_hits)],
+        [(row["n_truth"], row["n_candidates"], row["n_hits"])],
         "n_truth long, n_candidates long, n_hits long",
     )
     # F.round (HALF_UP) matches DuckDB round; Python round() would not
@@ -4021,6 +4034,7 @@ def q_caption_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_functools.lru_cache(maxsize=1)
 def _psnr_fixture() -> tuple[list, list]:
     """Shared fixture for the psnr_verify contract: 8 base images, each
     with an exact re-encode pair (999.0 dB), a ±1-noise copy (≥ 48 dB,
@@ -4084,32 +4098,36 @@ def q_psnr_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _psnr_verify_values_sql() -> str:
-    """Oracle for psnr_verify: re-derive every candidate pair's verdict
-    from a sequential scalar-loop PSNR over the SHARED fixture
-    (_psnr_fixture) — deliberately NOT the vectorized numpy `psnr` of
-    the kernel — embedded as VALUES; the ≥ 40 dB decision itself is
-    made in SQL."""
+def _scalar_psnr_db(arr_a, arr_b) -> float:
+    """Sequential scalar-loop PSNR shared by the psnr_verify and
+    precision_curation oracles — deliberately NOT the vectorized numpy
+    `psnr` of the kernel, so oracle and kernel cannot share a bug.
+    Shape mismatch → 0.0 dB by definition; exact-equal → 999.0."""
     import math
 
+    if arr_a.shape != arr_b.shape:
+        return 0.0
+    fa = [int(v) for v in arr_a.reshape(-1)]
+    fb = [int(v) for v in arr_b.reshape(-1)]
+    sse = sum((x - y) * (x - y) for x, y in zip(fa, fb))
+    if sse == 0:
+        return 999.0
+    return round(10.0 * math.log10(255.0 ** 2 * len(fa) / sse), 2)
+
+
+def _psnr_verify_values_sql() -> str:
+    """Oracle for psnr_verify: re-derive every candidate pair's verdict
+    from the scalar-loop PSNR (_scalar_psnr_db) over the SHARED fixture
+    (_psnr_fixture) embedded as VALUES; the ≥ 40 dB decision itself is
+    made in SQL."""
     from lightcrawler_spark.imagecodec import decode_image
 
     rows, pair_rows = _psnr_fixture()
     decoded = {i: decode_image(bytes(b)) for i, b in rows}
-    p_rows = []
-    for a, b in pair_rows:
-        arr_a, arr_b = decoded[a], decoded[b]
-        if arr_a.shape != arr_b.shape:
-            p_rows.append(f"({a}, {b}, 0.0)")
-            continue
-        fa = [int(v) for v in arr_a.reshape(-1)]
-        fb = [int(v) for v in arr_b.reshape(-1)]
-        sse = sum((x - y) * (x - y) for x, y in zip(fa, fb))
-        if sse == 0:
-            db = 999.0
-        else:
-            db = round(10.0 * math.log10(255.0 ** 2 * len(fa) / sse), 2)
-        p_rows.append(f"({a}, {b}, {db})")
+    p_rows = [
+        f"({a}, {b}, {_scalar_psnr_db(decoded[a], decoded[b])})"
+        for a, b in pair_rows
+    ]
     return (
         "WITH p(id_a, id_b, psnr_db) AS (VALUES\n"
         + ",\n".join(p_rows) + ")\n"
@@ -4273,6 +4291,7 @@ def _image_quality_values_sql() -> str:
     )
 
 
+@_functools.lru_cache(maxsize=1)
 def _precision_fixture() -> list:
     """Shared fixture for the precision_curation flagship: 10 content
     groups × (base, ±1-noise near-dup, ±80-noise lookalike) + 4
@@ -4317,6 +4336,7 @@ def _precision_fixture() -> list:
     return rows
 
 
+@_functools.lru_cache(maxsize=1)
 def _precision_eval_hashes() -> list:
     """Benchmark eval-set hashes for the decontamination stage: the
     phashes of groups 0 and 1's base images (fixture ids 0 and 3)."""
@@ -4420,8 +4440,6 @@ def _precision_curation_values_sql() -> str:
     PSNR, then the entire gate → cut → decontaminate → consensus →
     verify → CC chain re-derived in pure SQL (recursive CTE for the
     components)."""
-    import math
-
     from lightcrawler_spark.imagecodec import decode_image, dhash64, phash64
 
     decoded, t_rows = {}, []
@@ -4443,15 +4461,8 @@ def _precision_curation_values_sql() -> str:
     p_rows = []
     ids = sorted(decoded)
     for i, a in enumerate(ids):
-        fa = [int(v) for v in decoded[a].reshape(-1)]
         for b in ids[i + 1:]:
-            fb = [int(v) for v in decoded[b].reshape(-1)]
-            sse = sum((x - y) * (x - y) for x, y in zip(fa, fb))
-            if sse == 0:
-                db = 999.0
-            else:
-                mse = sse / len(fa)
-                db = round(10.0 * math.log10(255.0 ** 2 / mse), 2)
+            db = _scalar_psnr_db(decoded[a], decoded[b])
             p_rows.append(f"({a}, {b}, {db})")
     ev_rows = ", ".join(f"({h})" for h in _precision_eval_hashes())
     return (

@@ -266,6 +266,23 @@ def bench_audio_pipeline(spark: SparkSession) -> dict:
     return {"sec": dt, "clips_per_sec": n / dt, "ok": ok}
 
 
+def synthetic_vectors(spark: SparkSession, n: int, dim: int,
+                      partitions: int):
+    """Deterministic JVM-side embedding corpus (LCG components in
+    [-1, 1]) shared by the kmeans assign/train benches and
+    tools/explain_audit.py's blocking-join plan — one generator, so
+    tuning the distribution can never desynchronize the workloads."""
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
+            ).cast("double") / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+
+
 def bench_kmeans_assign(spark: SparkSession) -> dict:
     """Embedding-clustering leg of the training-data pipeline at volume:
     nearest-centroid assignment (operators/clustering.py:
@@ -290,15 +307,7 @@ def bench_kmeans_assign(spark: SparkSession) -> dict:
         "cid int, centroid array<bigint>",
     )
     n = N_VECTORS
-    vecs = spark.range(0, n, 1, CPUS * 4).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
-            ).cast("double") / F.lit(1000.0),
-        ).alias("embedding"),
-    )
+    vecs = synthetic_vectors(spark, n, dim, CPUS * 4)
     t0 = time.time()
     row = (
         kmeans_assignments(vecs, cents)
@@ -324,15 +333,7 @@ def bench_kmeans_train(spark: SparkSession) -> dict:
 
     dim, k, iters = 64, 16, 2
     n = N_VECTORS
-    vecs = spark.range(0, n, 1, CPUS * 4).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
-            ).cast("double") / F.lit(1000.0),
-        ).alias("embedding"),
-    )
+    vecs = synthetic_vectors(spark, n, dim, CPUS * 4)
     t0 = time.time()
     cents = kmeans_centroids(vecs, k=k, iters=iters)
     chk = cents.agg(F.sum(F.element_at("centroid", 1)).alias("s")).collect()

@@ -88,6 +88,10 @@ def _nearest_expr(qv_col, cents: list[tuple[int, list[int]]]):
     return best["cid"], best["dist"]
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
+
+
 def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[int]]]:
     rows = centroids.select("cid", "centroid").collect()  # k rows — O(k) driver
     return sorted((int(r["cid"]), [int(v) for v in r["centroid"]]) for r in rows)
@@ -196,6 +200,11 @@ def kmeans_block_pairs(
         embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
     )
     cent_list = _collect_centroids(cents)
+    if not cent_list:  # empty corpus → no blocks → no pairs
+        return embeddings.sparkSession.createDataFrame(
+            [], f"id_a {_id_type(embeddings, id_col)},"
+                f" id_b {_id_type(embeddings, id_col)}, sim double"
+        )
     from .similarity import cosine_expr
 
     q = embeddings.select(

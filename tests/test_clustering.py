@@ -100,6 +100,21 @@ def test_empty_centroids_raise(spark):
         kmeans_assignments(df, cents)
 
 
+def test_empty_corpus_yields_empty_pairs(spark):
+    from lightcrawler_spark.operators.clustering import (
+        kmeans_block_pairs,
+        semantic_dedup_kmeans,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    pairs = kmeans_block_pairs(empty, k=4, iters=1)
+    assert pairs.columns == ["id_a", "id_b", "sim"]
+    assert pairs.count() == 0
+    assert semantic_dedup_kmeans(empty, k=4, iters=1).count() == 0
+
+
 def test_semantic_dedup_blocks_by_cluster(spark):
     from lightcrawler_spark.operators.clustering import (
         kmeans_assignments,

@@ -670,20 +670,12 @@ def _precision_verify_stage_plan(spark):
 
 def _kmeans_block_join_plan(spark):
     """The candidate-pair stage of semantic_dedup_kmeans (pre-CC):
-    kmeans_block_pairs over a synthetic embedding table."""
-    from pyspark.sql import functions as F
+    kmeans_block_pairs over bench.py's shared synthetic corpus."""
+    import bench
 
     from lightcrawler_spark.operators.clustering import kmeans_block_pairs
 
-    emb = spark.range(500).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda i: (
-                ((F.col("id") + 1) * 48271 + i * 16807) % 2001 - 1000
-            ).cast("double") / F.lit(1000.0),
-        ).alias("embedding"),
-    )
+    emb = bench.synthetic_vectors(spark, 500, 16, 4)
     return kmeans_block_pairs(emb, k=4, iters=1, threshold=0.2)
 
 
