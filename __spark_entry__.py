@@ -2303,16 +2303,26 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightcrawler_spark.operators.textdedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    truth = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select("id_a", "id_b")
-    cand = minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4).select(
-        "id_a", "id_b", F.lit(1).alias("_hit")
+    truth = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
     )
-    joined = truth.join(cand.drop("_hit"), ["id_a", "id_b"], "inner")
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_hits = joined.count()
+    cand = minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    # full-outer + one aggregate: all three counts in ONE job (the
+    # truth all-pairs and the band join each execute once, not twice)
+    row = (
+        truth.join(cand, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_truth"),
+            F.count("_c").alias("n_candidates"),
+            F.count(F.when(F.col("_t").isNotNull()
+                           & F.col("_c").isNotNull(), 1)).alias("n_hits"),
+        )
+        .collect()[0]
+    )
     base = spark.createDataFrame(
-        [(n_truth, n_cand, n_hits)],
+        [(row["n_truth"], row["n_candidates"], row["n_hits"])],
         "n_truth long, n_candidates long, n_hits long",
     )
     # F.round (HALF_UP) matches DuckDB round; Python round() would not
