@@ -826,6 +826,29 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_assign_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-k nearest-centroid assignment
+    (operators/clustering.py:kmeans_assignments_bcast): the centroids
+    travel as ONE broadcast data row instead of inlined plan literals,
+    so k×dim is bounded by executor memory, not codegen constant-pool
+    pressure — the path a 10^10-vector IVF (k ≈ 4096+) takes. Same
+    trained quantizer and output contract as kmeans_assign, so it
+    shares the oracle; a hash-match certifies the two assignment paths
+    are bit-identical under independent execution."""
+    from lightcrawler_spark.operators.clustering import (
+        kmeans_assignments_bcast,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    return kmeans_assignments_bcast(emb, cents).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's k-means blocking (operators/
     clustering.py:semantic_dedup_kmeans; Abbas et al. 2023): cluster,
@@ -4683,6 +4706,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_trained": q_ivf_trained,
         "semdedup_block_recall": q_semdedup_block_recall,
         "ivf_recall": q_ivf_recall,
+        "kmeans_assign_bcast": q_kmeans_assign_bcast,
     }
 
 
@@ -5812,6 +5836,9 @@ FROM r WHERE rank <= 3
         "ivf_trained": _ivf_trained_oracle_sql(),
         "semdedup_block_recall": _semdedup_block_recall_oracle_sql(),
         "ivf_recall": _ivf_recall_oracle_sql(),
+        # same trained quantizer + output contract as kmeans_assign —
+        # the shared oracle certifies both assignment paths bit-equal
+        "kmeans_assign_bcast": _kmeans_assign_oracle_sql(),
         "publish_time_normalize": """
 WITH s AS (
   SELECT o_orderkey,

@@ -36,9 +36,10 @@ Scale shape (10^9-10^10 vectors, coarse k):
   exactly one job over the quantized scan and nothing recomputes.
 Literal-plan pressure bounds the inlined path at k×dim of a few
 hundred thousand constants; coarse quantizers (k ≤ ~1024) sit well
-inside it. Beyond that, assignment belongs in a broadcast join +
-min(struct) aggregation — deliberately not implemented until a caller
-needs fine-grained k.
+inside it. Beyond that, use :func:`kmeans_assignments_bcast`: the
+centroids travel as one broadcast data row instead of plan literals —
+same exact arithmetic, same zero-shuffle projection shape, bounded by
+executor memory rather than the constant pool.
 """
 
 from __future__ import annotations
@@ -51,6 +52,7 @@ __all__ = [
     "quantize_micro_expr",
     "kmeans_centroids",
     "kmeans_assignments",
+    "kmeans_assignments_bcast",
     "kmeans_block_pairs",
     "semantic_dedup_kmeans",
 ]
@@ -180,6 +182,55 @@ def kmeans_assignments(
     cid_expr, dist_expr = _nearest_expr(F.col("_kq"), cents)
     return q.select(
         F.col(id_col), cid_expr.alias("cid"), dist_expr.alias("dist")
+    )
+
+
+def kmeans_assignments_bcast(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-k assignment: same output contract as
+    :func:`kmeans_assignments`, but the centroids travel as DATA — one
+    broadcast row carrying ``array<struct<cid, centroid>>`` — instead
+    of inlined plan literals, so k×dim is bounded by executor memory,
+    not by codegen constant-pool pressure (the inlined path documents
+    its ceiling at k ≤ ~1024; a 10^10-vector IVF wants k ≈ 4096–65536).
+
+    Shape: a 1-row broadcast nested-loop join (the documented bounded
+    crossing — the small side is exactly one row) followed by a pure
+    projection: ``array_min(transform(cents, c → (dist, cid)))`` — all
+    JVM higher-order expressions, zero shuffle, no Python. Results are
+    bit-identical to the inlined path (same exact int64 arithmetic,
+    same lowest-cid tie-break; pinned by tests/test_clustering.py)."""
+    cents_row = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cid").cast("int").alias("cid"),
+                     F.col("centroid").alias("centroid"))
+        ).alias("_cents")
+    )
+    q = df.select(
+        F.col(id_col), quantize_micro_expr(F.col(vec_col)).alias("_kq")
+    ).crossJoin(F.broadcast(cents_row))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_kq"), c["centroid"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return q.select(
+        F.col(id_col), best["cid"].alias("cid"), best["dist"].alias("dist")
     )
 
 

@@ -89,6 +89,66 @@ def test_assignment_tie_breaks_to_lowest_cid(spark):
     assert row["dist"] == 1000 * 1000
 
 
+def test_bcast_assignment_matches_inlined(spark):
+    from lightcrawler_spark.operators.clustering import (
+        kmeans_assignments,
+        kmeans_assignments_bcast,
+        kmeans_centroids,
+    )
+
+    df = _toy(spark, 5)
+    cents = kmeans_centroids(df, k=3, iters=2)
+    a = sorted(map(tuple, kmeans_assignments(df, cents).collect()))
+    b = sorted(map(tuple, kmeans_assignments_bcast(df, cents).collect()))
+    assert a == b
+
+    # tie-break parity: equidistant centroids resolve to the lowest cid
+    # in BOTH paths regardless of centroid-row order
+    tie = spark.createDataFrame(
+        [(2, [0, 0]), (0, [0, 0]), (1, [10_000_000, 0])],
+        "cid int, centroid array<bigint>",
+    )
+    pt = spark.createDataFrame(
+        [(7, [0.001, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = kmeans_assignments_bcast(pt, tie).collect()[0]
+    assert (row["cid"], row["dist"]) == (0, 1000 * 1000)
+
+
+def test_bcast_assignment_large_k(spark):
+    # k=2048 × dim=16: far beyond the inlined path's comfort zone —
+    # the broadcast-data path must plan and run without literal
+    # pressure, and every vector must pick its true argmin centroid.
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.clustering import (
+        kmeans_assignments_bcast,
+    )
+
+    k, dim = 2048, 16
+    cents = spark.range(k).select(
+        F.col("id").cast("int").alias("cid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.col("id") * 1000 + i).cast("long"),
+        ).alias("centroid"),
+    )
+    # vectors sitting exactly ON centroid c = 3*c for a few c values
+    pts = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.col("id") * 3 * 1000 + i).cast("double")
+                       / F.lit(1000000.0)),
+        ).alias("embedding"),
+    )
+    got = {r["vec_id"]: r for r in kmeans_assignments_bcast(pts, cents).collect()}
+    assert len(got) == 30
+    for v in range(30):
+        assert got[v]["cid"] == 3 * v
+        assert got[v]["dist"] == 0
+
+
 def test_empty_centroids_raise(spark):
     from lightcrawler_spark.operators.clustering import kmeans_assignments
 

@@ -566,6 +566,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window",
          r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
     ],
+    # large-k assignment: centroids as ONE broadcast data row — the
+    # 1-row nested-loop crossing is the documented bounded shape; after
+    # it, a pure projection (no shuffle, no Python, no plan literals)
+    "kmeans_assign_bcast": [
+        ("1-row broadcast crossing", r"BroadcastNestedLoopJoin"),
+        # BroadcastExchange of the 1-row side (and the k-row
+        # SinglePartition collapse that builds it) is the documented
+        # bounded shape; what must never appear is a hash/range shuffle
+        # over the corpus
+        ("no corpus shuffle (pure projection)",
+         r"!Exchange (hash|range)partitioning"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
     # SemDeDup k-means blocking: the candidate-pair stage must be a cid
     # EQUI-join (cost ∝ Σ cluster_size², never the n² cartesian), with
     # assignment inlined as literals (no per-row Python, no extra join)
