@@ -4562,6 +4562,40 @@ def _precision_curation_values_sql() -> str:
 # the contract
 # ---------------------------------------------------------------------------
 
+def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware training-batch assignment
+    (operators/chunking.py:contrastive_batches): no two members of one
+    near-dup cluster share a batch — the layout step that keeps
+    surviving duplicates from becoming in-batch FALSE NEGATIVES in
+    contrastive (CLIP-style) training. Fixture: one 40-row mega-cluster
+    (forces n_batches = max_cluster_size = 40 > ceil(300/8) = 38 — the
+    feasibility-growth path), 13 mid clusters, 100 NULL singletons.
+    Spark runs the distributed prefix sum over the
+    (size DESC, key, id) layout; the oracle re-derives rank and modulo
+    batch with plain windows."""
+    from lightcrawler_spark.operators.chunking import contrastive_batches
+
+    rows = spark.range(300).select(
+        F.col("id").alias("image_id"),
+        F.when(F.col("id") < 40, F.lit(1000))
+        .when(F.col("id") < 200, F.col("id") % 13)
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("cluster_id"),
+    )
+    out = contrastive_batches(
+        rows, batch_size=8, id_col="image_id", num_partitions=8
+    )
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_key",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("layout_rank").cast("long").alias("layout_rank"),
+        F.col("batch_idx").cast("long").alias("batch_idx"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -4707,6 +4741,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_block_recall": q_semdedup_block_recall,
         "ivf_recall": q_ivf_recall,
         "kmeans_assign_bcast": q_kmeans_assign_bcast,
+        "contrastive_batches": q_contrastive_batches,
     }
 
 
@@ -7886,6 +7921,48 @@ FROM norm n JOIN freq f USING (caption_norm)
         "image_quality_gate": _image_quality_values_sql(),
         "precision_curation": _precision_curation_values_sql(),
         "psnr_verify": _psnr_verify_values_sql(),
+        # full re-derivation with plain windows: the Spark side must
+        # reproduce the (size DESC, key, id) layout rank with the
+        # two-stage distributed prefix sum and the driver-scalar
+        # n_batches = GREATEST(ceil(N/B), max cluster size)
+        "contrastive_batches": """
+WITH rows_ AS (
+  SELECT i AS image_id,
+         CASE WHEN i < 40 THEN 1000
+              WHEN i < 200 THEN i % 13
+              ELSE NULL END AS cluster_id
+  FROM generate_series(0, 299) t(i)
+),
+keyed AS (
+  SELECT image_id, cluster_id,
+         CASE WHEN cluster_id IS NOT NULL
+              THEN 'c:' || CAST(cluster_id AS VARCHAR)
+              ELSE 's:' || CAST(image_id AS VARCHAR) END AS cluster_key
+  FROM rows_
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cluster_key) AS cluster_size
+  FROM keyed
+),
+g AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           ORDER BY cluster_size DESC, cluster_key, image_id) - 1
+           AS layout_rank
+  FROM sized
+),
+params AS (
+  SELECT GREATEST((COUNT(*) + 7) // 8, MAX(cluster_size), 1) AS nb
+  FROM sized
+)
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       cluster_key,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(layout_rank AS BIGINT) AS layout_rank,
+       CAST(layout_rank % nb AS BIGINT) AS batch_idx
+FROM g, params
+""",
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

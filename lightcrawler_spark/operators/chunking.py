@@ -34,6 +34,7 @@ __all__ = [
     "generate_aspect_buckets",
     "assign_aspect_buckets",
     "shard_manifest",
+    "contrastive_batches",
 ]
 
 
@@ -307,6 +308,107 @@ def assign_aspect_buckets(
              * F.lit(batch_size)) < F.lit(batch_size),
         )
         .drop("_pid", "_cum", "_offset", "_bbase", "_btotal")
+    )
+
+
+def contrastive_batches(
+    df: DataFrame,
+    batch_size: int,
+    cluster_col: str = "cluster_id",
+    id_col: str = "image_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dedup-cluster-aware training-batch assignment: no two members of
+    the same near-duplicate cluster ever share a batch.
+
+    Contrastive training (CLIP-style, every other in-batch sample is a
+    negative) is silently poisoned by surviving near-duplicates — a dup
+    pair landing in one batch is a FALSE NEGATIVE that pushes matching
+    embeddings apart. Standard practice after web-scale dedup keeps the
+    cluster structure around exactly for this; this operator turns a
+    cluster assignment (e.g. ``graph.dedup_cluster_assignments`` output)
+    into a conflict-free batch layout.
+
+    Construction (exact, no randomness):
+      * rows with NULL ``cluster_col`` are singletons (their own
+        cluster, keyed by id);
+      * ``n_batches = max(ceil(N / batch_size), max_cluster_size)`` —
+        always feasible, growing the batch count (shrinking batches)
+        only when a mega-cluster forces it;
+      * rows are laid out in ``(cluster_size DESC, cluster_key ASC,
+        id ASC)`` order, giving each a global 0-based rank ``g``; the
+        batch is ``g % n_batches``.
+    Same-cluster rows are CONTIGUOUS in that order (they share size and
+    key), so their ranks are consecutive and their batches distinct
+    whenever ``cluster_size <= n_batches`` — which the ``n_batches``
+    choice guarantees. Every batch gets ``floor`` or ``ceil`` of
+    ``N / n_batches`` rows, which is ``<= batch_size`` by construction.
+
+    Scale shape: one hash-groupBy for cluster sizes, one
+    AQE-splittable equi-join back, then the module's distributed
+    prefix sum (range repartition on the layout key, per-partition
+    cumulative counts, O(P) driver prefix broadcast back) — a plain
+    ``Window.orderBy`` global rank would funnel the corpus through one
+    task. Driver state: P partition totals plus two scalars (N,
+    max cluster size). Result is independent of physical partitioning
+    (asserted by tests).
+
+    Adds ``cluster_key`` (string; ``c:<cluster>`` or singleton
+    ``s:<id>``), ``cluster_size``, ``layout_rank`` (the global ``g``),
+    ``batch_idx``. ``id_col`` must be unique.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+
+    ckey = F.when(
+        F.col(cluster_col).isNotNull(),
+        F.concat(F.lit("c:"), F.col(cluster_col).cast("string")),
+    ).otherwise(F.concat(F.lit("s:"), F.col(id_col).cast("string")))
+    keyed = df.withColumn("cluster_key", ckey)
+
+    sizes = keyed.groupBy("cluster_key").agg(
+        F.count("*").alias("cluster_size")
+    )
+    sized = keyed.join(sizes, "cluster_key").withColumn(
+        "_negsz", -F.col("cluster_size")
+    )
+
+    ranged = sized.repartitionByRange(
+        num_partitions, F.col("_negsz"), F.col("cluster_key"), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)  # pin layout across actions
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_negsz", "cluster_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged.withColumn("_cum", F.count(F.lit(1)).over(w))
+
+    totals = ranged.groupBy("_pid").count().collect()  # P rows
+    by_pid = {r["_pid"]: r["count"] for r in totals}
+    prefix, acc = {}, 0
+    for pid in sorted(by_pid):
+        prefix[pid] = acc
+        acc += by_pid[pid]
+    n_rows = acc
+    max_cluster = sizes.agg(F.max("cluster_size")).first()[0] or 0
+    n_batches = max(
+        -(-n_rows // batch_size) if n_rows else 1, max_cluster, 1
+    )
+    offsets = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _offset long"
+    )
+
+    g = F.col("_offset") + F.col("_cum") - F.lit(1)
+    return (
+        cum.join(F.broadcast(offsets), "_pid")
+        .withColumn("layout_rank", g)
+        .withColumn("batch_idx", g % F.lit(int(n_batches)))
+        .drop("_pid", "_cum", "_offset", "_negsz")
     )
 
 

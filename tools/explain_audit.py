@@ -221,6 +221,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!windowspecdefinition\(bucket_id#\d+,"),
         ("grouped-prefix offsets broadcast", r"BroadcastHashJoin"),
     ],
+    # conflict-free batch layout: the global layout rank comes from the
+    # distributed prefix sum — the cumulative window is keyed by the
+    # physical partition, never a bare orderBy (which would funnel the
+    # corpus through one task); offsets join back broadcast
+    "contrastive_batches": [
+        ("rank window keyed by _pid", r"windowspecdefinition\(_pid#\d+"),
+        ("no unpartitioned window",
+         r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("prefix offsets broadcast", r"BroadcastHashJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # BM25: corpus stats were collapsed to literals at plan-build time —
     # the scoring pass is one codegen'd scan, no join, no shuffle
     "bm25_rank": [
