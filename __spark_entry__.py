@@ -1879,6 +1879,84 @@ FROM imgs i LEFT JOIN agg USING (image_id) JOIN fsqt USING (image_id)
     )
 
 
+def _crossmodal_recall_values_sql() -> str:
+    """Oracle for crossmodal_recall: image vectors pinned via the SAME
+    shared kernel (`clip_image_vec_micro`, exact integer micro-units);
+    captions pinned as strings. DuckDB then genuinely re-derives the
+    text hashing, every pairwise exact-integer cosine (48×48), the
+    (sim DESC, neighbor ASC) ranking, the self-hit set, and the per-K
+    recall — a hash match certifies the whole retrieval-eval chain."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image
+    from lightcrawler_spark.operators.clipscore import clip_image_vec_micro
+
+    vals = []
+    for r in make_images(48):
+        v = clip_image_vec_micro(decode_image(r["bytes"]))
+        cap = (r["caption"] + " " + r["image_id"]).replace("'", "''")
+        vals.append(
+            f"('{r['image_id']}','{cap}',{','.join(str(x) for x in v)})"
+        )
+    return (
+        "WITH imgs(image_id, caption, f0,f1,f2,f3,f4,f5,f6,f7) AS "
+        "(VALUES\n" + ",\n".join(vals) + "\n),\n"
+        """toks AS (
+  SELECT image_id, tok
+  FROM imgs, UNNEST(string_split(lower(caption), ' ')) AS t(tok)
+  WHERE tok <> ''
+),
+h AS (
+  SELECT image_id,
+    (('0x' || substr(md5(tok || 'clip'), 1, 8))::UBIGINT % 8)::BIGINT AS b,
+    CASE WHEN ('0x' || substr(md5(tok || 'clip'), 9, 1))::UBIGINT < 8
+         THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+vec AS (SELECT image_id AS cap_id, b, SUM(s)::BIGINT AS v
+        FROM h GROUP BY 1, 2),
+t2 AS (SELECT cap_id, SUM(v * v)::BIGINT AS t2 FROM vec GROUP BY 1),
+f2 AS (
+  SELECT image_id,
+    (f0*f0 + f1*f1 + f2*f2 + f3*f3 + f4*f4 + f5*f5 + f6*f6 + f7*f7)::BIGINT
+      AS f2
+  FROM imgs
+),
+dots AS (
+  SELECT v.cap_id AS query_id, i.image_id AS neighbor_id,
+    SUM(v.v * CASE v.b WHEN 0 THEN i.f0 WHEN 1 THEN i.f1 WHEN 2 THEN i.f2
+                       WHEN 3 THEN i.f3 WHEN 4 THEN i.f4 WHEN 5 THEN i.f5
+                       WHEN 6 THEN i.f6 ELSE i.f7 END)::BIGINT AS dot
+  FROM vec v CROSS JOIN imgs i GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.image_id AS query_id, i.image_id AS neighbor_id,
+    ROUND(CASE WHEN COALESCE(t2.t2, 0) > 0 AND f2.f2 > 0
+               THEN COALESCE(d.dot, 0) / sqrt((t2.t2 * f2.f2)::DOUBLE)
+               ELSE 0.0 END, 6) AS sim
+  FROM imgs q CROSS JOIN imgs i
+  LEFT JOIN dots d ON d.query_id = q.image_id
+                  AND d.neighbor_id = i.image_id
+  LEFT JOIN t2 ON t2.cap_id = q.image_id
+  JOIN f2 ON f2.image_id = i.image_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+),
+hits AS (SELECT query_id, rnk FROM ranked WHERE query_id = neighbor_id),
+ks(k) AS (VALUES (1), (3), (5), (10))
+SELECT CAST(ks.k AS INT) AS k,
+       (SELECT COUNT(*) FROM imgs)::BIGINT AS n_queries,
+       COUNT(h.query_id)::BIGINT AS n_hits,
+       ROUND(COUNT(h.query_id)
+             / (SELECT COUNT(*) FROM imgs)::DOUBLE, 6) AS recall
+FROM ks LEFT JOIN hits h ON h.rnk <= ks.k
+GROUP BY ks.k
+"""
+    )
+
+
 def _image_verify_values_sql() -> str:
     """Every fixture image must pass every invariant — the VALUES oracle
     pins the full verdict set (ids × fmts, all four flags true)."""
@@ -4596,6 +4674,30 @@ def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption→image retrieval Recall@K
+    (operators/clipscore.py:crossmodal_recall) — the CLIP eval protocol
+    over the image+caption pair table: each caption queries ALL images,
+    a hit is the caption's OWN image inside its top-K. Captions are
+    uniquified with the image_id suffix (the fixture's 6 caption
+    templates would otherwise tie). Encoders are the labeled stand-ins;
+    the oracle pins image vectors via the shared kernel and genuinely
+    re-derives text hashing, all 48×48 exact-int cosines, ranking, and
+    the per-K recall. Scale note: eval-slice harness (cross join is
+    |eval|²); corpus retrieval goes through the LSH/IVF paths."""
+    from lightcrawler_spark.operators.clipscore import crossmodal_recall
+
+    df = _image_df(spark, n=48).withColumn(
+        "caption", F.concat_ws(" ", F.col("caption"), F.col("image_id"))
+    )
+    return crossmodal_recall(df, ks=(1, 3, 5, 10)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "recall",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -4742,6 +4844,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "kmeans_assign_bcast": q_kmeans_assign_bcast,
         "contrastive_batches": q_contrastive_batches,
+        "crossmodal_recall": q_crossmodal_recall,
     }
 
 
@@ -7963,6 +8066,7 @@ SELECT CAST(image_id AS BIGINT) AS image_id,
        CAST(layout_rank % nb AS BIGINT) AS batch_idx
 FROM g, params
 """,
+        "crossmodal_recall": _crossmodal_recall_values_sql(),
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

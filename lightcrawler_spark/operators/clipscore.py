@@ -55,6 +55,8 @@ __all__ = [
     "make_image_encoder_udf",
     "caption_vec_expr",
     "clip_scores",
+    "crossmodal_topk",
+    "crossmodal_recall",
 ]
 
 CLIP_DIM = 8
@@ -194,4 +196,123 @@ def clip_scores(
         out.withColumn("clip_score", F.round(score, 6))
         .withColumn("keep", F.col("clip_score") >= F.lit(float(threshold)))
         .drop("_fv", "_tv", "_dot", "_t2", "_f2")
+    )
+
+
+def crossmodal_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    dim: int = CLIP_DIM,
+    image_vec_col: str | None = None,
+    image_encoder=None,
+) -> DataFrame:
+    """Caption→image retrieval top-k over an (image, caption) pair table
+    — the scoring half of the standard CLIP retrieval eval (Recall@K on
+    COCO/Flickr30k; the same protocol LAION reports for its released
+    models). Each row's caption is a query against ALL images.
+
+    Same encoder seams as `clip_scores` (pass `image_vec_col` to reuse a
+    persisted embedding, `image_encoder` to swap in a real vision
+    tower); same determinism contract — exact int64 dot/norms, one
+    IEEE-defined division, round(6) — so a DuckDB oracle reproduces
+    every score bit-for-bit.
+
+    Scale shape: this is the EVAL harness, run on a bounded eval slice
+    (a few thousand pairs), not the corpus — the caption side is
+    broadcast and the cross join costs |eval|². At corpus scale,
+    retrieval goes through the LSH/IVF paths (similarity.py);
+    undecodable images are dropped from the retrieval corpus (they
+    cannot be retrieved; their captions still count as queries).
+
+    Returns ``(query_id, neighbor_id, sim, rank)`` with rank 1..k per
+    query (ties: sim DESC, neighbor_id ASC).
+    """
+    if image_vec_col:
+        fvec = F.col(image_vec_col)
+    elif image_encoder is not None:
+        fvec = image_encoder(F.col(bytes_col))
+    else:
+        fvec = clip_image_vec_udf(F.col(bytes_col))
+    caps = F.broadcast(
+        df.select(
+            F.col(id_col).alias("query_id"),
+            caption_vec_expr(F.col(caption_col), dim=dim).alias("_tv"),
+        )
+    )
+    imgs = df.select(
+        F.col(id_col).alias("neighbor_id"), fvec.alias("_fv")
+    ).filter(F.col("_fv").isNotNull())
+
+    dot = F.aggregate(
+        F.zip_with(F.col("_tv"), F.col("_fv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        caps.crossJoin(imgs)
+        .withColumn("_dot", dot)
+        .withColumn("_t2", sq(F.col("_tv")))
+        .withColumn("_f2", sq(F.col("_fv")))
+        .withColumn(
+            "sim",
+            F.round(
+                F.when(
+                    (F.col("_t2") > 0) & (F.col("_f2") > 0),
+                    F.col("_dot")
+                    / F.sqrt((F.col("_t2") * F.col("_f2")).cast("double")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def crossmodal_recall(
+    df: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 5),
+    **topk_kwargs,
+) -> DataFrame:
+    """Recall@K of caption→image retrieval: the fraction of captions
+    whose OWN image appears in their top-K — the headline number of the
+    CLIP eval protocol, and the measurement loop that tells a curation
+    pipeline whether its alignment gate (clip_scores) is driven by a
+    usable embedding space. One ``crossmodal_topk`` pass at max(ks),
+    then per-K conditional counts; everything after the top-k is
+    query-count-sized. Returns ``(k, n_queries, n_hits, recall)``."""
+    spark = df.sparkSession
+    kmax = max(ks)
+    topk = crossmodal_topk(df, k=kmax, **topk_kwargs)
+    hits = topk.filter(F.col("query_id") == F.col("neighbor_id")).select(
+        "query_id", "rank"
+    )
+    n_queries = df.count()  # driver scalar (eval-slice-sized input)
+    ks_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    per_k = (
+        ks_df.join(hits, hits["rank"] <= ks_df["k"], "left")
+        .groupBy("k")
+        .agg(F.count("query_id").alias("n_hits"))
+    )
+    return per_k.select(
+        "k",
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.lit(n_queries), 6).alias("recall"),
     )

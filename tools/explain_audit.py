@@ -234,6 +234,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # retrieval eval: the broadcast cross join is the documented
+    # bounded-eval-slice shape (|eval|², never the corpus); the image
+    # encoder is one Arrow pass and the rank window is keyed per query
+    "crossmodal_recall": [
+        ("Arrow image-encoder pass", r"ArrowEvalPython"),
+        ("query side broadcast (bounded eval cross)",
+         r"BroadcastNestedLoopJoin"),
+        ("rank window keyed by query", r"windowspecdefinition\(query_id"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # BM25: corpus stats were collapsed to literals at plan-build time —
     # the scoring pass is one codegen'd scan, no join, no shuffle
     "bm25_rank": [
