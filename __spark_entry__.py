@@ -1957,6 +1957,143 @@ GROUP BY ks.k
     )
 
 
+def _jpeg_scrub_fixture() -> list[tuple[int, bytes | None]]:
+    """Shared fixture for the jpeg_meta_scrub contract: every verdict
+    path of the JPEG container scrub — clean JFIF, EXIF without GPS,
+    EXIF with the GPS-IFD pointer, XMP, COM, all-three, a truncated
+    APP1 (corrupt), a PNG passthrough, a NULL blob."""
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import (
+        make_exif_app1,
+        make_jpeg_container,
+        make_xmp_app1,
+    )
+
+    png_bytes = next(
+        r["bytes"] for r in make_images(2) if r["fmt"] == "png"
+    )
+    return [
+        (0, make_jpeg_container()),
+        (1, make_jpeg_container((make_exif_app1(gps=False),))),
+        (2, make_jpeg_container((make_exif_app1(gps=True),))),
+        (3, make_jpeg_container((make_xmp_app1(),))),
+        (4, make_jpeg_container((), comment=b"shot on TestCam")),
+        (5, make_jpeg_container(
+            (make_exif_app1(gps=True), make_xmp_app1()), comment=b"c")),
+        (6, b"\xff\xd8\xff\xe1\x00\x10short"),
+        (7, png_bytes),
+        (8, None),
+    ]
+
+
+def _jpeg_scrub_expected(raw: bytes | None):
+    """Independent scalar re-derivation of the scrub verdicts for the
+    oracle — explicit index arithmetic, deliberately NOT the
+    imagecodec walker, so a kernel bug cannot cancel out. Returns
+    (clean_md5, n_removed, bytes_removed, had_exif, had_gps, had_xmp)
+    with None fields for NULL/corrupt rows."""
+    import hashlib
+
+    nulls = (None, None, None, None, None, None)
+    if raw is None:
+        return nulls
+    if raw[:2] != b"\xff\xd8":
+        return (hashlib.md5(raw).hexdigest(), 0, 0, False, False, False)
+    if raw[-2:] != b"\xff\xd9":
+        return nulls
+    i, n = 2, len(raw)
+    kept = [b"\xff\xd8"]
+    removed = removed_b = 0
+    exif = gps = xmp = False
+    while True:
+        if i + 4 > n or raw[i] != 0xFF:
+            return nulls
+        m = raw[i + 1]
+        while m == 0xFF:
+            i += 1
+            if i + 4 > n:
+                return nulls
+            m = raw[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            return nulls
+        ln = raw[i + 2] * 256 + raw[i + 3]
+        if ln < 2 or i + 2 + ln > n:
+            return nulls
+        end = i + 2 + ln
+        if 0xE1 <= m <= 0xEF or m == 0xFE:
+            removed += 1
+            removed_b += end - i
+            if m == 0xE1:
+                p = raw[i + 4:end]
+                if p[:6] == b"Exif\x00\x00":
+                    exif = True
+                    gps = gps or _tiff_gps_independent(p[6:])
+                elif p[:29] == b"http://ns.adobe.com/xap/1.0/\x00":
+                    xmp = True
+        else:
+            kept.append(raw[i:end])
+        i = end
+        if m == 0xDA:
+            break
+    kept.append(raw[i:])
+    clean = b"".join(kept)
+    return (hashlib.md5(clean).hexdigest(), removed, removed_b,
+            exif, gps, xmp)
+
+
+def _tiff_gps_independent(t: bytes) -> bool:
+    if len(t) < 8 or t[0:2] not in (b"II", b"MM"):
+        return False
+    little = t[0:2] == b"II"
+
+    def rd(b):
+        return int.from_bytes(b, "little" if little else "big")
+
+    if rd(t[2:4]) != 42:
+        return False
+    off = rd(t[4:8])
+    if off + 2 > len(t):
+        return False
+    for j in range(rd(t[off:off + 2])):
+        e = off + 2 + 12 * j
+        if e + 2 > len(t):
+            return False
+        if rd(t[e:e + 2]) == 0x8825:
+            return True
+    return False
+
+
+def _jpeg_scrub_values_sql() -> str:
+    """Oracle for jpeg_meta_scrub: every fixture row's verdict
+    re-derived by the independent scalar parser (_jpeg_scrub_expected)
+    and pinned as VALUES."""
+    vals = []
+    for i, raw in _jpeg_scrub_fixture():
+        md5h, nrem, brem, ex, gp, xm = _jpeg_scrub_expected(raw)
+
+        def q(v, s=False):
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return f"'{v}'" if s else str(v)
+
+        vals.append(
+            f"({i}, {q(md5h, s=True)}, {q(nrem)}, {q(brem)}, "
+            f"{q(ex)}, {q(gp)}, {q(xm)})"
+        )
+    return (
+        "SELECT CAST(image_id AS BIGINT) AS image_id,\n"
+        "       clean_md5,\n"
+        "       CAST(n_removed AS INT) AS n_removed,\n"
+        "       CAST(bytes_removed AS BIGINT) AS bytes_removed,\n"
+        "       had_exif, had_gps, had_xmp\n"
+        "FROM (VALUES\n" + ",\n".join(vals) + "\n) AS t("
+        "image_id, clean_md5, n_removed, bytes_removed, "
+        "had_exif, had_gps, had_xmp)"
+    )
+
+
 def _image_verify_values_sql() -> str:
     """Every fixture image must pass every invariant — the VALUES oracle
     pins the full verdict set (ids × fmts, all four flags true)."""
@@ -4698,6 +4835,33 @@ def q_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG container PII scrub + privacy flags
+    (operators/images.py:scrub_jpeg_metadata): real ITU-T T.81 marker
+    walk — APP1..15/COM stripped, APP0/coding segments kept, entropy
+    data untouched — with EXIF detection and a TIFF IFD0 walk for the
+    GPS pointer tag (the location-leak counter). The PNG sibling is
+    image_meta_scrub. Fixture covers every verdict path (clean / EXIF /
+    EXIF+GPS / XMP / COM / all / corrupt / PNG passthrough / NULL);
+    the oracle re-derives each verdict with an independent
+    index-arithmetic parser. One Arrow pass, no shuffle."""
+    from lightcrawler_spark.operators.images import scrub_jpeg_metadata
+
+    rows = [
+        (i, bytearray(b) if b is not None else None)
+        for i, b in _jpeg_scrub_fixture()
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    out = scrub_jpeg_metadata(df)
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.md5(F.col("bytes_clean")).alias("clean_md5"),
+        F.col("meta_segments_removed").cast("int").alias("n_removed"),
+        F.col("meta_bytes_removed").cast("long").alias("bytes_removed"),
+        "had_exif", "had_gps", "had_xmp",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -4845,6 +5009,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_bcast": q_kmeans_assign_bcast,
         "contrastive_batches": q_contrastive_batches,
         "crossmodal_recall": q_crossmodal_recall,
+        "jpeg_meta_scrub": q_jpeg_meta_scrub,
     }
 
 
@@ -8067,6 +8232,7 @@ SELECT CAST(image_id AS BIGINT) AS image_id,
 FROM g, params
 """,
         "crossmodal_recall": _crossmodal_recall_values_sql(),
+        "jpeg_meta_scrub": _jpeg_scrub_values_sql(),
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

@@ -258,3 +258,189 @@ def strip_png_metadata(data: bytes) -> tuple[bytes, int, int]:
 def make_png_text_chunk(keyword: bytes, text: bytes) -> bytes:
     """A spec-correct tEXt chunk (test/injection helper)."""
     return _chunk(b"tEXt", keyword + b"\x00" + text)
+
+
+# --- real JPEG CONTAINER walk (no codec needed: marker segments are
+# length-prefixed per ITU-T T.81 §B; the entropy-coded data is opaque
+# to a metadata scrubber, exactly like strip_png_metadata above) ---
+
+_JPEG_SOI = b"\xff\xd8"
+# metadata segments to strip: APP1..APP15 (EXIF, XMP, ICC, Photoshop,
+# Adobe) + COM. APP0 (JFIF) stays: decoders key density/version off it.
+_JPEG_META_MARKERS = frozenset(range(0xE1, 0xF0)) | {0xFE}
+
+
+def _jpeg_segments(data: bytes) -> tuple[list[tuple[int, int, int]], int]:
+    """Walk the pre-SOS marker segments of a real JPEG stream. Returns
+    ([(marker, start, end)], sos_end) where ``sos_end`` is the byte
+    offset just past the SOS header segment (entropy data begins
+    there); raises ValueError on a non-JPEG or truncated container."""
+    if data[:2] != _JPEG_SOI:
+        raise ValueError("not a JPEG")
+    segs: list[tuple[int, int, int]] = []
+    pos, n = 2, len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        while marker == 0xFF:  # fill bytes are legal between segments
+            pos += 1
+            if pos + 2 > n:
+                raise ValueError("truncated JPEG (fill run)")
+            marker = data[pos + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
+            raise ValueError("standalone marker before SOS")
+        if pos + 4 > n:
+            raise ValueError("truncated segment header")
+        length = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if length < 2 or pos + 2 + length > n:
+            raise ValueError("truncated segment payload")
+        end = pos + 2 + length
+        segs.append((marker, pos, end))
+        pos = end
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            return segs, pos
+
+
+def strip_jpeg_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Remove metadata segments (APP1..APP15, COM) from a real JPEG
+    container — where EXIF GPS fixes, camera serials, XMP author
+    blocks, and Photoshop paths travel. APP0/JFIF and every coding
+    segment (DQT/DHT/SOF/SOS) are kept; the entropy-coded data is
+    copied verbatim, so the output decodes bit-identically.
+
+    The stream must end with EOI (FFD9) after the entropy data.
+    Returns (clean_bytes, n_segments_removed, bytes_removed); raises
+    ValueError on a non-JPEG or malformed container.
+    """
+    segs, sos_end = _jpeg_segments(data)
+    if data[-2:] != b"\xff\xd9":
+        raise ValueError("JPEG does not end with EOI")
+    out = [_JPEG_SOI]
+    removed = 0
+    removed_bytes = 0
+    for marker, start, end in segs:
+        if marker in _JPEG_META_MARKERS:
+            removed += 1
+            removed_bytes += end - start
+        else:
+            out.append(data[start:end])
+    out.append(data[sos_end:])  # entropy data + EOI, untouched
+    return b"".join(out), removed, removed_bytes
+
+
+_EXIF_HDR = b"Exif\x00\x00"
+_XMP_HDR = b"http://ns.adobe.com/xap/1.0/\x00"
+_TAG_GPS_IFD = 0x8825
+
+
+def jpeg_privacy_flags(data: bytes) -> tuple[bool, bool, bool]:
+    """(has_exif, has_gps, has_xmp) for a real JPEG container: APP1
+    payloads are inspected — an ``Exif\\0\\0`` TIFF block has its IFD0
+    walked for the GPS-IFD pointer tag (0x8825, the tag a location
+    fix lives under), an XMP header flags has_xmp. A malformed TIFF
+    inside an otherwise-valid APP1 counts as has_exif with no GPS
+    (scrubbing still removes it). Raises ValueError on a non-JPEG."""
+    segs, _ = _jpeg_segments(data)
+    has_exif = has_gps = has_xmp = False
+    for marker, start, end in segs:
+        if marker != 0xE1:
+            continue
+        payload = data[start + 4:end]
+        if payload.startswith(_EXIF_HDR):
+            has_exif = True
+            has_gps = has_gps or _tiff_has_gps(payload[len(_EXIF_HDR):])
+        elif payload.startswith(_XMP_HDR):
+            has_xmp = True
+    return has_exif, has_gps, has_xmp
+
+
+def _tiff_has_gps(t: bytes) -> bool:
+    """Walk IFD0 of a TIFF block for tag 0x8825 (GPS IFD pointer)."""
+    if len(t) < 8:
+        return False
+    if t[:2] == b"II":
+        u16 = lambda b: int.from_bytes(b, "little")  # noqa: E731
+        u32 = u16
+    elif t[:2] == b"MM":
+        u16 = lambda b: int.from_bytes(b, "big")  # noqa: E731
+        u32 = u16
+    else:
+        return False
+    if u16(t[2:4]) != 42:
+        return False
+    off = u32(t[4:8])
+    if off + 2 > len(t):
+        return False
+    count = u16(t[off:off + 2])
+    for i in range(count):
+        e = off + 2 + 12 * i
+        if e + 12 > len(t):
+            return False
+        if u16(t[e:e + 2]) == _TAG_GPS_IFD:
+            return True
+    return False
+
+
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def make_exif_app1(gps: bool = False, make: bytes = b"cam\x00") -> bytes:
+    """A spec-correct APP1/EXIF segment (little-endian TIFF, IFD0 with
+    a Make tag and optionally the GPS-IFD pointer) — test/injection
+    helper, the JPEG sibling of make_png_text_chunk."""
+    n_entries = 2 if gps else 1
+    ifd0_off = 8
+    # entries are 12 bytes each; inline ASCII value fits in the 4-byte
+    # value slot when len <= 4 (TIFF6 §2)
+    entries = [
+        struct.pack("<HHI4s", 0x010F, 2, len(make), make.ljust(4, b"\x00")),
+    ]
+    gps_ifd_off = ifd0_off + 2 + 12 * n_entries + 4
+    if gps:
+        entries.append(struct.pack("<HHII", _TAG_GPS_IFD, 4, 1, gps_ifd_off))
+    tiff = (
+        b"II" + struct.pack("<HI", 42, ifd0_off)
+        + struct.pack("<H", n_entries) + b"".join(entries)
+        + struct.pack("<I", 0)  # next-IFD pointer
+    )
+    if gps:
+        # GPS IFD: one entry (GPSVersionID, BYTE x4, inline)
+        tiff += struct.pack("<H", 1) \
+            + struct.pack("<HHI4s", 0x0000, 1, 4, b"\x02\x03\x00\x00") \
+            + struct.pack("<I", 0)
+    return _jpeg_segment(0xE1, _EXIF_HDR + tiff)
+
+
+def make_xmp_app1(xml: bytes = b"<x:xmpmeta/>") -> bytes:
+    return _jpeg_segment(0xE1, _XMP_HDR + xml)
+
+
+def make_jpeg_container(
+    meta_segments: tuple[bytes, ...] = (),
+    comment: bytes | None = None,
+    entropy: bytes = b"\x12\x34\x56\x78" * 8,
+) -> bytes:
+    """A structurally valid JPEG marker stream (SOI, APP0/JFIF, given
+    metadata segments, DQT, SOF0, SOS header, opaque entropy bytes,
+    EOI) for container-walk tests — the entropy data is arbitrary
+    non-FF bytes because the scrubber never decodes it."""
+    assert b"\xff" not in entropy
+    jfif = _jpeg_segment(
+        0xE0, b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    dqt = _jpeg_segment(0xDB, b"\x00" + bytes(range(64)))
+    sof = _jpeg_segment(
+        0xC0, b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+    )
+    sos = _jpeg_segment(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    parts = [_JPEG_SOI, jfif, *meta_segments]
+    if comment is not None:
+        parts.append(_jpeg_segment(0xFE, comment))
+    parts += [dqt, sof, sos, entropy, b"\xff\xd9"]
+    return b"".join(parts)

@@ -686,6 +686,75 @@ def scrub_image_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.mapInPandas(_scrub, out_schema)
 
 
+def scrub_jpeg_metadata(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG-side PII scrub + privacy flags: walk the REAL JPEG marker
+    stream (imagecodec.strip_jpeg_metadata; length-prefixed segments
+    per ITU-T T.81 §B — no codec needed, the entropy data is opaque)
+    and drop APP1..APP15 + COM, where EXIF GPS fixes, camera serials,
+    XMP author blocks and editor comments travel. APP0/JFIF and all
+    coding segments stay; output decodes bit-identically. Before
+    stripping, APP1 payloads are inspected (TIFF IFD0 walk for the GPS
+    pointer tag 0x8825) so a pipeline can COUNT location leaks, not
+    just erase them.
+
+    The PNG sibling is scrub_image_metadata; together they cover the
+    two containers a web image corpus actually stores. Non-JPEG blobs
+    pass through unchanged (flags false); NULL/corrupt blobs yield
+    null rows (the documented corrupt-blob path). One Arrow batch
+    pass, no shuffle.
+
+    Adds: bytes_clean, meta_segments_removed, meta_bytes_removed,
+    had_exif, had_gps, had_xmp.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes_clean", T.BinaryType()),
+            T.StructField("meta_segments_removed", T.IntegerType()),
+            T.StructField("meta_bytes_removed", T.LongType()),
+            T.StructField("had_exif", T.BooleanType()),
+            T.StructField("had_gps", T.BooleanType()),
+            T.StructField("had_xmp", T.BooleanType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+
+    def _scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imagecodec import jpeg_privacy_flags, strip_jpeg_metadata
+
+        for pdf in batches:
+            outs, ns, bs = [], [], []
+            ex, gp, xm = [], [], []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    outs.append(None); ns.append(None); bs.append(None)
+                    ex.append(None); gp.append(None); xm.append(None)
+                    continue
+                raw = bytes(b)
+                if raw[:2] == b"\xff\xd8":
+                    try:
+                        e, g, x = jpeg_privacy_flags(raw)
+                        clean, n, nb = strip_jpeg_metadata(raw)
+                        outs.append(clean); ns.append(n); bs.append(nb)
+                        ex.append(e); gp.append(g); xm.append(x)
+                    except ValueError:
+                        outs.append(None); ns.append(None); bs.append(None)
+                        ex.append(None); gp.append(None); xm.append(None)
+                else:
+                    outs.append(raw); ns.append(0); bs.append(0)
+                    ex.append(False); gp.append(False); xm.append(False)
+            pdf = pdf[in_cols].copy()
+            pdf["bytes_clean"] = outs
+            pdf["meta_segments_removed"] = pd.array(ns, dtype="Int32")
+            pdf["meta_bytes_removed"] = pd.array(bs, dtype="Int64")
+            pdf["had_exif"] = pd.array(ex, dtype="boolean")
+            pdf["had_gps"] = pd.array(gp, dtype="boolean")
+            pdf["had_xmp"] = pd.array(xm, dtype="boolean")
+            yield pdf
+
+    return df.mapInPandas(_scrub, out_schema)
+
+
 def consensus_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
                              id_col: str = "image_id",
                              phash_col: str = "phash",

@@ -234,6 +234,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # JPEG container scrub: one Arrow pass over the bytes column,
+    # row-local — nothing shuffles
+    "jpeg_meta_scrub": [
+        ("one Arrow container pass", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # retrieval eval: the broadcast cross join is the documented
     # bounded-eval-slice shape (|eval|², never the corpus); the image
     # encoder is one Arrow pass and the rank window is keyed per query
