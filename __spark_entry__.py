@@ -2193,6 +2193,49 @@ def _golden_redirects_values_sql() -> str:
     return _golden_values_sql(golden)
 
 
+def q_crawl_golden_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap bootstrap end-to-end (spec.ingest_sitemaps,
+    operators/sitemap.py wired into CrawlEngine round 0): robots
+    `Sitemap:` directives → out-of-band fetch → urlset + ONE level of
+    <sitemapindex> recursion → C3-resolved locs through the full F1-F8
+    battery → frontier rows after the seeds in discovery order. The
+    fixture exercises relative locs, a robots-disallowed loc, a
+    cross-domain loc, duplicate/seed-duplicate locs and a nested index
+    (ignored); engine trace vs the reference-semantics simulator
+    (VALUES-literal oracle)."""
+    from lightcrawler_spark.fixtures import (
+        SITEMAP_ROBOTS_FIXTURE,
+        make_sitemap_webgraph,
+        sitemap_spec,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = sitemap_spec()
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_sitemap_webgraph()), spec
+        ),
+        robots_fixture=SITEMAP_ROBOTS_FIXTURE,
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_sitemap_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        SITEMAP_ROBOTS_FIXTURE,
+        make_sitemap_webgraph,
+        simulate_reference_crawl,
+        sitemap_spec,
+    )
+
+    golden = simulate_reference_crawl(
+        make_sitemap_webgraph(), sitemap_spec(), SITEMAP_ROBOTS_FIXTURE
+    )
+    return _golden_values_sql(golden)
+
+
 def q_image_caption_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule product: crawl the fixture web (pagination feeds on,
     image bodies received) and assemble the image+caption table
@@ -5010,6 +5053,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_batches": q_contrastive_batches,
         "crossmodal_recall": q_crossmodal_recall,
         "jpeg_meta_scrub": q_jpeg_meta_scrub,
+        "crawl_golden_sitemap": q_crawl_golden_sitemap,
     }
 
 
@@ -8233,6 +8277,7 @@ FROM g, params
 """,
         "crossmodal_recall": _crossmodal_recall_values_sql(),
         "jpeg_meta_scrub": _jpeg_scrub_values_sql(),
+        "crawl_golden_sitemap": _golden_sitemap_values_sql(),
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

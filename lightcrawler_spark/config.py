@@ -178,6 +178,17 @@ class CrawlSpec:
     # handleDocumentInfo running before filterUrls, :772-833). Patterns
     # are plain regexes (group 1 = the page count), not PHP-delimited.
     pagination_rules: list[tuple[str, str]] = field(default_factory=list)
+    # Sitemap bootstrap (operators/sitemap.py wired into the engine):
+    # at round 0, `Sitemap:` directives in the acquired robots bodies
+    # (fixture or S6 live fetch — requires obey_robots_txt bodies to
+    # exist, otherwise a no-op) are fetched out-of-band like robots,
+    # parsed (one level of <sitemapindex> recursion, per protocol), and
+    # the <loc> entries enter the frontier at depth 1 through the FULL
+    # F1-F8 admission battery (no F9 bypass — ingestion is defined
+    # outside the redirect bootstrap), deduped first-wins after the
+    # seeds. The reference never reads sitemaps; this is the engine's
+    # cheapest high-precision frontier source at web scale.
+    ingest_sitemaps: bool = False
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

@@ -425,6 +425,89 @@ def redirect_spec(budget: int = 1) -> CrawlSpec:
     )
 
 
+HOST_SM = "www.site-sm.test"
+_SM_ROOT = f"http://{HOST_SM}"
+
+SITEMAP_ROBOTS_FIXTURE = [(HOST_SM, f"""User-agent: *
+Disallow: /private
+Sitemap: {_SM_ROOT}/sitemap_index.xml
+Sitemap: {_SM_ROOT}/extra.xml
+""")]
+
+
+def make_sitemap_webgraph(with_robots_page: bool = False) -> list[dict]:
+    """Sitemap-bootstrap fixture (spec.ingest_sitemaps): a robots body
+    with two `Sitemap:` directives — one <sitemapindex> (child
+    recursion, including a NESTED index that must be ignored) and one
+    plain <urlset>. Exercises: relative <loc> (C3), robots-disallowed
+    loc (F8), cross-domain loc (F4), duplicate loc, seed duplicate."""
+    r = _SM_ROOT
+    xml = "application/xml"
+    sitemap_index = (
+        "<?xml version=\"1.0\"?>\n<sitemapindex>\n"
+        f"  <sitemap><loc>{r}/sm1.xml</loc></sitemap>\n"
+        f"  <sitemap><loc>{r}/sm_nested.xml</loc></sitemap>\n"
+        "</sitemapindex>\n"
+    )
+    sm1 = (
+        "<?xml version=\"1.0\"?>\n<urlset>\n"
+        f"  <url><loc>{r}/a.html</loc><priority>0.9</priority></url>\n"
+        "  <url><loc>/b.html</loc></url>\n"
+        f"  <url><loc>{r}/private/secret.html</loc></url>\n"
+        "  <url><loc>http://www.other-dom.test/x.html</loc></url>\n"
+        f"  <url><loc>{r}/a.html</loc></url>\n"
+        "</urlset>\n"
+    )
+    sm_nested = (
+        "<?xml version=\"1.0\"?>\n<sitemapindex>\n"
+        f"  <sitemap><loc>{r}/sm_deep.xml</loc></sitemap>\n"
+        "</sitemapindex>\n"
+    )
+    sm_deep = (
+        "<?xml version=\"1.0\"?>\n<urlset>\n"
+        f"  <url><loc>{r}/never.html</loc></url>\n"
+        "</urlset>\n"
+    )
+    extra = (
+        "<?xml version=\"1.0\"?>\n<urlset>\n"
+        f"  <url><loc>{r}/d.html</loc></url>\n"
+        f"  <url><loc>{r}/</loc></url>\n"
+        "</urlset>\n"
+    )
+    pages = [
+        # keyed at the NORMALIZED seed URL (C2 drops the bare "/")
+        _page_row(r, "<html><a href='/linked.html'>go</a></html>"),
+        _page_row(f"{r}/linked.html", "<html>leaf</html>"),
+        _page_row(f"{r}/sitemap_index.xml", sitemap_index, ctype=xml),
+        _page_row(f"{r}/sm1.xml", sm1, ctype=xml),
+        _page_row(f"{r}/sm_nested.xml", sm_nested, ctype=xml),
+        _page_row(f"{r}/sm_deep.xml", sm_deep, ctype=xml),
+        _page_row(f"{r}/extra.xml", extra, ctype=xml),
+        _page_row(f"{r}/a.html", "<html>a</html>"),
+        _page_row(f"{r}/b.html", "<html>b</html>"),
+        _page_row(f"{r}/d.html", "<html>d</html>"),
+        _page_row(f"{r}/never.html", "<html>never</html>"),
+        _page_row(f"{r}/private/secret.html", "<html>s</html>"),
+        _page_row("http://www.other-dom.test/x.html", "<html>x</html>"),
+    ]
+    if with_robots_page:
+        pages.append(_page_row(
+            f"{r}/robots.txt", SITEMAP_ROBOTS_FIXTURE[0][1],
+            ctype="text/plain",
+        ))
+    return pages
+
+
+def sitemap_spec(**kw) -> CrawlSpec:
+    return CrawlSpec(
+        seeds=[f"{_SM_ROOT}/"],
+        max_depth=2,
+        obey_robots_txt=True,
+        ingest_sitemaps=True,
+        **kw,
+    )
+
+
 def simulate_reference_crawl(
     webgraph: list[dict],
     spec: CrawlSpec,
@@ -560,6 +643,84 @@ def simulate_reference_crawl(
     for i, s in enumerate(spec.seeds):
         norm = urlkit.normalize_url(s)
         push(norm, 0 if i == 0 else 1, None)
+
+    if spec.ingest_sitemaps:
+        # sitemap bootstrap mirror of CrawlEngine._sitemap_frontier:
+        # robots `Sitemap:` directives (fixture order) → fetch from the
+        # web dict → parse (one level of <sitemapindex> recursion) →
+        # <loc> entries resolved (C3) through the FULL admission battery
+        # at depth 1, pushed in discovery order right after the seeds
+        _SM_DIRECTIVE = r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"
+        sm_seen: set[str] = set()
+        wave0: list[str] = []
+        for _h, body in robots:
+            for m in _re.finditer(_SM_DIRECTIVE, body):
+                u = m.group(1)
+                if u not in sm_seen:
+                    sm_seen.add(u)
+                    wave0.append(u)
+
+        def _sm_body(u: str) -> str | None:
+            p = web.get(u)
+            if (
+                p is None or p["status"] != 200 or p["body"] is None
+                or (p.get("fail_times", 0) or 0) >= spec.retry_limit
+            ):
+                return None
+            b = p["body"]
+            return (
+                b.decode("utf-8", errors="replace")
+                if isinstance(b, bytes) else b
+            )
+
+        def _sm_parse(text: str) -> tuple[str, list[str]]:
+            kind = (
+                "index" if _re.search("<sitemapindex", text) else "urlset"
+            )
+            pat = (
+                r"(?s)<sitemap>(.*?)</sitemap>" if kind == "index"
+                else r"(?s)<url>(.*?)</url>"
+            )
+            locs = []
+            for blk in _re.findall(pat, text):
+                m = _re.search(r"(?s)<loc>\s*(.*?)\s*</loc>", blk)
+                if m and m.group(1) != "":
+                    locs.append(m.group(1))
+            return kind, locs
+
+        sm_entries: list[tuple[str, str]] = []
+        sm_children: list[str] = []
+        for u in wave0:
+            text = _sm_body(u)
+            if text is None:
+                continue
+            kind, locs = _sm_parse(text)
+            if kind == "urlset":
+                sm_entries += [(u, l) for l in locs]
+            else:
+                base = urlkit.split_url(u)
+                for l in locs:
+                    cu = (
+                        urlkit.build_url_from_link(l, base) if base else None
+                    )
+                    if cu and cu not in sm_seen:
+                        sm_seen.add(cu)
+                        sm_children.append(cu)
+        for u in sm_children:
+            text = _sm_body(u)
+            if text is None:
+                continue
+            kind, locs = _sm_parse(text)
+            if kind == "urlset":  # nested index NOT followed (one level)
+                sm_entries += [(u, l) for l in locs]
+        for sm_url, loc in sm_entries:
+            base = urlkit.split_url(sm_url)
+            url = urlkit.build_url_from_link(loc, base) if base else None
+            if url is None:
+                continue
+            if admit({"url": url, "linktext": None, "linkcode": None},
+                     1, False):
+                push(url, 1, sm_url)
 
     def select_batch(pending: list[dict]) -> list[dict]:
         """One round's pop set, in fetch order.

@@ -203,6 +203,12 @@ class CrawlEngine:
         # fixture here and from live robots fetches as hosts appear.
         self._host_delays: dict[str, float] = {}
         self._host_budgets_cache: tuple | None = None
+        # sitemap bootstrap (spec.ingest_sitemaps): robots BODIES are
+        # kept (fixture order / live arrival order) so round 0 can scan
+        # them for `Sitemap:` directives
+        self._robots_bodies: list[tuple[str, str]] = (
+            list(robots_fixture or []) if spec.ingest_sitemaps else []
+        )
         if spec.obey_robots_txt and robots_fixture:
             pairs = [
                 (host, p)
@@ -297,6 +303,8 @@ class CrawlEngine:
         for row in rows:
             if row["status"] == 200 and row["body"] is not None:
                 body = bytes(row["body"]).decode("utf-8", errors="replace")
+                if self.spec.ingest_sitemaps:
+                    self._robots_bodies.append((row["_rb_host"], body))
                 new_pairs += [
                     (row["_rb_host"], p)
                     for p in parse_robots_body(
@@ -385,6 +393,152 @@ class CrawlEngine:
         )  # bare LocalTableScan: keep the broadcast/collect fast paths
         self._frontier_total = len(rows)  # drained-skip baseline
         return scheduler.assign_priority(df, self.spec.priority_rules)
+
+    # -- sitemap bootstrap (spec.ingest_sitemaps) -----------------------------
+    def _fetch_bodies(self, urls: list[str]) -> dict[str, str]:
+        """Out-of-band fetch (robots-style: permissive receive rules,
+        outside the politeness budget, never in the trace) returning
+        url → decoded body for 200 responses."""
+        if not urls:
+            return {}
+        fetcher = self.fetcher
+        from ..sources.fetcher import HttpFetcher
+
+        if isinstance(fetcher, HttpFetcher):
+            import dataclasses
+
+            fetcher = HttpFetcher(
+                dataclasses.replace(
+                    self.spec, content_type_receive_rules=[r"#.*#"]
+                ),
+                timeout_s=fetcher.timeout_s,
+            )
+        work = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = fetcher.fetch(work).select("url", "status", "body").collect()
+        return {
+            r["url"]: bytes(r["body"]).decode("utf-8", errors="replace")
+            for r in rows
+            if r["status"] == 200 and r["body"] is not None
+        }
+
+    def _sitemap_frontier(self, n_seeds: int) -> DataFrame | None:
+        """Round-0 sitemap ingestion: `Sitemap:` directives from the
+        acquired robots bodies → out-of-band fetch → parse (one level of
+        <sitemapindex> recursion, per the sitemaps.org protocol) →
+        <loc> entries resolved (C3) and pushed through the FULL F1-F8
+        battery (base = first seed; no F9 bypass — ingestion is defined
+        outside the redirect bootstrap) → frontier rows at depth 1.
+
+        insert_seq is bit-packed discovery order (wave, sitemap index,
+        document position) offset past the seeds and far below round-1
+        links' (r+1)<<40 base, so pop order is exactly the simulator's
+        consecutive-push order without a global rank window. Bootstrap
+        volumes are protocol-bounded (≤50k locs per sitemap), so the
+        two driver collects here are one-time O(sitemaps) costs."""
+        import re as _re
+
+        from ..functions.spark_udfs import resolve_link_udf
+        from ..operators.sitemap import _SITEMAP_DIRECTIVE, parse_sitemaps
+
+        seen_sm: set[str] = set()
+        wave0: list[str] = []
+        for _host, body in self._robots_bodies:
+            for m in _re.finditer(_SITEMAP_DIRECTIVE, body):
+                u = m.group(1)
+                if u not in seen_sm:
+                    seen_sm.add(u)
+                    wave0.append(u)
+        if not wave0:
+            return None
+
+        spark = self.spark
+
+        def parse_wave(wave_no: int, sm_urls: list[str]) -> DataFrame | None:
+            bodies = self._fetch_bodies(sm_urls)
+            rows = [
+                (wave_no, idx, u, bodies[u])
+                for idx, u in enumerate(sm_urls)
+                if u in bodies
+            ]
+            if not rows:
+                return None
+            df = spark.createDataFrame(
+                rows, "wave int, sm_idx int, sitemap_url string, body string"
+            )
+            parsed = parse_sitemaps(df)
+            order = df.select("wave", "sm_idx", "sitemap_url")
+            return parsed.join(F.broadcast(order), "sitemap_url")
+
+        parsed0 = parse_wave(0, wave0)
+        if parsed0 is None:
+            return None
+        parsed0 = parsed0.localCheckpoint(eager=True)  # read twice below
+
+        children: list[str] = []
+        for r in (
+            parsed0.filter(F.col("kind") == "index")
+            .select("sm_idx", "seq", "loc", "sitemap_url")
+            .sort("sm_idx", "seq")
+            .collect()
+        ):
+            parts = urlkit.split_url(r["sitemap_url"])
+            cu = urlkit.build_url_from_link(r["loc"], parts) if parts else None
+            if cu and cu not in seen_sm:
+                seen_sm.add(cu)
+                children.append(cu)
+        parsed1 = parse_wave(1, children) if children else None
+
+        locs = parsed0.filter(F.col("kind") == "urlset")
+        if parsed1 is not None:
+            # an index inside a child sitemap is NOT followed (the
+            # protocol allows one level of nesting)
+            locs = locs.unionByName(
+                parsed1.filter(F.col("kind") == "urlset")
+            )
+
+        cand = locs.select(
+            resolve_link_udf(F.col("loc"), F.col("sitemap_url")).alias("url"),
+            F.col("loc").alias("link_raw"),
+            F.lit(None).cast("string").alias("linktext"),
+            F.lit(None).cast("string").alias("linkcode"),
+            F.lit(1).alias("depth"),
+            F.lit(False).alias("is_redirect"),
+            F.col("sitemap_url").alias("referer"),
+            F.lit(False).alias("page_nofollow"),
+            "wave", "sm_idx", "seq",
+        ).filter(F.col("url").isNotNull())
+
+        spec = self.spec
+        pred = admission_predicate(
+            spec, spec.seeds[0], page_nofollow=F.col("page_nofollow")
+        )
+        if self.robots_pairs is not None:
+            pred = pred & robots_deny_predicate(self.robots_pairs)
+        if spec.drop_traps:
+            from ..operators.traps import is_trap_expr
+
+            pred = pred & ~is_trap_expr(F.col("url"))
+        out = cand.filter(pred)
+        if self.robots_rules is not None:
+            out = apply_robots_filter(out, self.robots_rules)
+
+        # discovery-order key: stays past the seeds and far below the
+        # round-1 link base (1 << 40)
+        packed = (
+            F.col("wave").cast("long") * F.lit(1 << 26)
+            + F.col("sm_idx").cast("long") * F.lit(1 << 16)
+            + F.least(F.col("seq").cast("long"), F.lit((1 << 16) - 1))
+        )
+        rows = out.select(
+            "url",
+            F.md5("url").alias("url_md5"),
+            host_expr(F.col("url")).alias("host"),
+            F.col("depth").cast("int").alias("depth"),
+            "referer", "link_raw", "linktext", "is_redirect",
+            F.lit(0).alias("priority_level"),
+            (F.lit(n_seeds).cast("long") + packed).alias("insert_seq"),
+        )
+        return scheduler.assign_priority(rows, spec.priority_rules)
 
     # -- unified round-table projections -------------------------------------
     def _pages_upto(self, r: int) -> DataFrame | None:
@@ -1073,6 +1227,13 @@ class CrawlEngine:
         if start_round == 0:
             # round 0 == seeding: store the seed rows as frontier round=0
             seeds = self._seed_frontier()
+            if spec.ingest_sitemaps:
+                sm = self._sitemap_frontier(self._frontier_total or 0)
+                if sm is not None:
+                    seeds = first_wins_within_batch(
+                        seeds.unionByName(sm), "url_md5", "insert_seq"
+                    ).localCheckpoint(eager=True)
+                    self._frontier_total = seeds.count()
             if not getattr(self.store, "materializes", False):
                 seeds = self._to_local(seeds)
             self.store.write("frontier", 0, seeds)

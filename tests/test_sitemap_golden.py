@@ -1,0 +1,118 @@
+"""Sitemap bootstrap golden (spec.ingest_sitemaps → engine == simulator).
+
+Pins the wiring of operators/sitemap.py into the engine's round-0
+bootstrap: robots `Sitemap:` directives → out-of-band fetch → urlset /
+one-level index recursion → C3-resolved locs through the FULL F1-F8
+battery → frontier rows right after the seeds, in discovery order.
+
+The fixture exercises: a sitemap index (child recursion), a nested
+index (MUST be ignored — one level per protocol), a relative <loc>
+(C3 resolution), a robots-disallowed loc, a cross-domain loc
+(follow-mode drop), a duplicate loc, and a seed duplicate.
+"""
+
+import pytest
+
+from lightcrawler_spark.fixtures import (
+    HOST_SM as HOST,
+    SITEMAP_ROBOTS_FIXTURE,
+    make_sitemap_webgraph as make_web,
+    simulate_reference_crawl,
+    sitemap_spec as make_spec,
+    webgraph_df,
+)
+from lightcrawler_spark.config import CrawlSpec
+from lightcrawler_spark.plans.crawl import CrawlEngine
+from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+ROOT = f"http://{HOST}"
+ROBOTS_BODY = SITEMAP_ROBOTS_FIXTURE[0][1]
+
+
+def run_engine(spark, spec, web):
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(webgraph_df(spark, web), spec),
+        robots_fixture=SITEMAP_ROBOTS_FIXTURE,
+    )
+    return engine.run(max_rounds=60)
+
+
+def trace_tuples(result):
+    return [
+        (r["seq"], r["url"], r["depth"], r["referer"], r["status"])
+        for r in result.trace.orderBy("seq").collect()
+    ]
+
+
+def golden_tuples(golden):
+    return [
+        (t["seq"], t["url"], t["depth"], t["referer"], t["status"])
+        for t in golden
+    ]
+
+
+@pytest.fixture(scope="module")
+def fixture_run(spark):
+    spec = make_spec()
+    web = make_web()
+    golden = simulate_reference_crawl(web, spec, SITEMAP_ROBOTS_FIXTURE)
+    result = run_engine(spark, spec, web)
+    return golden, result
+
+
+class TestSitemapGolden:
+    def test_trace_matches_simulator(self, fixture_run):
+        golden, result = fixture_run
+        assert trace_tuples(result) == golden_tuples(golden)
+
+    def test_sitemap_urls_enter_after_seed_in_discovery_order(
+        self, fixture_run
+    ):
+        golden, result = fixture_run
+        urls = [t[1] for t in trace_tuples(result)]
+        assert urls[0] == ROOT  # normalized seed (C2 drops the bare "/")
+        # extra.xml (wave 0) entries precede sm1.xml (wave-1 child) ones
+        assert urls.index(f"{ROOT}/d.html") < urls.index(f"{ROOT}/a.html")
+        assert urls.index(f"{ROOT}/a.html") < urls.index(f"{ROOT}/b.html")
+
+    def test_battery_and_recursion_limits_hold(self, fixture_run):
+        golden, result = fixture_run
+        urls = [t[1] for t in trace_tuples(result)]
+        assert f"{ROOT}/private/secret.html" not in urls  # robots F8
+        assert "http://www.other-dom.test/x.html" not in urls  # follow-mode
+        assert f"{ROOT}/never.html" not in urls  # nested index ignored
+        assert urls.count(f"{ROOT}/a.html") == 1  # loc dedup
+        assert urls.count(ROOT) == 1  # seed dedup (loc normalizes to it)
+        # the relative <loc> resolved against its sitemap URL (C3)
+        assert f"{ROOT}/b.html" in urls
+
+    def test_sitemap_rows_carry_referer_and_depth(self, fixture_run):
+        golden, result = fixture_run
+        by_url = {t[1]: t for t in trace_tuples(result)}
+        assert by_url[f"{ROOT}/d.html"][2:4] == (1, f"{ROOT}/extra.xml")
+        assert by_url[f"{ROOT}/a.html"][2:4] == (1, f"{ROOT}/sm1.xml")
+
+    def test_live_robots_path_matches_simulator(self, spark):
+        """No fixture: robots.txt live-fetched (S6) must feed the same
+        sitemap bootstrap."""
+        spec = make_spec()
+        web = make_web(with_robots_page=True)
+        golden = simulate_reference_crawl(web, spec, SITEMAP_ROBOTS_FIXTURE)
+        engine = CrawlEngine(
+            spark, spec, SyntheticFetcher(webgraph_df(spark, web), spec),
+            robots_fixture=None,
+        )
+        result = engine.run(max_rounds=60)
+        assert trace_tuples(result) == golden_tuples(golden)
+
+    def test_flag_off_ignores_sitemaps(self, spark):
+        spec = CrawlSpec(
+            seeds=[f"{ROOT}/"], max_depth=2, obey_robots_txt=True,
+            ingest_sitemaps=False,
+        )
+        web = make_web()
+        result = run_engine(spark, spec, web)
+        urls = [t[1] for t in trace_tuples(result)]
+        assert f"{ROOT}/d.html" not in urls
+        assert f"{ROOT}/a.html" not in urls
+        assert f"{ROOT}/linked.html" in urls
