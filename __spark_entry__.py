@@ -4905,6 +4905,30 @@ def q_jpeg_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mix with repeats
+    (operators/sampling.py:epoch_mix): per-stratum row targets met by
+    whole-epoch replication plus an md5-uniform fractional epoch,
+    capped at max_epochs=3 (the Muennighoff 2023 repeat ceiling) — the
+    upsampling dual of lang_rebalance. One codegen'd projection with a
+    row-local sequence explode; the oracle re-derives counts, caps,
+    rates, the hash decision and the fan-out relationally."""
+    from lightcrawler_spark.operators.sampling import epoch_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = epoch_mix(
+        docs.select("doc_id", "lang"),
+        {"en": 900, "zh": 350, "es": 120},
+        max_epochs=3,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_repeats").cast("int").alias("n_repeats"),
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5054,6 +5078,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmodal_recall": q_crossmodal_recall,
         "jpeg_meta_scrub": q_jpeg_meta_scrub,
         "crawl_golden_sitemap": q_crawl_golden_sitemap,
+        "epoch_mix": q_epoch_mix,
     }
 
 
@@ -8278,6 +8303,37 @@ FROM g, params
         "crossmodal_recall": _crossmodal_recall_values_sql(),
         "jpeg_meta_scrub": _jpeg_scrub_values_sql(),
         "crawl_golden_sitemap": _golden_sitemap_values_sql(),
+        # counts → epoch caps → whole-epoch replication + md5-uniform
+        # fractional epoch, re-derived relationally end to end
+        "epoch_mix": """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+t(lang, target) AS (VALUES ('en', 900), ('zh', 350), ('es', 120)),
+p AS (
+  SELECT c.lang, n, LEAST(CAST(target AS BIGINT), 3 * n) AS eff
+  FROM c JOIN t USING (lang)
+),
+p2 AS (
+  SELECT lang, CAST(eff // n AS INT) AS fulle,
+         (eff % n) / CAST(n AS DOUBLE) AS rate
+  FROM p
+),
+r AS (
+  SELECT d.doc_id, d.lang,
+    p2.fulle + CASE WHEN
+      (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'epoch'), 1, 8)
+       )::UBIGINT)::DOUBLE / 4294967296.0 < p2.rate
+      THEN 1 ELSE 0 END AS n_repeats
+  FROM documents d JOIN p2 USING (lang)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_repeats AS INT) AS n_repeats,
+       CAST(UNNEST(range(0, CAST(n_repeats AS BIGINT))) AS INT) AS epoch
+FROM r
+WHERE n_repeats > 0
+""",
         # bloom_prefilter / cuckoo_prefilter: probabilistic survivor sets
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are

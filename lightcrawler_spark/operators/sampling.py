@@ -29,6 +29,7 @@ __all__ = [
     "temperature_rebalance",
     "exact_score_quantile",
     "quantile_gate",
+    "epoch_mix",
 ]
 
 
@@ -369,4 +370,75 @@ def quantile_gate(
         )
     return df.filter(F.col(score_col) >= F.lit(thr)).withColumn(
         "score_threshold", F.lit(thr).cast("long")
+    )
+
+
+def epoch_mix(
+    df: DataFrame,
+    targets: dict[str, int],
+    max_epochs: int = 4,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Data-constrained training mix with REPEATS (the upsampling dual
+    of ``temperature_rebalance``): each stratum s with n_s rows and a
+    row target t_s contributes ``min(t_s, max_epochs * n_s)`` samples —
+    the epoch cap is the Muennighoff et al. 2023 ("Scaling
+    Data-Constrained Language Models") finding that repeating data
+    beyond ~4 epochs stops buying loss. Whole epochs replicate every
+    row; the fractional remainder epoch keeps rows whose md5 uniform
+    (``uniform_hash``, the module's shared primitive) falls under
+    ``(eff mod n_s) / n_s`` — deterministic per row, shuffle-free,
+    resume-stable, oracle-replicable.
+
+    Strata absent from ``targets`` (or with target <= 0), and NULL
+    strata, are excluded — the mix is an explicit allocation, not a
+    passthrough (NULLs sort out before the driver map per the
+    temperature_rebalance NULL lesson).
+
+    Scale shape: one hash-groupBy for the O(strata) count map (driver
+    literals), then ONE codegen'd projection: CASE lookups + the hash
+    compare + ``explode(sequence(0, n_repeats-1))`` — row-local fan-out
+    next to the scan, no shuffle, no window.
+
+    Adds ``n_repeats`` (this row's emitted copies, 0-rows filtered) and
+    ``epoch`` (0-based copy index); every input column is preserved.
+    """
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[strata_col] is not None
+    }
+    plans: dict[str, tuple[int, float]] = {}
+    for s, tgt in sorted(targets.items()):
+        n = counts.get(s)
+        if not n or tgt is None or int(tgt) <= 0:
+            continue
+        eff = min(int(tgt), max_epochs * n)
+        plans[s] = (eff // n, (eff % n) / n)
+    if not plans:
+        return (
+            df.withColumn("n_repeats", F.lit(0))
+            .withColumn("epoch", F.lit(0))
+            .filter(F.lit(False))
+        )
+    full_expr = F.lit(None).cast("int")
+    rate_expr = F.lit(None).cast("double")
+    for s, (full, rate) in plans.items():
+        cond = F.col(strata_col) == s
+        full_expr = F.when(cond, F.lit(full)).otherwise(full_expr)
+        rate_expr = F.when(cond, F.lit(rate)).otherwise(rate_expr)
+    u = uniform_hash(F.col(key_col), salt=salt)
+    n_rep = (
+        full_expr + (u < rate_expr).cast("int")
+    ).alias("n_repeats")
+    return (
+        df.withColumn("n_repeats", n_rep)
+        .filter(F.col("n_repeats") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("n_repeats") - 1))
+        )
     )

@@ -234,6 +234,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # repeat mix: counts collapse to driver literals; the projection +
+    # sequence explode is one codegen'd scan — no join, no shuffle
+    "epoch_mix": [
+        ("no join (plan is literal CASEs)", r"!Join"),
+        ("no shuffle (single scan)", r"!Exchange"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
     # JPEG container scrub: one Arrow pass over the bytes column,
     # row-local — nothing shuffles
     "jpeg_meta_scrub": [
