@@ -345,6 +345,38 @@ def bench_kmeans_train(spark: SparkSession) -> dict:
             "checksum": int(chk[0]["s"])}
 
 
+def bench_batch_layout(spark: SparkSession) -> dict:
+    """Conflict-free batch layout at volume (operators/chunking.py:
+    contrastive_batches): a synthetic corpus where every 5th row
+    belongs to one of 997 dup clusters (~N/5000 rows each) and the rest
+    are singletons — the post-dedup shape a CLIP-style training mix
+    actually has. Exercises the size groupBy, the join-back, and the
+    distributed prefix sum over the (size DESC, key, id) layout."""
+    from lightcrawler_spark.operators.chunking import contrastive_batches
+
+    n = _env_n("SPARK_GRAFT_BATCHROWS_N", int(1_000_000 * SCALE))
+    rows = spark.range(n, numPartitions=CPUS * 4).select(
+        F.col("id").alias("image_id"),
+        F.when(F.col("id") % 5 == 0, F.col("id") % 997)
+        .cast("long").alias("cluster_id"),
+    )
+    t0 = time.time()
+    out = contrastive_batches(
+        rows, batch_size=1024, id_col="image_id",
+        num_partitions=CPUS * 4,
+    )
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("batch_idx").alias("nb"),
+        F.sum("batch_idx").alias("s"),
+    ).collect()[0]
+    dt = time.time() - t0
+    log(f"batch_layout: {row['n']} rows -> {row['nb']} batches in "
+        f"{dt:.1f}s = {row['n'] / dt:,.0f} rows/s (checksum {row['s']})")
+    return {"sec": dt, "rows_per_sec": row["n"] / dt,
+            "checksum": int(row["s"])}
+
+
 def bench_per_host_schedule(spark: SparkSession) -> dict:
     """P8 scale mode (fixed in r3): per-host politeness pop + the
     deterministic host interleave over a synthetic frontier — the round
@@ -567,6 +599,10 @@ def run(spark: SparkSession) -> dict:
     r = best_of(bench_per_host_schedule)
     queries["per_host_schedule_synthetic"] = round(r["sec"], 3)
     extra["per_host_pending_rows_per_sec"] = round(r["pending_rows_per_sec"])
+
+    r = best_of(bench_batch_layout)
+    queries["batch_layout_synthetic"] = round(r["sec"], 3)
+    extra["batch_layout_rows_per_sec"] = round(r["rows_per_sec"])
 
     r = bench_crawl_engine(spark)
     queries["crawl_engine_rounds"] = round(r["sec"], 3)
