@@ -4929,6 +4929,60 @@ def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive READ side (operators/warc.py:parse_warc_segment):
+    assemble records (warc_records keep_record=True), concatenate them
+    into 4 segments (ordered collect_list fold — segment assembly is
+    writer-bounded), then parse the segment BYTES back: header fields,
+    byte offsets, Content-Length byte slicing (multi-byte payloads),
+    payload digests. The oracle never sees the parser — it re-derives
+    every expected field relationally from the documents table (record
+    text rebuild + per-segment running sum), so a hash match proves
+    write→read round-trip fidelity."""
+    from lightcrawler_spark.operators.warc import (
+        parse_warc_segment,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text").alias("payload"),
+    )
+    recs = warc_records(pages, keep_record=True).withColumn(
+        "seg_id", (F.col("doc_id") % 4).cast("int")
+    )
+    segments = recs.groupBy("seg_id").agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "record"))
+                    ),
+                    lambda x: x["record"],
+                ),
+                "",
+            ),
+            "UTF-8",
+        ).alias("segment")
+    )
+    return parse_warc_segment(segments, "segment").select(
+        F.col("seg_id").cast("int").alias("seg_id"),
+        F.col("rec_seq").cast("int").alias("rec_seq"),
+        F.col("rec_offset").cast("long").alias("rec_offset"),
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        F.col("content_length").cast("long").alias("content_length"),
+        "payload_md5",
+        "record_ok",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5079,6 +5133,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_meta_scrub": q_jpeg_meta_scrub,
         "crawl_golden_sitemap": q_crawl_golden_sitemap,
         "epoch_mix": q_epoch_mix,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -7456,6 +7511,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, url, content_length,
     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
   ), 0)::BIGINT AS warc_offset
 FROM s
+""",
+        # expected read-side fields re-derived relationally (record
+        # rebuild + per-segment running sum) — the parser is never
+        # consulted
+        "warc_roundtrip": """
+WITH d AS (
+  SELECT doc_id,
+    'https://' || source || '.example.org/doc/' || doc_id AS url,
+    text AS payload,
+    CAST(doc_id % 4 AS INT) AS seg_id
+  FROM documents WHERE doc_id < 240
+),
+r AS (
+  SELECT doc_id, seg_id, url,
+    CAST(strlen(payload) AS BIGINT) AS content_length,
+    md5(payload) AS payload_md5,
+    'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+      || 'WARC-Payload-Digest: md5:' || md5(payload) || chr(13) || chr(10)
+      || 'Content-Length: ' || strlen(payload)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || payload || chr(13) || chr(10) || chr(13) || chr(10) AS record
+  FROM d
+)
+SELECT seg_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY seg_id ORDER BY doc_id) - 1
+       AS INT) AS rec_seq,
+  coalesce(sum(CAST(strlen(record) AS BIGINT)) OVER (
+    PARTITION BY seg_id ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0)::BIGINT AS rec_offset,
+  'response' AS warc_type,
+  url AS target_uri,
+  '2026-01-01T00:00:00Z' AS warc_date,
+  content_length,
+  payload_md5,
+  true AS record_ok
+FROM r
 """,
         "image_dhash": _image_dhash_values_sql(),
         "image_letterbox": _image_letterbox_values_sql(),

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["warc_records", "warc_revisit_records", "cdx_entries"]
+__all__ = ["warc_records", "warc_revisit_records", "cdx_entries",
+           "parse_warc_segment"]
 
 _CRLF = "\r\n"
 
@@ -36,6 +37,7 @@ def warc_records(
     order_col: str = "doc_id",
     warc_date: str = "2026-01-01T00:00:00Z",
     num_partitions: int | None = None,
+    keep_record: bool = False,
 ) -> DataFrame:
     """Assemble one WARC/1.0 response record per row and position it in
     the global archive byte stream (order = ``order_col`` ascending).
@@ -79,6 +81,11 @@ def warc_records(
     sized = df.withColumn("content_length", content_length).withColumn(
         "record_length", F.octet_length(record).cast("long")
     ).withColumn("record_md5", F.md5(record))
+    if keep_record:
+        # the exact record text (what a segment writer concatenates);
+        # off by default — carrying the full text through the offset
+        # shuffle doubles the exchanged bytes
+        sized = sized.withColumn("record", record)
     return _with_global_offsets(sized, order_col, num_partitions)
 
 
@@ -167,6 +174,7 @@ def warc_revisit_records(
     order_col: str = "doc_id",
     warc_date: str = "2026-01-01T00:00:00Z",
     num_partitions: int | None = None,
+    keep_record: bool = False,
 ) -> DataFrame:
     """WARC assembly with revisit deduplication (WARC/1.1 'revisit'
     records, the Internet Archive / Common Crawl recrawl mechanism):
@@ -230,3 +238,113 @@ def warc_revisit_records(
         .drop("_prior_md5")
     )
     return _with_global_offsets(sized, order_col, num_partitions)
+
+
+def parse_warc_segment(
+    df: DataFrame,
+    segment_col: str = "segment",
+) -> DataFrame:
+    """Read side of the archive: parse concatenated WARC/1.0 records out
+    of a segment blob — what a replay/re-extraction job (S12 at archive
+    scale) runs over stored crawl segments. Inverse of
+    ``warc_records(keep_record=True)`` + per-segment concatenation
+    (round-trip pinned by the ``warc_roundtrip`` contract query).
+
+    Per record: ``rec_seq`` (0-based position in the segment),
+    ``rec_offset`` (byte offset within the segment), ``warc_type``,
+    ``target_uri``, ``warc_date``, ``content_length`` (declared),
+    ``payload`` (binary, sliced by Content-Length — BYTE arithmetic,
+    multi-byte-safe), ``payload_md5``, and ``record_ok`` (header well
+    formed, payload complete, trailing CRLF CRLF present). A malformed
+    tail emits one final row with ``record_ok=false`` and parsing of
+    that segment stops (archive truncation surfaces, not vanishes).
+
+    Scale shape: one Arrow pass, one output fan-out per segment row —
+    segments are writer-bounded (~1 GB); SELECTIVE reads should slice
+    by the CDX index's (offset, length) instead of parsing whole
+    segments. No shuffle.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_fields = [f for f in df.schema.fields if f.name != segment_col]
+    out_schema = T.StructType(
+        in_fields
+        + [
+            T.StructField("rec_seq", T.IntegerType()),
+            T.StructField("rec_offset", T.LongType()),
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("warc_date", T.StringType()),
+            T.StructField("content_length", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("record_ok", T.BooleanType()),
+        ]
+    )
+    keep = [f.name for f in in_fields]
+
+    def _records(data: bytes):
+        pos, n, seq = 0, len(data), 0
+        while pos < n:
+            bad = (None, None, None, None, None, False)
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            if not data.startswith(b"WARC/1.0\r\n", pos) or hdr_end < 0:
+                yield (seq, pos) + bad
+                return
+            fields = {}
+            for line in data[pos + 10:hdr_end].split(b"\r\n"):
+                k, _, v = line.partition(b":")
+                fields[k.strip().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+            try:
+                clen = int(fields["Content-Length"])
+            except (KeyError, ValueError):
+                yield (seq, pos) + bad
+                return
+            body_start = hdr_end + 4
+            body_end = body_start + clen
+            if body_end + 4 > n or data[body_end:body_end + 4] != b"\r\n\r\n":
+                yield (seq, pos) + bad
+                return
+            payload = data[body_start:body_end]
+            yield (
+                seq, pos, fields.get("WARC-Type"),
+                fields.get("WARC-Target-URI"), fields.get("WARC-Date"),
+                clen, payload, True,
+            )
+            pos = body_end + 4
+            seq += 1
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                seg = row[segment_col]
+                base = tuple(row[c] for c in keep)
+                if seg is None:
+                    continue
+                for rec in _records(bytes(seg)):
+                    seq, off, wtype, uri, wdate, clen, payload, ok = rec
+                    out_rows.append(
+                        base + (
+                            seq, off, wtype, uri, wdate, clen, payload,
+                            hashlib.md5(payload).hexdigest()
+                            if payload is not None else None,
+                            ok,
+                        )
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=keep + [
+                    "rec_seq", "rec_offset", "warc_type", "target_uri",
+                    "warc_date", "content_length", "payload",
+                    "payload_md5", "record_ok",
+                ],
+            )
+
+    return df.mapInPandas(_parse, out_schema)

@@ -234,6 +234,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # archive read-back: segment assembly is one hash aggregate, the
+    # parse one Arrow fan-out pass — no rank window, no cartesian
+    "warc_roundtrip": [
+        ("one Arrow parse pass", r"MapInPandas"),
+        ("segment assembly is a hash aggregate",
+         r"HashAggregate|ObjectHashAggregate|SortAggregate"),
+        ("no rank window", r"!windowspecdefinition\(seg_id"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+    ],
     # repeat mix: counts collapse to driver literals; the projection +
     # sequence explode is one codegen'd scan — no join, no shuffle
     "epoch_mix": [

@@ -122,6 +122,8 @@ def serve(cpus: int) -> None:
         # not in the default list — opt in via SCALING_WORKLOADS
         "kmeans_train": lambda: bench.bench_kmeans_train(spark)[
             "vec_iters_per_sec"],
+        "batch_layout": lambda: bench.bench_batch_layout(spark)[
+            "rows_per_sec"],
         "hostcpu": lambda: ceiling.run("hostcpu"),
         "hostbw": lambda: ceiling.run("hostbw"),
     }
