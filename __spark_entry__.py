@@ -2094,6 +2094,107 @@ def _jpeg_scrub_values_sql() -> str:
     )
 
 
+def _text_overlay_fixture_images() -> list:
+    """Shared fixture for the text_overlay_gate contract: every verdict
+    path of the text-overlay screen. Construction shared; the statistics
+    are computed twice (vectorized numpy in the kernel vs scalar loops
+    in _text_overlay_values_sql)."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(encode_image(a.astype(np.uint8), "png"))
+
+    def striped_row(w):
+        return np.array([255 * ((x // 2) % 2) for x in range(w)])
+
+    w = h = 24
+    banded = np.zeros((h, w, 3))
+    for y in range(h):
+        banded[y, :, :] = (
+            striped_row(w)[:, None] if (y // 4) % 2 == 0 else 128
+        )
+    photo = np.zeros((h, w, 3))
+    for y in range(h):
+        for x in range(w):
+            photo[y, x, :] = min(255, x * 10 + y)
+    solid = np.full((h, w, 3), 77)
+    # grayscale static: R=G=B noise DOES trip the transition test
+    # (independent-RGB noise largely cancels in the channel sum — the
+    # gate's false-positive surface is high-contrast monochrome noise)
+    noise = np.random.default_rng(7).integers(
+        0, 256, size=(h, w, 1)
+    ).repeat(3, axis=2)
+    sparse = np.full((h, w, 3), 128.0)
+    for y in range(4):
+        sparse[y, :, :] = striped_row(w)[:, None]
+    tiny = np.zeros((4, 4, 3))
+    tiny[:, :, :] = np.array([255 * ((x // 2) % 2) for x in range(4)])[
+        None, :, None
+    ]
+    rows = [
+        ("banded", enc(banded)),
+        ("photo", enc(photo)),
+        ("solid", enc(solid)),
+        ("noise", enc(noise)),
+        ("sparse", enc(sparse)),
+        ("tiny", enc(tiny)),
+        ("corrupt", bytearray(b"\x89PNGnope")),
+        ("nullblob", None),
+    ]
+    return rows
+
+
+def _text_overlay_values_sql() -> str:
+    """Oracle for text_overlay_gate: per-image stats re-derived with
+    scalar loops (Counter-free, no numpy) over the SHARED fixture;
+    the >= 35% verdict re-derived IN SQL with the same exact-integer
+    cross-multiplication."""
+    from lightcrawler_spark.imagecodec import decode_image
+
+    vals = []
+    for name, blob in _text_overlay_fixture_images():
+        if blob is None:
+            vals.append(f"('{name}', NULL, NULL, NULL, NULL)")
+            continue
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            vals.append(f"('{name}', NULL, NULL, NULL, NULL)")
+            continue
+        h, w = arr.shape[0], arr.shape[1]
+        row_min = max(6, w // 8)
+        text_rows = 0
+        max_t = 0
+        total = 0
+        for y in range(h):
+            t = 0
+            for x in range(w - 1):
+                g0 = int(arr[y, x, 0]) + int(arr[y, x, 1]) + int(arr[y, x, 2])
+                g1 = (int(arr[y, x + 1, 0]) + int(arr[y, x + 1, 1])
+                      + int(arr[y, x + 1, 2]))
+                if abs(g1 - g0) >= 288:
+                    t += 1
+            if t >= row_min:
+                text_rows += 1
+            max_t = max(max_t, t)
+            total += t
+        vals.append(f"('{name}', {h}, {text_rows}, {max_t}, {total})")
+    num, den = (0.35).as_integer_ratio()
+    return (
+        "SELECT image_id,\n"
+        "  CAST(n_rows AS BIGINT) AS txt_n_rows,\n"
+        "  CAST(text_rows AS BIGINT) AS txt_text_rows,\n"
+        "  CAST(max_t AS BIGINT) AS txt_max_row_trans,\n"
+        "  CAST(total_t AS BIGINT) AS txt_total_trans,\n"
+        "  CASE WHEN n_rows IS NULL THEN NULL\n"
+        f"       ELSE text_rows * {den} >= n_rows * {num} END AS text_heavy\n"
+        "FROM (VALUES\n" + ",\n".join(vals) + "\n) AS t("
+        "image_id, n_rows, text_rows, max_t, total_t)"
+    )
+
+
 def _image_verify_values_sql() -> str:
     """Every fixture image must pass every invariant — the VALUES oracle
     pins the full verdict set (ids × fmts, all four flags true)."""
@@ -4983,6 +5084,38 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_overlay_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-overlay (meme / scanned-text) screen
+    (operators/images.py:with_text_overlay_stats + text_overlay_expr):
+    per-row sharp-transition counts over exact 0..765 gray, rows with
+    >= max(6, w//8) transitions are text-like, verdict = text-like
+    fraction >= 35% by exact cross-multiplication. Heuristic stand-in
+    for an OCR/text-spotter, honestly labeled; plumbing (one Arrow
+    pass + JVM verdict) is the production shape. Fixture covers banded
+    text, photo gradient, solid, noise (documented false positive),
+    sparse band, tiny-width edge, corrupt, NULL; oracle recomputes
+    every stat with scalar loops."""
+    from lightcrawler_spark.operators.images import (
+        text_overlay_expr,
+        with_text_overlay_stats,
+    )
+
+    df = spark.createDataFrame(
+        _text_overlay_fixture_images(), "image_id string, bytes binary"
+    )
+    out = with_text_overlay_stats(df).withColumn(
+        "text_heavy", text_overlay_expr(0.35)
+    )
+    return out.select(
+        "image_id",
+        F.col("txt_n_rows").cast("long").alias("txt_n_rows"),
+        F.col("txt_text_rows").cast("long").alias("txt_text_rows"),
+        F.col("txt_max_row_trans").cast("long").alias("txt_max_row_trans"),
+        F.col("txt_total_trans").cast("long").alias("txt_total_trans"),
+        "text_heavy",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5134,6 +5267,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_golden_sitemap": q_crawl_golden_sitemap,
         "epoch_mix": q_epoch_mix,
         "warc_roundtrip": q_warc_roundtrip,
+        "text_overlay_gate": q_text_overlay_gate,
     }
 
 
@@ -8351,6 +8485,7 @@ SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
 FROM norm n JOIN freq f USING (caption_norm)
 """,
         "image_quality_gate": _image_quality_values_sql(),
+        "text_overlay_gate": _text_overlay_values_sql(),
         "precision_curation": _precision_curation_values_sql(),
         "psnr_verify": _psnr_verify_values_sql(),
         # full re-derivation with plain windows: the Spark side must

@@ -42,6 +42,8 @@ __all__ = [
     "psnr_verify_pairs",
     "with_image_quality_stats",
     "low_information_expr",
+    "with_text_overlay_stats",
+    "text_overlay_expr",
     "resize_images",
     "letterbox_images",
     "scrub_image_metadata",
@@ -1130,4 +1132,103 @@ def low_information_expr(min_entropy: float = 1.0,
             > F.lit(float(max_modal_fraction))
             * F.col("qual_n_pixels").cast("double")
         )
+    )
+
+
+# --- curation: text-overlay (meme / scanned-text) screen ------------------
+
+
+# transition threshold on the exact 0..765 gray scale (~96/channel) and
+# the minimum text-like rows fraction are module constants so the
+# VALUES oracle and the kernel stay in lockstep by construction
+_TXT_DIFF_THRESH = 288
+
+_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("txt_n_rows", T.LongType()),
+        T.StructField("txt_text_rows", T.LongType()),
+        T.StructField("txt_max_row_trans", T.LongType()),
+        T.StructField("txt_total_trans", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_TEXT_SCHEMA)
+def text_overlay_stats_udf(data: pd.Series) -> pd.DataFrame:
+    """Text-overlay signals in one decode pass — the screen that routes
+    meme/scanned-text images away from a caption-supervision corpus
+    (LAION runs an OCR/text-spotting model here; this is the
+    deterministic heuristic stand-in with the same plumbing — swap the
+    kernel for a real text detector, nothing else changes):
+
+    - per image row of exact gray (R+G+B, 0..765): transitions =
+      #adjacent-pixel diffs with |diff| >= 288 (~96/channel). Rendered
+      text is dense in sharp horizontal transitions; photos are smooth.
+    - a row is TEXT-LIKE when transitions >= max(6, w // 8) — scale-
+      relative so wide scans don't need absolute counts.
+    - emits n_rows / text_rows / max & total transitions; the verdict
+      stays a JVM expression (text_overlay_expr).
+
+    All integers, exact under any batch split; NULL/undecodable blobs
+    emit all-null rows (sibling-UDF convention). Known limitation,
+    documented: high-contrast MONOCHROME static also trips the
+    transition test (independent-RGB noise largely cancels in the
+    channel sum) — the entropy gate (image_quality_stats) and CLIP
+    alignment screen are the complements that separate static from
+    text.
+    """
+    nr, tr, mx, tot = [], [], [], []
+    for b in data:
+        if b is None:
+            nr.append(None); tr.append(None)
+            mx.append(None); tot.append(None)
+            continue
+        try:
+            arr = decode_image(bytes(b))
+        except Exception:
+            nr.append(None); tr.append(None)
+            mx.append(None); tot.append(None)
+            continue
+        h, w = arr.shape[0], arr.shape[1]
+        gray = arr.astype(np.int64).sum(axis=2)
+        if w > 1:
+            trans = (
+                np.abs(np.diff(gray, axis=1)) >= _TXT_DIFF_THRESH
+            ).sum(axis=1)
+        else:
+            trans = np.zeros(h, dtype=np.int64)
+        row_min = max(6, w // 8)
+        nr.append(h)
+        tr.append(int((trans >= row_min).sum()))
+        mx.append(int(trans.max()) if h else 0)
+        tot.append(int(trans.sum()))
+    return pd.DataFrame(
+        {
+            "txt_n_rows": pd.array(nr, dtype="Int64"),
+            "txt_text_rows": pd.array(tr, dtype="Int64"),
+            "txt_max_row_trans": pd.array(mx, dtype="Int64"),
+            "txt_total_trans": pd.array(tot, dtype="Int64"),
+        }
+    )
+
+
+def with_text_overlay_stats(df: DataFrame,
+                            bytes_col: str = "bytes") -> DataFrame:
+    """Attach the text-overlay signals as four typed columns — one
+    Arrow pass, row-local, no shuffle."""
+    s = text_overlay_stats_udf(F.col(bytes_col))
+    return df.withColumn("_t", s).select("*", "_t.*").drop("_t")
+
+
+def text_overlay_expr(min_text_row_frac: float = 0.35) -> Column:
+    """JVM-side verdict (codegen'd): text-heavy when the text-like-row
+    fraction clears ``min_text_row_frac``. Exact-integer comparison
+    (cross-multiplied — no float ULP at the boundary); NULL stats
+    (undecodable) -> NULL verdict."""
+    num, den = float(min_text_row_frac).as_integer_ratio()
+    return F.when(
+        F.col("txt_n_rows").isNull(), F.lit(None).cast("boolean")
+    ).otherwise(
+        F.col("txt_text_rows") * F.lit(den)
+        >= F.col("txt_n_rows") * F.lit(num)
     )

@@ -234,6 +234,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # text-overlay screen: one Arrow pass + codegen'd verdict
+    "text_overlay_gate": [
+        ("one Arrow stats pass", r"ArrowEvalPython"),
+        ("no shuffle", r"!Exchange"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # archive read-back: segment assembly is one hash aggregate, the
     # parse one Arrow fan-out pass — no rank window, no cartesian
     "warc_roundtrip": [
