@@ -5116,6 +5116,39 @@ def q_text_overlay_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc politeness compliance audit
+    (operators/scheduler.py:politeness_audit): one groupBy over a
+    crawl trace → per (round, host) fetch counts vs budget (default +
+    broadcast per-host override dim), ``exceeded`` flags any
+    violation. Synthetic 10-round trace where counts straddle the
+    budget and one host carries an override; the oracle re-derives
+    counts, coalesced budgets and verdicts relationally. The
+    zero-violations property on REAL engine runs is pinned in
+    tests/test_politeness_audit.py."""
+    from lightcrawler_spark.operators.scheduler import politeness_audit
+
+    trace = spark.range(600).select(
+        F.floor(F.col("id") / 60).alias("round"),
+        F.concat(
+            F.lit("http://h"), ((F.col("id") * 7) % 9).cast("string"),
+            F.lit(".test/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    overrides = spark.createDataFrame(
+        [("h0.test", 10)], "host string, host_budget int"
+    )
+    return politeness_audit(
+        trace, per_host_budget=6, host_budgets=overrides
+    ).select(
+        F.col("round").cast("long").alias("round"),
+        "host",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("budget").cast("long").alias("budget"),
+        "exceeded",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5268,6 +5301,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "warc_roundtrip": q_warc_roundtrip,
         "text_overlay_gate": q_text_overlay_gate,
+        "politeness_audit": q_politeness_audit,
     }
 
 
@@ -8486,6 +8520,21 @@ FROM norm n JOIN freq f USING (caption_norm)
 """,
         "image_quality_gate": _image_quality_values_sql(),
         "text_overlay_gate": _text_overlay_values_sql(),
+        "politeness_audit": """
+WITH t AS (
+  SELECT i // 60 AS round, (i * 7) % 9 AS hid FROM range(600) r(i)
+),
+g AS (
+  SELECT round, 'h' || hid || '.test' AS host,
+         COUNT(*)::BIGINT AS n_fetches
+  FROM t GROUP BY 1, 2
+),
+b(host, hb) AS (VALUES ('h0.test', 10))
+SELECT CAST(round AS BIGINT) AS round, host, n_fetches,
+  COALESCE(hb, 6)::BIGINT AS budget,
+  n_fetches > COALESCE(hb, 6) AS exceeded
+FROM g LEFT JOIN b USING (host)
+""",
         "precision_curation": _precision_curation_values_sql(),
         "psnr_verify": _psnr_verify_values_sql(),
         # full re-derivation with plain windows: the Spark side must

@@ -42,6 +42,7 @@ __all__ = [
     "recrawl_schedule",
     "priority_from_pagerank",
     "backoff_blocked_hosts",
+    "politeness_audit",
 ]
 
 def pop_order():
@@ -534,4 +535,46 @@ def priority_from_pagerank(
             .otherwise(tier).cast("int"),
         )
         .drop("_scaled")
+    )
+
+
+def politeness_audit(trace: DataFrame, per_host_budget: int,
+                     url_col: str = "url", round_col: str = "round",
+                     host_budgets: DataFrame | None = None) -> DataFrame:
+    """Compliance audit over a finished crawl's trace: did any host
+    receive more fetches in one round than its politeness budget
+    allows? The operational check a crawl operator runs before trusting
+    a new scheduler configuration (the goldens prove the scheduler on
+    fixtures; this proves a PRODUCTION RUN, after the fact, from its
+    own persisted trace — A-series telemetry the reference's scalar
+    counters cannot express).
+
+    ``host_budgets`` (host, host_budget) optionally overrides the
+    default per host — the same dim table shape pop_per_host consumes
+    (robots Crawl-delay budgets, latency-adaptive budgets), broadcast
+    here exactly as there.
+
+    Output: one row per (round, host) with ``n_fetches``, ``budget``,
+    ``exceeded`` — audit passes when ``filter(exceeded)`` is empty.
+    Scale shape: one map-side-combined groupBy over the trace scan plus
+    an optional broadcast join; rows out ≤ rounds × hosts.
+    """
+    from .admission import host_expr
+
+    per_rh = trace.groupBy(
+        F.col(round_col).cast("long").alias("round"),
+        host_expr(F.col(url_col)).alias("host"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_fetches"))
+    if host_budgets is not None:
+        per_rh = per_rh.join(F.broadcast(host_budgets), "host", "left")
+        budget = F.coalesce(
+            F.col("host_budget").cast("long"),
+            F.lit(int(per_host_budget)).cast("long"),
+        )
+    else:
+        budget = F.lit(int(per_host_budget)).cast("long")
+    return per_rh.select(
+        "round", "host", "n_fetches",
+        budget.alias("budget"),
+        (F.col("n_fetches") > budget).alias("exceeded"),
     )

@@ -234,6 +234,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # trace compliance audit: one map-side-combined groupBy + an
+    # optional broadcast override dim — no window, no Python
+    "politeness_audit": [
+        ("hash aggregate over the trace", r"HashAggregate"),
+        ("override dim broadcast", r"BroadcastHashJoin"),
+        ("no window", r"!windowspecdefinition"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # text-overlay screen: one Arrow pass + codegen'd verdict
     "text_overlay_gate": [
         ("one Arrow stats pass", r"ArrowEvalPython"),
