@@ -5149,6 +5149,37 @@ def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence document span map
+    (operators/chunking.py:sequence_spans) — the block-diagonal
+    attention-mask / provenance index over packed sequences: for every
+    training sequence, which documents occupy it at which [begin, end)
+    token offsets, with doc_span_idx numbering a long document's
+    pieces. Distributed prefix sum + one row-local explode over covered
+    sequences; the oracle re-derives the serial running sum and the
+    fan-out with UNNEST(range(...))."""
+    from lightcrawler_spark.operators.chunking import sequence_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n_tokens"),
+    )
+    out = sequence_spans(toks, ctx_len=32)
+    return out.select(
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("begin").cast("long").alias("span_begin"),
+        F.col("end").cast("long").alias("span_end"),
+        F.col("doc_span_idx").cast("long").alias("doc_span_idx"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5302,6 +5333,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "text_overlay_gate": q_text_overlay_gate,
         "politeness_audit": q_politeness_audit,
+        "sequence_spans": q_sequence_spans,
     }
 
 
@@ -8520,6 +8552,39 @@ FROM norm n JOIN freq f USING (caption_norm)
 """,
         "image_quality_gate": _image_quality_values_sql(),
         "text_overlay_gate": _text_overlay_values_sql(),
+        # serial running sum + UNNEST(range) fan-out over the sequences
+        # each document covers
+        "sequence_spans": r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d
+),
+s AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n,
+         CAST(cum - n AS BIGINT) AS strt
+  FROM c WHERE n > 0
+),
+f AS (
+  SELECT doc_id, n, strt,
+         UNNEST(range(strt // 32, (strt + n - 1) // 32 + 1)) AS seq
+  FROM s
+)
+SELECT CAST(seq AS BIGINT) AS seq_idx,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       GREATEST(0, strt - seq * 32)::BIGINT AS span_begin,
+       LEAST(32, strt + n - seq * 32)::BIGINT AS span_end,
+       (seq - strt // 32)::BIGINT AS doc_span_idx
+FROM f
+""",
         "politeness_audit": """
 WITH t AS (
   SELECT i // 60 AS round, (i * 7) % 9 AS hid FROM range(600) r(i)

@@ -35,6 +35,7 @@ __all__ = [
     "assign_aspect_buckets",
     "shard_manifest",
     "contrastive_batches",
+    "sequence_spans",
 ]
 
 
@@ -471,4 +472,62 @@ def shard_manifest(
             ).alias("content_md5"),
         )
         .withColumnRenamed(shard_col, "shard_idx")
+    )
+
+
+def sequence_spans(
+    df: DataFrame,
+    ctx_len: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-sequence document span map — what a block-diagonal attention
+    mask (the "attention separator" of packed pretraining: tokens never
+    attend across document boundaries) and a sample-provenance index
+    both need: for every training sequence, which documents occupy it
+    and at which token offsets.
+
+    Built on ``pack_sequences``'s distributed prefix sum, then one
+    row-local explode over the sequences a document COVERS
+    (``seq_idx .. floor((start+n-1)/ctx_len)`` — a long document spans
+    many sequences, a short one exactly one; empty documents emit no
+    span). Emits ``(seq_idx, doc_id, begin, end, doc_span_idx)`` with
+    ``[begin, end)`` token offsets inside the sequence and
+    ``doc_span_idx`` = which piece of the document this is (0-based).
+
+    Scale shape: the fan-out is ceil(n_tokens/ctx_len) rows per doc —
+    proportional to corpus tokens / ctx_len; everything after the
+    prefix sum is codegen'd projection + explode, no extra shuffle.
+    A sequence holds at most ctx_len spans (every doc contributes >= 1
+    token), so per-sequence downstream state is bounded.
+    """
+    packed = pack_sequences(
+        df, ctx_len=ctx_len, order_col=order_col, tokens_col=tokens_col,
+        num_partitions=num_partitions,
+    )
+    n = F.col(tokens_col).cast("long")
+    start = F.col("start_offset")
+    last_seq = F.floor((start + n - F.lit(1)) / F.lit(ctx_len))
+    out = packed.filter(n > 0).select(
+        F.col(order_col),
+        n.alias("_n"),
+        start.alias("_start"),
+        F.explode(
+            F.sequence(F.col("seq_idx"), last_seq)
+        ).alias("seq_idx"),
+    )
+    seq_base = F.col("seq_idx") * F.lit(ctx_len)
+    begin = F.greatest(F.lit(0).cast("long"), F.col("_start") - seq_base)
+    end = F.least(
+        F.lit(ctx_len).cast("long"),
+        F.col("_start") + F.col("_n") - seq_base,
+    )
+    return out.select(
+        "seq_idx",
+        order_col,
+        begin.alias("begin"),
+        end.alias("end"),
+        (F.col("seq_idx") - F.floor(F.col("_start") / F.lit(ctx_len)))
+        .cast("long").alias("doc_span_idx"),
     )

@@ -234,6 +234,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # span map: prefix-sum machinery (partitioned window + broadcast
+    # offsets) then a row-local explode — no extra shuffle, no Python
+    "sequence_spans": [
+        ("rank window keyed by _pid", r"windowspecdefinition\(_pid#\d+"),
+        ("no unpartitioned window",
+         r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("prefix offsets broadcast", r"BroadcastHashJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # trace compliance audit: one map-side-combined groupBy + an
     # optional broadcast override dim — no window, no Python
     "politeness_audit": [
