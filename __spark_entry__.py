@@ -5180,6 +5180,29 @@ def q_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup telemetry
+    (operators/textdedup.py:dedup_report): cluster-size histogram +
+    exact removal fractions over the SAME assignment chain as
+    dedup_clusters (jaccard pairs → CC) — the summary a curation run
+    publishes and the banding-tuning signal (a fat mega-cluster tail =
+    under-splitting). Two map-side aggregates; the oracle extends the
+    recursive-CC CTE with the histogram."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.textdedup import dedup_report
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, k=8, threshold=0.1, block_cols=["lang"]
+    )
+    return dedup_report(
+        dedup_cluster_assignments(pairs, docs)
+    ).select(
+        "cluster_size", "n_clusters", "n_rows", "removed_rows",
+        "removed_frac",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5334,6 +5357,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_overlay_gate": q_text_overlay_gate,
         "politeness_audit": q_politeness_audit,
         "sequence_spans": q_sequence_spans,
+        "dedup_report": q_dedup_report,
     }
 
 
@@ -6218,6 +6242,54 @@ SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(comp) AS BIGINT) AS cluster,
        (node = min(comp)) AS is_canonical
 FROM reach GROUP BY node
+""",
+        # the dedup_clusters CC chain extended with the size histogram
+        "dedup_report": """
+WITH RECURSIVE
+d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT DISTINCT doc_id, lang, substr(text, i, 8) AS sh
+  FROM (SELECT doc_id, lang, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM d)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    AND a.lang = b.lang
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.1
+),
+sym AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+),
+assign AS (
+  SELECT node, min(comp) AS cluster FROM reach GROUP BY node
+),
+csz AS (
+  SELECT cluster, count(*)::BIGINT AS cluster_size
+  FROM assign GROUP BY cluster
+)
+SELECT cluster_size,
+  count(*)::BIGINT AS n_clusters,
+  (cluster_size * count(*))::BIGINT AS n_rows,
+  ((cluster_size - 1) * count(*))::BIGINT AS removed_rows,
+  round(((cluster_size - 1) * count(*))
+        / (SELECT count(*) FROM d)::DOUBLE, 6) AS removed_frac
+FROM csz GROUP BY cluster_size
 """,
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 200),

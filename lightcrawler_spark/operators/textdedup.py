@@ -40,6 +40,7 @@ __all__ = [
     "dedup_lines",
     "mask_duplicate_ngrams",
     "select_cluster_representatives",
+    "dedup_report",
 ]
 
 
@@ -570,4 +571,43 @@ def select_cluster_representatives(
         maximal.join(winner, cluster_col)
         .filter(F.col(id_col) == F.col("_wid"))
         .select(*out_cols)
+    )
+
+
+def dedup_report(assignments: DataFrame,
+                 cluster_col: str = "cluster") -> DataFrame:
+    """Corpus-level dedup telemetry from a cluster assignment (the
+    output of ``graph.dedup_cluster_assignments`` /
+    ``clustering.kmeans`` blocking / any (row, cluster) table): one row
+    per CLUSTER SIZE with how many clusters have that size, how many
+    rows they hold, and the exact removal fraction that size class
+    contributes — the summary a curation run reports ("38% of the
+    corpus was duplicate; the top size class was pairs") and the input
+    to dedup-strategy tuning (a fat tail of mega-clusters means the
+    banding is under-splitting).
+
+    Two map-side-combined aggregates (rows→clusters, clusters→size
+    histogram); the removed fraction is exact integer arithmetic over
+    corpus totals collapsed to literals — round(6) for the contract.
+    Output: (cluster_size, n_clusters, n_rows, removed_rows,
+    removed_frac) sorted nowhere (order-free contract)."""
+    sizes = assignments.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    total = assignments.count()  # driver scalar (one aggregate)
+    return hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        .alias("n_rows"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long")
+        .alias("removed_rows"),
+        F.round(
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            / F.lit(float(total) if total else 1.0),
+            6,
+        ).alias("removed_frac"),
     )

@@ -278,3 +278,25 @@ def test_vocab_topk_min_count_and_empty(spark):
     assert [(r.tok, r.cnt) for r in rows] == [("x", 2)]
     empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
     assert vocab_topk(empty, k=5).count() == 0
+
+
+def test_dedup_report_exact(spark):
+    """dedup_report: histogram identities pinned on a hand-built
+    assignment (3 clusters of sizes 3, 2, 1, 1 -> 7 rows)."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.textdedup import dedup_report
+
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6)],
+        "doc_id long, cluster long",
+    )
+    rows = {r["cluster_size"]: r for r in dedup_report(assign).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_clusters"], rows[1]["removed_rows"]) == (2, 0)
+    assert (rows[2]["n_clusters"], rows[2]["removed_rows"]) == (1, 1)
+    assert (rows[3]["n_clusters"], rows[3]["removed_rows"]) == (1, 2)
+    assert sum(r["n_rows"] for r in rows.values()) == 7
+    assert abs(sum(r["removed_frac"] for r in rows.values()) - 3 / 7) < 1e-5
+    # empty assignment: no rows, no division blowup
+    assert dedup_report(assign.filter(F.lit(False))).count() == 0
