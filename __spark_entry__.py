@@ -4235,32 +4235,12 @@ def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third composed flagship — the image+caption CURATION chain, end
-    to end in one plan: phash pigeonhole near-dup pairs
-    (operators/images.py:phash_near_dup_pairs) → min-label connected
-    components (operators/graph.py:dedup_cluster_assignments) →
-    keep-best representative per cluster
-    (operators/textdedup.py:select_cluster_representatives, quality =
-    (area, caption length), ties to lowest id) → nearest-aspect bucket
-    (operators/chunking.py:assign_aspect_buckets) → WebDataset shard
-    binning on the distributed prefix sum
-    (operators/chunking.py:assign_shards). The whole chain is
-    re-derived by one chained-CTE DuckDB oracle (recursive CC, window
-    re-rank, serial running sum), so a green row certifies the
-    curation subsystem's composition, not just its pieces. Scale
-    shapes: band equi-join candidates, shuffle-bounded CC, window-free
-    argmax winner, O(P)-driver prefix sum."""
-    from lightcrawler_spark.operators.chunking import (
-        assign_aspect_buckets, assign_shards,
-    )
-    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
-    from lightcrawler_spark.operators.images import phash_near_dup_pairs
-    from lightcrawler_spark.operators.textdedup import (
-        select_cluster_representatives,
-    )
-
-    imgs = (
+def _synth_phash_imgs(spark: SparkSession) -> DataFrame:
+    """Shared relational synthesis for the curation/layout flagships:
+    300 images in 60 phash groups of 5 (members differ in ≤ 2 low bits
+    via shifted-power xors, bases spread across band chunks) plus
+    w/h/cap_len/area quality columns — re-derivable in DuckDB."""
+    return (
         spark.range(300)
         .select(
             F.col("id").alias("image_id"),
@@ -4291,6 +4271,69 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phash"),
         )
     )
+
+
+def q_layout_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth composed flagship — contrastive TRAINING-LAYOUT chain in
+    one plan: phash pigeonhole near-dup pairs → min-label connected
+    components → conflict-free batch layout
+    (operators/chunking.py:contrastive_batches) — dedup clusters
+    flowing straight into the batch construction that keeps surviving
+    near-dups out of each other's in-batch negatives. One chained-CTE
+    oracle re-derives band candidacy, the recursive closure, the
+    (size DESC, key, id) layout rank and the modulo batches. Certifies
+    that this session's layout operator composes with the dedup
+    subsystem the way curation_pipeline certifies the keep-best
+    chain."""
+    from lightcrawler_spark.operators.chunking import contrastive_batches
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.images import phash_near_dup_pairs
+
+    imgs = _synth_phash_imgs(spark)
+    pairs = phash_near_dup_pairs(imgs, max_hamming=6, id_col="image_id")
+    clusters = dedup_cluster_assignments(
+        pairs, imgs, id_col="image_id"
+    ).select("image_id", "cluster")
+    out = contrastive_batches(
+        clusters, batch_size=16, cluster_col="cluster",
+        id_col="image_id", num_partitions=8,
+    )
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "cluster_key",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("layout_rank").cast("long").alias("layout_rank"),
+        F.col("batch_idx").cast("long").alias("batch_idx"),
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third composed flagship — the image+caption CURATION chain, end
+    to end in one plan: phash pigeonhole near-dup pairs
+    (operators/images.py:phash_near_dup_pairs) → min-label connected
+    components (operators/graph.py:dedup_cluster_assignments) →
+    keep-best representative per cluster
+    (operators/textdedup.py:select_cluster_representatives, quality =
+    (area, caption length), ties to lowest id) → nearest-aspect bucket
+    (operators/chunking.py:assign_aspect_buckets) → WebDataset shard
+    binning on the distributed prefix sum
+    (operators/chunking.py:assign_shards). The whole chain is
+    re-derived by one chained-CTE DuckDB oracle (recursive CC, window
+    re-rank, serial running sum), so a green row certifies the
+    curation subsystem's composition, not just its pieces. Scale
+    shapes: band equi-join candidates, shuffle-bounded CC, window-free
+    argmax winner, O(P)-driver prefix sum."""
+    from lightcrawler_spark.operators.chunking import (
+        assign_aspect_buckets, assign_shards,
+    )
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.images import phash_near_dup_pairs
+    from lightcrawler_spark.operators.textdedup import (
+        select_cluster_representatives,
+    )
+
+    imgs = _synth_phash_imgs(spark)
     pairs = phash_near_dup_pairs(imgs, max_hamming=6, id_col="image_id")
     clusters = dedup_cluster_assignments(
         pairs, imgs, id_col="image_id"
@@ -5358,6 +5401,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "sequence_spans": q_sequence_spans,
         "dedup_report": q_dedup_report,
+        "layout_pipeline": q_layout_pipeline,
     }
 
 
@@ -8347,6 +8391,65 @@ cum AS (
 t AS (SELECT max(v) AS thr FROM cum, k WHERE cge >= kk)
 SELECT s.doc_id, s.score_m4, CAST(t.thr AS BIGINT) AS score_threshold
 FROM s, t WHERE s.score_m4 >= t.thr
+""",
+        # band candidacy + recursive CC + the contrastive layout
+        # windows, chained — the layout flagship's full re-derivation
+        "layout_pipeline": """
+WITH RECURSIVE
+imgs AS (
+  SELECT i AS image_id,
+         CASE WHEN i // 60 > 0
+              THEN xor(xor((i % 60) * 2654435761, ((i % 60) * 40503) << 32),
+                       CAST(power(2, (i // 60) * 2) AS BIGINT))
+              ELSE xor((i % 60) * 2654435761, ((i % 60) * 40503) << 32)
+         END AS ph
+  FROM generate_series(0, 299) t(i)
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 6
+    AND ((a.ph >> 0) & 65535 = (b.ph >> 0) & 65535
+      OR (a.ph >> 16) & 65535 = (b.ph >> 16) & 65535
+      OR (a.ph >> 32) & 65535 = (b.ph >> 32) & 65535
+      OR (a.ph >> 48) & 65535 = (b.ph >> 48) & 65535)
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT image_id, image_id FROM imgs
+  UNION
+  SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+),
+clus AS (SELECT node AS image_id, min(comp) AS cluster
+         FROM reach GROUP BY node),
+keyed AS (
+  SELECT image_id, cluster,
+         'c:' || CAST(cluster AS VARCHAR) AS cluster_key
+  FROM clus
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cluster_key) AS cluster_size
+  FROM keyed
+),
+g AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           ORDER BY cluster_size DESC, cluster_key, image_id) - 1
+           AS layout_rank
+  FROM sized
+),
+params AS (
+  SELECT GREATEST((COUNT(*) + 15) // 16, MAX(cluster_size), 1) AS nb
+  FROM sized
+)
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       cluster_key,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(layout_rank AS BIGINT) AS layout_rank,
+       CAST(layout_rank % nb AS BIGINT) AS batch_idx
+FROM g, params
 """,
         "curation_pipeline": """
 WITH RECURSIVE

@@ -401,14 +401,19 @@ def contrastive_batches(
     )
     cum = ranged.withColumn("_cum", F.count(F.lit(1)).over(w))
 
-    totals = ranged.groupBy("_pid").count().collect()  # P rows
-    by_pid = {r["_pid"]: r["count"] for r in totals}
+    # ONE totals job yields both the prefix counts AND the max cluster
+    # size (max of per-partition maxes) — a separate sizes.agg(max)
+    # action would re-run the size aggregate end to end
+    totals = ranged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("n"), F.max("cluster_size").alias("mx")
+    ).collect()  # P rows
+    by_pid = {r["_pid"]: r["n"] for r in totals}
     prefix, acc = {}, 0
     for pid in sorted(by_pid):
         prefix[pid] = acc
         acc += by_pid[pid]
     n_rows = acc
-    max_cluster = sizes.agg(F.max("cluster_size")).first()[0] or 0
+    max_cluster = max((r["mx"] or 0 for r in totals), default=0)
     n_batches = max(
         -(-n_rows // batch_size) if n_rows else 1, max_cluster, 1
     )

@@ -234,6 +234,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # layout flagship: after the checkpoint-truncated CC, the plan is
+    # the contrastive layout — same invariants as contrastive_batches
+    "layout_pipeline": [
+        ("rank window keyed by _pid", r"windowspecdefinition\(_pid#\d+"),
+        ("no unpartitioned window",
+         r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
+        ("prefix offsets broadcast", r"BroadcastHashJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+    ],
     # span map: prefix-sum machinery (partitioned window + broadcast
     # offsets) then a row-local explode — no extra shuffle, no Python
     "sequence_spans": [
