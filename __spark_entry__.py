@@ -5246,6 +5246,122 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order
+    (operators/chunking.py:epoch_shard_order) — the WebDataset
+    two-level shuffle: shard visit order and within-shard sample order
+    both from md5(key‖epoch‖salt) ranks, reproducible on resume with
+    no RNG state. Within-shard window bounded by the shard cap; the
+    shard-rank window runs over the distinct shard list only. Oracle
+    re-derives both rank levels with the same md5 expressions."""
+    from lightcrawler_spark.operators.chunking import epoch_shard_order
+
+    t = spark.range(500).select(
+        F.col("id").alias("image_id"),
+        F.floor(F.col("id") / 50).cast("long").alias("shard_idx"),
+    )
+    out = epoch_shard_order(t, epoch=2)
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("shard_idx").cast("long").alias("shard_idx"),
+        F.col("sample_order").cast("long").alias("sample_order"),
+        F.col("shard_order").cast("long").alias("shard_order"),
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
+def _bpe_fixture_texts() -> list[str]:
+    """Shared corpus for the bpe_train contract: the classic Sennrich
+    suffix family plus repetition skew so merge order is non-trivial
+    (construction shared; the merge ALGORITHM is implemented twice —
+    the Spark loop vs the scalar dict loop in _bpe_train_values_sql)."""
+    base = [
+        "low lower lowest", "low low lower", "new newer newest",
+        "newer the widest wide", "the low news", "wide wider widest",
+        "lowest newest slowest", "slow slower slowest", "the the low",
+    ]
+    return [base[i % len(base)] for i in range(45)]
+
+
+def _bpe_train_scalar(texts: list[str], n_merges: int) -> list[tuple]:
+    """Independent scalar BPE (plain dicts and index loops, no Spark,
+    no shared code with the operator's fold)."""
+    import re as _re
+
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in _re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab: dict[tuple, int] = {}
+    for w, f in freqs.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + f
+    merges = []
+    for i in range(n_merges):
+        pc: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + f
+        if not pc:
+            break
+        (a, b), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((i, a, b, cnt, a + b))
+        nv: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            k = tuple(out)
+            nv[k] = nv.get(k, 0) + f
+        vocab = nv
+    return merges
+
+
+def _bpe_train_values_sql() -> str:
+    rows = [
+        f"({i}, '{a}', '{b}', {cnt}, '{ab}')"
+        for i, a, b, cnt, ab in _bpe_train_scalar(_bpe_fixture_texts(), 8)
+    ]
+    return (
+        "SELECT CAST(merge_idx AS INT) AS merge_idx, left_, right_, "
+        "CAST(pair_count AS BIGINT) AS pair_count, new_symbol "
+        "FROM (VALUES\n" + ",\n".join(rows) + "\n) AS t("
+        "merge_idx, left_, right_, pair_count, new_symbol)"
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (operators/text.py:bpe_train) — the
+    iterative merge loop run end to end: per iteration a map-side
+    pair-count groupBy over the VOCABULARY (not the corpus), an O(1)
+    driver argmax, and a row-local (out, carry) fold applying the
+    merge left-to-right non-overlapping; localCheckpoint caps lineage
+    like k-means. The oracle is an independent scalar dict-loop BPE
+    over the shared fixture — 8 merge decisions (pair identity, count,
+    order) must match exactly."""
+    from lightcrawler_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(t,) for t in _bpe_fixture_texts()], "text string"
+    )
+    out = bpe_train(df, n_merges=8)
+    return out.select(
+        "merge_idx",
+        F.col("left").alias("left_"),
+        F.col("right").alias("right_"),
+        "pair_count",
+        "new_symbol",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5402,6 +5518,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_spans": q_sequence_spans,
         "dedup_report": q_dedup_report,
         "layout_pipeline": q_layout_pipeline,
+        "epoch_shard_order": q_epoch_shard_order,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -8391,6 +8509,34 @@ cum AS (
 t AS (SELECT max(v) AS thr FROM cum, k WHERE cge >= kk)
 SELECT s.doc_id, s.score_m4, CAST(t.thr AS BIGINT) AS score_threshold
 FROM s, t WHERE s.score_m4 >= t.thr
+""",
+        "bpe_train": _bpe_train_values_sql(),
+        # both md5 rank levels re-derived relationally
+        "epoch_shard_order": """
+WITH t AS (
+  SELECT i AS image_id, i // 50 AS shard_idx FROM range(500) r(i)
+),
+sh AS (
+  SELECT shard_idx,
+    ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(shard_idx AS VARCHAR) || ':2:order'),
+               shard_idx) - 1 AS shard_order
+  FROM (SELECT DISTINCT shard_idx FROM t)
+),
+s AS (
+  SELECT image_id, shard_idx,
+    ROW_NUMBER() OVER (
+      PARTITION BY shard_idx
+      ORDER BY md5(CAST(image_id AS VARCHAR) || ':2:order'),
+               image_id) - 1 AS sample_order
+  FROM t
+)
+SELECT CAST(s.image_id AS BIGINT) AS image_id,
+       CAST(s.shard_idx AS BIGINT) AS shard_idx,
+       CAST(s.sample_order AS BIGINT) AS sample_order,
+       CAST(sh.shard_order AS BIGINT) AS shard_order,
+       CAST(2 AS INT) AS epoch
+FROM s JOIN sh USING (shard_idx)
 """,
         # band candidacy + recursive CC + the contrastive layout
         # windows, chained — the layout flagship's full re-derivation

@@ -36,6 +36,7 @@ __all__ = [
     "shard_manifest",
     "contrastive_batches",
     "sequence_spans",
+    "epoch_shard_order",
 ]
 
 
@@ -535,4 +536,64 @@ def sequence_spans(
         end.alias("end"),
         (F.col("seq_idx") - F.floor(F.col("_start") / F.lit(ctx_len)))
         .cast("long").alias("doc_span_idx"),
+    )
+
+
+def epoch_shard_order(
+    df: DataFrame,
+    epoch: int,
+    shard_col: str = "shard_idx",
+    key_col: str = "image_id",
+    salt: str = "order",
+) -> DataFrame:
+    """Deterministic per-epoch training order, the WebDataset two-level
+    shuffle: each epoch visits SHARDS in a fresh pseudo-random order
+    and samples WITHIN each shard in a fresh pseudo-random order — the
+    I/O-friendly shuffle (sequential shard reads, no global permute)
+    that still decorrelates batches across epochs. Order is pure
+    md5(key‖epoch‖salt) rank: reproducible on resume, no RNG state.
+
+    Adds ``shard_order`` (0-based dense rank of the shard this epoch)
+    and ``sample_order`` (0-based rank within the shard); a loader
+    sorts by (shard_order, sample_order).
+
+    Scale shape: the within-shard window partitions by shard — bounded
+    by the shard byte cap (a shard is one tar). The shard-rank window
+    runs over the DISTINCT shard list only (corpus/shard_bytes rows —
+    ~10^5 at 100 TB), the vocab_topk bounded-post-aggregation shape,
+    then broadcasts back.
+    """
+    e = str(int(epoch))
+    shard_hash = F.md5(
+        F.concat(F.col(shard_col).cast("string"), F.lit(f":{e}:{salt}"))
+    )
+    shards = (
+        df.select(F.col(shard_col).alias("_shard")).distinct()
+        .withColumn(
+            "_sh",
+            F.md5(F.concat(F.col("_shard").cast("string"),
+                           F.lit(f":{e}:{salt}"))),
+        )
+        .withColumn(
+            "shard_order",
+            F.row_number().over(
+                Window.orderBy(F.col("_sh"), F.col("_shard"))
+            ).cast("long") - 1,
+        )
+        .drop("_sh")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f":{e}:{salt}"))),
+        F.col(key_col),
+    )
+    return (
+        df.withColumn("sample_order",
+                      F.row_number().over(w).cast("long") - 1)
+        .join(
+            F.broadcast(shards),
+            F.col(shard_col) == F.col("_shard"),
+        )
+        .drop("_shard")
+        .withColumn("epoch", F.lit(int(epoch)))
     )

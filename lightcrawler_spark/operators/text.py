@@ -30,6 +30,7 @@ __all__ = [
     "with_repetition_stats",
     "unigram_logprob",
     "vocab_topk",
+    "bpe_train",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -576,3 +577,99 @@ def bpe_pair_counts(
         F.col("cnt").desc(), F.col("pair").asc()
     )
     return topk.withColumn("pair_rank", F.row_number().over(w).cast("int"))
+
+
+def bpe_train(df: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """Full BPE tokenizer training (Sennrich et al. 2016) — the
+    iterative loop ``bpe_pair_counts`` documents, actually run: per
+    iteration, count adjacent-symbol pairs over the word-frequency
+    vocabulary (weighted by word freq), merge the argmax pair
+    (ties: count DESC, left ASC, right ASC) left-to-right
+    non-overlapping in every word, repeat. Words come from the
+    ascii-lowercase tokenizer (_words) with the classic ``</w>``
+    end-of-word marker, so merges never cross word boundaries.
+
+    Scale shape: the loop state is the VOCABULARY table (word-freq
+    rows — millions, not the corpus; the corpus is touched once for
+    the initial frequency count). Each iteration: one
+    map-side-combined groupBy over exploded pairs, one O(1) driver
+    argmax (TakeOrdered top-1), and one row-local fold applying the
+    merge (aggregate with a (out, carry) accumulator — pure JVM, no
+    Python); localCheckpoint caps lineage like the k-means loop.
+
+    Returns the merge table — ``(merge_idx, left, right, pair_count,
+    new_symbol)`` — the training artifact a tokenizer ships. Stops
+    early when no pair remains.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    words = vocab.select(
+        "freq",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple] = []
+    for i in range(int(n_merges)):
+        n = F.size("syms")
+        pairs = F.zip_with(
+            F.slice(F.col("syms"), 1, n - 1),
+            F.slice(F.col("syms"), 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        best = (
+            words.filter(n >= 2)
+            .select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((i, a, b, cnt, a + b))
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+            lambda acc, s: F.when(
+                acc["carry"].isNotNull()
+                & (acc["carry"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b)))
+                    .alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["carry"].isNotNull(),
+                        F.concat(acc["out"], F.array(acc["carry"])),
+                    ).otherwise(acc["out"]).alias("out"),
+                    s.alias("carry"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["carry"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["carry"])),
+            ).otherwise(acc["out"]),
+        )
+        words = words.select("freq", merged.alias("syms")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left string, right string, pair_count long, "
+        "new_symbol string",
+    )

@@ -253,3 +253,33 @@ class TestAspectBuckets:
         assert sorted(r["batch_idx"] for r in batches) == list(range(50))
         assert {r["count"] for r in batches} == {10}
         assert out.filter(F.col("batch_is_ragged")).count() == 0
+
+
+def test_epoch_shard_order_properties(spark):
+    """Two-level epoch shuffle: permutation per shard, epoch-dependent
+    order, resume-reproducible."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.chunking import epoch_shard_order
+
+    t = spark.range(200).select(
+        F.col("id").alias("image_id"),
+        F.floor(F.col("id") / 40).cast("long").alias("shard_idx"),
+    )
+    e1 = epoch_shard_order(t, epoch=1)
+    rows = e1.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_idx"], []).append(r["sample_order"])
+    for s, orders in by_shard.items():
+        assert sorted(orders) == list(range(40))  # permutation per shard
+    shard_orders = {r["shard_idx"]: r["shard_order"] for r in rows}
+    assert sorted(shard_orders.values()) == list(range(5))
+    # different epoch -> different order; same epoch -> identical
+    o1 = sorted((r["image_id"], r["sample_order"]) for r in rows)
+    o2 = sorted((r["image_id"], r["sample_order"])
+                for r in epoch_shard_order(t, epoch=2).collect())
+    o1b = sorted((r["image_id"], r["sample_order"])
+                 for r in epoch_shard_order(t, epoch=1).collect())
+    assert o1 != o2
+    assert o1 == o1b

@@ -463,3 +463,36 @@ class TestStratifiedSample:
         a = {r["doc_id"] for r in stratified_sample(docs, rates).select("doc_id").collect()}
         b = {r["doc_id"] for r in stratified_sample(docs, rates, salt="v2").select("doc_id").collect()}
         assert a != b
+
+
+def test_bpe_train_classic_and_edges(spark):
+    """bpe_train: first merges on the Sennrich-style corpus verified
+    against a hand-derived expectation; early stop; empty corpus."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low",), ("lower lower",), ("lowest",)], "text string"
+    )
+    merges = bpe_train(df, n_merges=4).collect()
+    assert len(merges) == 4
+    # 'lo' appears in every word (freq 6) and ties with 'ow' — tie
+    # breaks (count DESC, left ASC): 'lo' first, then 'low' wins
+    assert (merges[0]["left"], merges[0]["right"],
+            merges[0]["pair_count"]) == ("l", "o", 6)
+    assert (merges[1]["left"], merges[1]["right"]) == ("lo", "w")
+    assert merges[1]["new_symbol"] == "low"
+    # merge 2: 'low</w>' (freq 3) vs 'lower' pieces (freq 2)...
+    assert merges[2]["left"] == "low"
+    idx = [m["merge_idx"] for m in merges]
+    assert idx == [0, 1, 2, 3]
+
+    # single-char vocab exhausts instantly: 'a</w>' merges once, then
+    # every word is one symbol -> early stop
+    tiny = spark.createDataFrame([("a a a",)], "text string")
+    m2 = bpe_train(tiny, n_merges=5).collect()
+    assert len(m2) == 1 and m2[0]["new_symbol"] == "a</w>"
+
+    empty = spark.createDataFrame([("   ",)], "text string")
+    assert bpe_train(empty, n_merges=3).count() == 0

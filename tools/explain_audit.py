@@ -234,6 +234,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # epoch shuffle: within-shard window (shard-cap bounded) + a
+    # distinct-shard-only rank broadcast back — corpus never funnels
+    "epoch_shard_order": [
+        ("within-shard rank window", r"windowspecdefinition\(shard_idx"),
+        ("shard ranks broadcast back", r"BroadcastHashJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # layout flagship: after the checkpoint-truncated CC, the plan is
     # the contrastive layout — same invariants as contrastive_batches
     "layout_pipeline": [
