@@ -5362,6 +5362,105 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trim_fixture_clips() -> list[tuple[int, bytes | None]]:
+    """Shared fixture for the audio_trim contract: every verdict path
+    of the silence trim (threshold 256). Construction shared (same
+    make_wav_bytes serializer both sides); the TRIM decision is
+    re-derived independently in _audio_trim_values_sql."""
+    import numpy as np
+
+    from lightcrawler_spark.operators.audio import make_wav_bytes
+
+    def sq(n, amp, period=8):
+        t = np.arange(n)
+        return (amp * np.where((t // period) % 2 == 0, 1, -1)).astype(
+            "<i2"
+        )
+
+    z = lambda n: np.zeros(n, dtype="<i2")  # noqa: E731
+    cat = np.concatenate
+    return [
+        (0, make_wav_bytes(cat([z(100), sq(500, 8000), z(50)]), 8000)),
+        (1, make_wav_bytes(z(200), 8000)),                  # all silent
+        (2, make_wav_bytes(sq(300, 12000), 16000)),         # no padding
+        (3, make_wav_bytes(sq(240, 200), 8000)),            # sub-threshold
+        (4, make_wav_bytes(cat([z(10), sq(64, 257), z(5)]), 8000)),
+        (5, b"RIFFnope"),                                   # corrupt
+        (6, None),
+    ]
+
+
+def _audio_trim_values_sql() -> str:
+    """Independent scalar trim over the shared clips: plain index loops
+    find the first/last |s| > 256 sample, the trimmed blob is
+    re-serialized and digested."""
+    import hashlib
+
+    import numpy as np
+
+    from lightcrawler_spark.operators.audio import (
+        make_wav_bytes,
+        parse_wav,
+    )
+
+    vals = []
+    for cid, blob in _trim_fixture_clips():
+        meta = parse_wav(bytes(blob)) if blob is not None else None
+        if meta is None:
+            vals.append(f"({cid}, NULL, NULL, NULL, NULL)")
+            continue
+        off, nf = meta["data_off"], meta["n_frames"]
+        samples = [
+            int.from_bytes(bytes(blob)[off + 2 * i:off + 2 * i + 2],
+                           "little", signed=True)
+            for i in range(nf)
+        ]
+        lo, hi = 0, 0
+        idx = [i for i, s in enumerate(samples) if abs(s) > 256]
+        if idx:
+            lo, hi = idx[0], idx[-1] + 1
+        trimmed = make_wav_bytes(
+            np.array(samples[lo:hi], dtype="<i2"), meta["sample_rate"]
+        )
+        md5h = hashlib.md5(trimmed).hexdigest()
+        vals.append(
+            f"({cid}, '{md5h}', {lo}, {len(samples) - hi}, {hi - lo})"
+        )
+    return (
+        "SELECT CAST(clip_id AS BIGINT) AS clip_id, trimmed_md5,\n"
+        "  CAST(trim_start AS BIGINT) AS trim_start,\n"
+        "  CAST(trim_end_cut AS BIGINT) AS trim_end_cut,\n"
+        "  CAST(n_samples_out AS BIGINT) AS n_samples_out\n"
+        "FROM (VALUES\n" + ",\n".join(vals) + "\n) AS t("
+        "clip_id, trimmed_md5, trim_start, trim_end_cut, n_samples_out)"
+    )
+
+
+def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim
+    (operators/audio.py:trim_silence) — the first pass of speech/audio
+    curation: cut to the [first, last] |s| > 256 span of channel 0,
+    re-emit mono WAV. Fixture covers padded, all-silent, unpadded,
+    sub-threshold, boundary-amplitude, corrupt and NULL clips; the
+    oracle re-derives each verdict with scalar index loops. One Arrow
+    pass, no shuffle."""
+    from lightcrawler_spark.operators.audio import trim_silence
+
+    rows = [
+        (cid, bytearray(b) if b is not None else None)
+        for cid, b in _trim_fixture_clips()
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary")
+    out = trim_silence(df, threshold=256)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.md5(F.col("bytes_trimmed")).alias("trimmed_md5"),
+        F.col("trim_start").cast("long").alias("trim_start"),
+        F.col("trim_end_cut").cast("long").alias("trim_end_cut"),
+        F.col("n_samples_out").cast("long").alias("n_samples_out"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5520,6 +5619,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pipeline": q_layout_pipeline,
         "epoch_shard_order": q_epoch_shard_order,
         "bpe_train": q_bpe_train,
+        "audio_trim": q_audio_trim,
     }
 
 
@@ -8511,6 +8611,7 @@ SELECT s.doc_id, s.score_m4, CAST(t.thr AS BIGINT) AS score_threshold
 FROM s, t WHERE s.score_m4 >= t.thr
 """,
         "bpe_train": _bpe_train_values_sql(),
+        "audio_trim": _audio_trim_values_sql(),
         # both md5 rank levels re-derived relationally
         "epoch_shard_order": """
 WITH t AS (

@@ -39,6 +39,7 @@ __all__ = [
     "with_audio_meta",
     "audio_features_udf",
     "resample_audio",
+    "trim_silence",
 ]
 
 
@@ -267,3 +268,59 @@ def resample_audio(df: DataFrame, out_rate: int,
             yield pdf
 
     return df.mapInPandas(_resample, schema=out_schema)
+
+
+def trim_silence(df: DataFrame, threshold: int = 256,
+                 bytes_col: str = "bytes") -> DataFrame:
+    """Leading/trailing silence trim — the first pass of every speech/
+    audio curation pipeline (silence padding wastes tokens/compute and
+    skews duration stats). A sample is NON-silent when |s| > threshold
+    on the int16 scale; the clip is cut to [first, last] non-silent
+    sample of channel 0 and re-emitted as mono WAV (the resample_audio
+    channel-0 convention). Pure integer comparisons — exact under any
+    batch split.
+
+    Adds: ``bytes_trimmed`` (mono WAV; 0-sample data chunk when the
+    whole clip is silent), ``trim_start`` / ``trim_end_cut`` (samples
+    removed from head / tail), ``n_samples_out``. NULL/non-WAV blobs
+    yield null rows (sibling-UDF convention). One Arrow pass, no
+    shuffle.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes_trimmed", T.BinaryType()),
+            T.StructField("trim_start", T.LongType()),
+            T.StructField("trim_end_cut", T.LongType()),
+            T.StructField("n_samples_out", T.LongType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+
+    def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, st, en, ns = [], [], [], []
+            for b in pdf[bytes_col]:
+                meta = parse_wav(bytes(b)) if b is not None else None
+                if meta is None:
+                    outs.append(None); st.append(None)
+                    en.append(None); ns.append(None)
+                    continue
+                x = _decode_channel0(bytes(b), meta)
+                nz = np.nonzero(np.abs(x) > threshold)[0]
+                if len(nz) == 0:
+                    lo, hi = 0, 0
+                else:
+                    lo, hi = int(nz[0]), int(nz[-1]) + 1
+                outs.append(make_wav_bytes(x[lo:hi], meta["sample_rate"], 1))
+                st.append(lo)
+                en.append(len(x) - hi)
+                ns.append(hi - lo)
+            pdf = pdf[in_cols].copy()
+            pdf["bytes_trimmed"] = outs
+            pdf["trim_start"] = pd.array(st, dtype="Int64")
+            pdf["trim_end_cut"] = pd.array(en, dtype="Int64")
+            pdf["n_samples_out"] = pd.array(ns, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(_trim, out_schema)

@@ -183,3 +183,34 @@ class TestSparkAudio:
         )
         out = resample_audio(df, out_rate=8000).collect()[0]
         assert out["bytes_resampled"] is None and out["out_frames"] is None
+
+
+def test_trim_silence_roundtrip(spark):
+    """trim_silence: padded clip round-trips to the unpadded samples;
+    all-silent -> empty data chunk; corrupt/NULL -> null rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.audio import (
+        make_wav_bytes, parse_wav, trim_silence,
+    )
+
+    body = (8000 * np.where((np.arange(120) // 8) % 2 == 0, 1, -1)).astype("<i2")
+    padded = np.concatenate(
+        [np.zeros(30, dtype="<i2"), body, np.zeros(7, dtype="<i2")]
+    )
+    rows = [
+        (0, bytearray(make_wav_bytes(padded, 8000))),
+        (1, bytearray(make_wav_bytes(np.zeros(50, dtype="<i2"), 8000))),
+        (2, bytearray(b"not a wav")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary")
+    out = {r["clip_id"]: r for r in trim_silence(df).collect()}
+    assert (out[0]["trim_start"], out[0]["trim_end_cut"],
+            out[0]["n_samples_out"]) == (30, 7, 120)
+    assert bytes(out[0]["bytes_trimmed"]) == make_wav_bytes(body, 8000)
+    assert out[1]["n_samples_out"] == 0
+    assert parse_wav(bytes(out[1]["bytes_trimmed"]))["n_frames"] == 0
+    assert out[2]["bytes_trimmed"] is None
+    assert out[3]["trim_start"] is None

@@ -234,6 +234,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # audio trim: one Arrow container pass, row-local
+    "audio_trim": [
+        ("one Arrow trim pass", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # epoch shuffle: within-shard window (shard-cap bounded) + a
     # distinct-shard-only rank broadcast back — corpus never funnels
     "epoch_shard_order": [
