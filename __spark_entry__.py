@@ -5461,6 +5461,108 @@ def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orientation_fixture() -> list[tuple[int, bytes | None, int | None]]:
+    """Shared fixture for image_orientation: 8 distinct PNGs carrying
+    orientations 1..8, plus NULL orientation (EXIF default = upright),
+    invalid orientation 9, and a corrupt blob."""
+    from lightcrawler_spark.fixtures import make_images
+
+    pngs = [r["bytes"] for r in make_images(22) if r["fmt"] == "png"]
+    rows = [(i, pngs[i], i + 1) for i in range(8)]
+    rows.append((8, pngs[8], None))
+    rows.append((9, pngs[9], 9))
+    rows.append((10, b"\x89PNGnope", 3))
+    return rows
+
+
+def _orientation_values_sql() -> str:
+    """Oracle for image_orientation: every transform re-derived with
+    EXPLICIT INDEX FORMULAS in scalar loops (not numpy slicing — the
+    kernel's formulation), re-encoded with the shared codec and
+    digested."""
+    import hashlib
+
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import decode_image, encode_image
+
+    def orient(arr, o):
+        h, w = arr.shape[0], arr.shape[1]
+        H, W = (h, w) if o in (1, 2, 3, 4) else (w, h)
+        out = np.zeros((H, W, 3), dtype=np.uint8)
+        for y in range(H):
+            for x in range(W):
+                if o == 1:
+                    s = arr[y][x]
+                elif o == 2:
+                    s = arr[y][w - 1 - x]
+                elif o == 3:
+                    s = arr[h - 1 - y][w - 1 - x]
+                elif o == 4:
+                    s = arr[h - 1 - y][x]
+                elif o == 5:
+                    s = arr[x][y]
+                elif o == 6:
+                    s = arr[h - 1 - x][y]
+                elif o == 7:
+                    s = arr[h - 1 - x][w - 1 - y]
+                else:
+                    s = arr[x][w - 1 - y]
+                out[y][x] = s
+        return out
+    vals = []
+    for i, blob, o in _orientation_fixture():
+        eff = 1 if o is None else o
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            arr = None
+        if arr is None or eff not in range(1, 9):
+            vals.append(f"({i}, NULL, NULL, NULL, NULL)")
+            continue
+        out = orient(arr, eff)
+        md5h = hashlib.md5(encode_image(out, "png")).hexdigest()
+        vals.append(
+            f"({i}, '{md5h}', {out.shape[1]}, {out.shape[0]}, "
+            f"{'true' if eff >= 5 else 'false'})"
+        )
+    return (
+        "SELECT CAST(image_id AS BIGINT) AS image_id, oriented_md5,\n"
+        "  CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,\n"
+        "  was_rotated\n"
+        "FROM (VALUES\n" + ",\n".join(vals) + "\n) AS t("
+        "image_id, oriented_md5, out_w, out_h, was_rotated)"
+    )
+
+
+def q_image_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation applied to pixels
+    (operators/images.py:normalize_orientation) — the normalization a
+    dedup/hash pass needs first (a camera-rotated duplicate phashes
+    differently until upright). All 8 TIFF/EXIF transforms + NULL
+    (default upright), invalid value and corrupt blob; the oracle
+    re-derives every pixel with explicit index formulas (the kernel
+    uses numpy slicing — two independent formulations of the same
+    spec). One Arrow pass, no shuffle."""
+    from lightcrawler_spark.operators.images import normalize_orientation
+
+    rows = [
+        (i, bytearray(b) if b is not None else None, o)
+        for i, b, o in _orientation_fixture()
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, orientation int"
+    )
+    out = normalize_orientation(df)
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.md5(F.col("bytes_oriented")).alias("oriented_md5"),
+        F.col("out_w").cast("int").alias("out_w"),
+        F.col("out_h").cast("int").alias("out_h"),
+        "was_rotated",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5620,6 +5722,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shard_order": q_epoch_shard_order,
         "bpe_train": q_bpe_train,
         "audio_trim": q_audio_trim,
+        "image_orientation": q_image_orientation,
     }
 
 
@@ -8612,6 +8715,7 @@ FROM s, t WHERE s.score_m4 >= t.thr
 """,
         "bpe_train": _bpe_train_values_sql(),
         "audio_trim": _audio_trim_values_sql(),
+        "image_orientation": _orientation_values_sql(),
         # both md5 rank levels re-derived relationally
         "epoch_shard_order": """
 WITH t AS (

@@ -44,6 +44,7 @@ __all__ = [
     "low_information_expr",
     "with_text_overlay_stats",
     "text_overlay_expr",
+    "normalize_orientation",
     "resize_images",
     "letterbox_images",
     "scrub_image_metadata",
@@ -1232,3 +1233,77 @@ def text_overlay_expr(min_text_row_frac: float = 0.35) -> Column:
         F.col("txt_text_rows") * F.lit(den)
         >= F.col("txt_n_rows") * F.lit(num)
     )
+
+
+# --- curation: EXIF-orientation normalization -----------------------------
+
+
+_ORIENT_OPS = {
+    1: lambda a: a,
+    2: lambda a: a[:, ::-1],            # mirror horizontal
+    3: lambda a: a[::-1, ::-1],         # rotate 180
+    4: lambda a: a[::-1, :],            # mirror vertical
+    5: lambda a: a.transpose(1, 0, 2),  # transpose (mirror + 90)
+    6: lambda a: a.transpose(1, 0, 2)[:, ::-1],   # rotate 90 CW
+    7: lambda a: a.transpose(1, 0, 2)[::-1, ::-1],  # transverse
+    8: lambda a: a.transpose(1, 0, 2)[::-1, :],   # rotate 270 CW
+}
+
+
+def normalize_orientation(df: DataFrame, bytes_col: str = "bytes",
+                          orientation_col: str = "orientation") -> DataFrame:
+    """Apply the EXIF orientation (tag 0x0112, values 1-8) to the
+    PIXELS and re-encode — the normalization every dedup/hash pass
+    needs first: a camera-rotated duplicate has a different phash until
+    its orientation is applied. The transform table is the TIFF/EXIF
+    standard (mirror/rotate compositions), implemented as exact numpy
+    index permutations — lossless, bit-reproducible.
+
+    NULL orientation → treated as 1 (no tag = upright, the EXIF
+    default). Orientation outside 1..8 or an undecodable blob → null
+    row (corrupt-blob convention). Adds ``bytes_oriented``, ``out_w``,
+    ``out_h``, ``was_rotated`` (dims swapped: orientations 5-8). One
+    Arrow pass, no shuffle; pairs with scrub_jpeg_metadata, which
+    REMOVES the tag after this pass applied it.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes_oriented", T.BinaryType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("was_rotated", T.BooleanType()),
+        ]
+    )
+    in_cols = df.schema.fieldNames()
+
+    def _orient(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imagecodec import encode_image
+
+        for pdf in batches:
+            outs, ws, hs, rot = [], [], [], []
+            for b, o in zip(pdf[bytes_col], pdf[orientation_col]):
+                o = 1 if o is None or (isinstance(o, float) and pd.isna(o)) \
+                    else int(o)
+                if b is None or o not in _ORIENT_OPS:
+                    outs.append(None); ws.append(None)
+                    hs.append(None); rot.append(None)
+                    continue
+                try:
+                    arr = decode_image(bytes(b))
+                except Exception:
+                    outs.append(None); ws.append(None)
+                    hs.append(None); rot.append(None)
+                    continue
+                out = np.ascontiguousarray(_ORIENT_OPS[o](arr))
+                outs.append(encode_image(out.astype(np.uint8), "png"))
+                hs.append(int(out.shape[0])); ws.append(int(out.shape[1]))
+                rot.append(o >= 5)
+            pdf = pdf[in_cols].copy()
+            pdf["bytes_oriented"] = outs
+            pdf["out_w"] = pd.array(ws, dtype="Int32")
+            pdf["out_h"] = pd.array(hs, dtype="Int32")
+            pdf["was_rotated"] = pd.array(rot, dtype="boolean")
+            yield pdf
+
+    return df.mapInPandas(_orient, out_schema)

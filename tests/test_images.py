@@ -410,3 +410,45 @@ class TestConsensusPairs:
                         and ham(h[a][1], h[b][1]) <= 6):
                     want.add((a, b))
         assert got == want and want  # non-empty, exact
+
+
+def test_normalize_orientation_roundtrip_and_hash_unify(spark):
+    """Each orientation is undone by its inverse, and a camera-rotated
+    duplicate phashes identically after normalization."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.fixtures import make_image_array
+    from lightcrawler_spark.imagecodec import decode_image, encode_image, phash64
+    from lightcrawler_spark.operators.images import (
+        _ORIENT_OPS, normalize_orientation,
+    )
+
+    base = make_image_array(5, 32, 24)
+    # stored = the camera's raw sensor pixels for each orientation tag:
+    # applying the tag must recover the upright image
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    rows = []
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(
+            _ORIENT_OPS[inverse[o]](base)
+        ).astype(np.uint8)
+        rows.append((o, bytearray(encode_image(stored, "png")), o))
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, orientation int"
+    )
+    out = {r["image_id"]: r for r in normalize_orientation(df).collect()}
+    up_hash = phash64(base)
+    for o in range(1, 9):
+        arr = decode_image(bytes(out[o]["bytes_oriented"]))
+        assert arr.shape == base.shape, o
+        assert (arr == base).all(), f"orientation {o} not recovered"
+        assert phash64(arr) == up_hash
+        assert out[o]["was_rotated"] == (o >= 5)
+    # null orientation = upright passthrough of pixels
+    df2 = spark.createDataFrame(
+        [(0, bytearray(encode_image(base.astype(np.uint8), "png")), None)],
+        "image_id long, bytes binary, orientation int",
+    )
+    r = normalize_orientation(df2).first()
+    assert (decode_image(bytes(r["bytes_oriented"])) == base).all()

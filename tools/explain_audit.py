@@ -234,6 +234,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # orientation normalize: one Arrow pass, row-local
+    "image_orientation": [
+        ("one Arrow orientation pass", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # audio trim: one Arrow container pass, row-local
     "audio_trim": [
         ("one Arrow trim pass", r"MapInPandas"),
