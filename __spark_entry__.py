@@ -5563,6 +5563,74 @@ def q_image_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-writer shard diff
+    (operators/chunking.py:manifest_diff): two shard manifests of the
+    same corpus — v1 with 5 extra tail samples, v2 with one sample's
+    size changed — full-outer joined into added/removed/changed/
+    unchanged statuses, the plan that lets a rebuild rewrite only
+    moved shards. The oracle re-derives BOTH manifests (running sums,
+    ordered-signature md5s) and the status relationally."""
+    from lightcrawler_spark.operators.chunking import (
+        assign_shards,
+        manifest_diff,
+        shard_manifest,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("n_chars") * 7 + 100).cast("long").alias("n_bytes"),
+    )
+    extras = spark.range(5).select(
+        (F.col("id") + 9_000_000).alias("image_id"),
+        F.lit(200_000).cast("long").alias("n_bytes"),
+    )
+    v1 = base.unionByName(extras)
+    v2 = base.withColumn(
+        "n_bytes",
+        F.col("n_bytes")
+        + F.when(F.col("image_id") == 3, F.lit(50)).otherwise(F.lit(0)),
+    ).unionByName(
+        spark.range(4).select(
+            (F.col("id") + 9_500_000).alias("image_id"),
+            F.lit(400_000).cast("long").alias("n_bytes"),
+        )
+    )
+
+    def man(df):
+        return shard_manifest(
+            assign_shards(df, shard_bytes=500_000,
+                          order_col="image_id", size_col="n_bytes")
+        )
+
+    out = manifest_diff(man(v1), man(v2))
+    return out.select(
+        F.col("shard_idx").cast("long").alias("shard_idx"),
+        "status", "old_md5", "new_md5",
+        F.col("old_samples").cast("long").alias("old_samples"),
+        F.col("new_samples").cast("long").alias("new_samples"),
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition
+    (operators/text.py:ccnet_buckets): corpus unigram-LM scores →
+    milli-nat integer score → two EXACT radix-select cut points →
+    tie-inclusive tertile labels. The oracle re-derives the LM math
+    (micro-nat integer sums), the score mapping, both thresholds via
+    descending cumulative windows, and the labels."""
+    from lightcrawler_spark.operators.text import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_logprob",
+        F.col("ppl_score").cast("long").alias("ppl_score"),
+        "bucket",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5723,6 +5791,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "audio_trim": q_audio_trim,
         "image_orientation": q_image_orientation,
+        "manifest_diff": q_manifest_diff,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -7926,6 +7996,55 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM toks JOIN counts USING (tok)
 GROUP BY doc_id
 """,
+        # LM scores -> milli-nat ints -> two tie-inclusive order
+        # statistics via descending cumulative windows -> labels
+        "ccnet_buckets": """
+WITH toks AS (
+  SELECT doc_id, w AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> len(x) > 0)) AS w
+    FROM documents
+  )
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM counts),
+lp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(
+           (CAST(sum(CAST(round(ln(c) * 1000000.0, 0) AS BIGINT))
+                 AS DOUBLE) / count(*)) / 1000000.0
+           - ln(CAST((SELECT n FROM tot) AS DOUBLE)),
+         6) AS mean_logprob
+  FROM toks JOIN counts USING (tok)
+  GROUP BY doc_id
+),
+s AS (
+  SELECT *, CAST(round((mean_logprob + 30.0) * 1000.0, 0) AS BIGINT)
+              AS ppl_score
+  FROM lp
+),
+c AS (SELECT ppl_score AS v, count(*) AS cnt FROM s GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM s),
+cum AS (
+  SELECT v, sum(cnt) OVER (
+    ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cge
+  FROM c
+),
+th AS (SELECT max(v) AS t FROM cum
+       WHERE cge >= (SELECT greatest(ceil(n / 3.0), 1) FROM nn)),
+tm AS (SELECT max(v) AS t FROM cum
+       WHERE cge >= (SELECT greatest(ceil(n * 2.0 / 3.0), 1) FROM nn))
+SELECT doc_id, n_tokens, mean_logprob, ppl_score,
+  CASE WHEN ppl_score >= (SELECT t FROM th) THEN 'head'
+       WHEN ppl_score >= (SELECT t FROM tm) THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM s
+""",
         "robots_sitemaps": """
 WITH base AS (SELECT unnest(generate_series(0, 9)) AS id),
 robots AS (
@@ -9021,6 +9140,74 @@ SELECT CAST(shard_idx AS BIGINT) AS shard_idx,
        md5(string_agg(image_id || ':' || n_bytes, ',' ORDER BY off))
          AS content_md5
 FROM a GROUP BY shard_idx
+""",
+        # both manifests re-derived relationally, then the status CASE
+        "manifest_diff": """
+WITH s1 AS (
+  SELECT doc_id AS image_id,
+         CAST(n_chars * 7 + 100 AS BIGINT) AS n_bytes
+  FROM documents
+  UNION ALL
+  SELECT 9000000 + i, 200000 FROM range(5) t(i)
+),
+s2 AS (
+  SELECT doc_id AS image_id,
+         CAST(n_chars * 7 + 100
+              + CASE WHEN doc_id = 3 THEN 50 ELSE 0 END AS BIGINT)
+           AS n_bytes
+  FROM documents
+  UNION ALL
+  SELECT 9500000 + i, 400000 FROM range(4) t2(i)
+),
+o1 AS (
+  SELECT image_id, n_bytes,
+         COALESCE(sum(n_bytes) OVER (
+           ORDER BY image_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_byte
+  FROM s1
+),
+o2 AS (
+  SELECT image_id, n_bytes,
+         COALESCE(sum(n_bytes) OVER (
+           ORDER BY image_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_byte
+  FROM s2
+),
+a1 AS (
+  SELECT image_id, n_bytes,
+         CAST(floor(start_byte / 500000.0) AS BIGINT) AS shard_idx,
+         start_byte
+           - CAST(floor(start_byte / 500000.0) AS BIGINT) * 500000 AS off
+  FROM o1
+),
+a2 AS (
+  SELECT image_id, n_bytes,
+         CAST(floor(start_byte / 500000.0) AS BIGINT) AS shard_idx,
+         start_byte
+           - CAST(floor(start_byte / 500000.0) AS BIGINT) * 500000 AS off
+  FROM o2
+),
+m1 AS (
+  SELECT shard_idx, count(*)::BIGINT AS old_samples,
+         md5(string_agg(image_id || ':' || n_bytes, ',' ORDER BY off))
+           AS old_md5
+  FROM a1 GROUP BY shard_idx
+),
+m2 AS (
+  SELECT shard_idx, count(*)::BIGINT AS new_samples,
+         md5(string_agg(image_id || ':' || n_bytes, ',' ORDER BY off))
+           AS new_md5
+  FROM a2 GROUP BY shard_idx
+)
+SELECT COALESCE(m1.shard_idx, m2.shard_idx) AS shard_idx,
+  CASE WHEN m1.shard_idx IS NULL THEN 'added'
+       WHEN m2.shard_idx IS NULL THEN 'removed'
+       WHEN old_md5 <> new_md5 THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  old_md5, new_md5, old_samples, new_samples
+FROM m1 FULL OUTER JOIN m2 USING (shard_idx)
 """,
         "image_decontaminate": """
 WITH corpus AS (

@@ -37,6 +37,7 @@ __all__ = [
     "contrastive_batches",
     "sequence_spans",
     "epoch_shard_order",
+    "manifest_diff",
 ]
 
 
@@ -596,4 +597,41 @@ def epoch_shard_order(
         )
         .drop("_shard")
         .withColumn("epoch", F.lit(int(epoch)))
+    )
+
+
+def manifest_diff(old: DataFrame, new: DataFrame,
+                  shard_col: str = "shard_idx") -> DataFrame:
+    """Incremental-writer plan from two shard manifests
+    (``shard_manifest`` outputs): which shards are ADDED, REMOVED,
+    CHANGED (same id, different content signature) or UNCHANGED — the
+    diff that lets a 100 TB corpus rebuild rewrite only the shards
+    whose membership actually moved, exactly how the manifest's
+    content_md5 was designed to be consumed.
+
+    One full-outer equi-join on the shard id (manifest rows are one
+    per shard — ~10^5 at 100 TB, trivially shuffle-able; AQE can
+    broadcast either side). Output: (shard_idx, status, old_md5,
+    new_md5, old_samples, new_samples).
+    """
+    o = old.select(
+        F.col(shard_col).alias("shard_idx"),
+        F.col("content_md5").alias("old_md5"),
+        F.col("n_samples").alias("old_samples"),
+    )
+    n = new.select(
+        F.col(shard_col).alias("shard_idx"),
+        F.col("content_md5").alias("new_md5"),
+        F.col("n_samples").alias("new_samples"),
+    )
+    joined = o.join(n, "shard_idx", "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "shard_idx", status.alias("status"),
+        "old_md5", "new_md5", "old_samples", "new_samples",
     )

@@ -31,6 +31,7 @@ __all__ = [
     "unigram_logprob",
     "vocab_topk",
     "bpe_train",
+    "ccnet_buckets",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -672,4 +673,51 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
         merges,
         "merge_idx int, left string, right string, pair_count long, "
         "new_symbol string",
+    )
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  head_frac: float = 1 / 3,
+                  mid_frac: float = 1 / 3) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document with the corpus unigram LM (``unigram_logprob`` — the
+    model-free stand-in for the wiki-LM perplexity), then split the
+    corpus into head / middle / tail tertiles by EXACT order statistics
+    — the partition CCNet publishes and trainers mix from. Higher
+    logprob = more corpus-typical = head.
+
+    The two cut points come from ``sampling.exact_score_quantile``
+    (radix-select histograms, no global sort, no approx-percentile
+    sketch error) over a milli-nat integer score
+    ``round((mean_logprob + 30) * 1000)`` — offset keeps the radix
+    domain non-negative 32-bit. Tie-inclusive at each cut (ties go to
+    the better bucket), so the split is deterministic under any
+    partitioning.
+
+    Output: ``(id_col, n_tokens, mean_logprob, ppl_score, bucket)``.
+    """
+    from .text import unigram_logprob as _ulp
+    from ..operators.sampling import exact_score_quantile
+
+    scored = _ulp(df, text_col=text_col, id_col=id_col).withColumn(
+        "ppl_score",
+        F.round((F.col("mean_logprob") + F.lit(30.0)) * F.lit(1000.0), 0)
+        .cast("long"),
+    )
+    scored = scored.localCheckpoint(eager=False)  # scored twice below
+    t_head, _ = exact_score_quantile(
+        scored, "ppl_score", None, keep_frac=head_frac
+    )
+    t_mid, _ = exact_score_quantile(
+        scored, "ppl_score", None, keep_frac=head_frac + mid_frac
+    )
+    bucket = (
+        F.when(F.col("ppl_score") >= F.lit(int(t_head)), F.lit("head"))
+        .when(F.col("ppl_score") >= F.lit(int(t_mid)), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        id_col, "n_tokens", "mean_logprob", "ppl_score",
+        bucket.alias("bucket"),
     )

@@ -283,3 +283,26 @@ def test_epoch_shard_order_properties(spark):
                  for r in epoch_shard_order(t, epoch=1).collect())
     assert o1 != o2
     assert o1 == o1b
+
+
+def test_manifest_diff_statuses(spark):
+    """manifest_diff: all four statuses, including 'removed' via the
+    mirrored diff (swap old/new)."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.chunking import manifest_diff
+
+    def man(rows):
+        return spark.createDataFrame(
+            rows, "shard_idx long, n_samples long, content_md5 string"
+        )
+
+    old = man([(0, 10, "aaa"), (1, 10, "bbb"), (2, 4, "ccc")])
+    new = man([(0, 10, "aaa"), (1, 11, "BBB"), (3, 2, "ddd")])
+    d = {r["shard_idx"]: r["status"]
+         for r in manifest_diff(old, new).collect()}
+    assert d == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+    # mirrored diff flips added/removed
+    m = {r["shard_idx"]: r["status"]
+         for r in manifest_diff(new, old).collect()}
+    assert (m[2], m[3]) == ("added", "removed")

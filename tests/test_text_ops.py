@@ -496,3 +496,29 @@ def test_bpe_train_classic_and_edges(spark):
 
     empty = spark.createDataFrame([("   ",)], "text string")
     assert bpe_train(empty, n_merges=3).count() == 0
+
+
+def test_ccnet_buckets_tertiles(spark):
+    """ccnet_buckets: tertile sizes within tie tolerance, monotone
+    score->bucket mapping, and bucket quality ordering."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.text import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(
+            ["the common word"] * (1 + i % 7)
+            + [f"rare{i}tok{j}" for j in range(i % 5)]
+        )) for i in range(90)],
+        "doc_id long, text string",
+    )
+    out = ccnet_buckets(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl_score"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # tie-inclusive cuts: head >= ceil(n/3); buckets ordered by score
+    assert len(by_bucket["head"]) >= 30
+    assert min(by_bucket["head"]) > max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) > max(by_bucket["tail"])
+    assert len(out) == 90

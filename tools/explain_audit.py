@@ -234,6 +234,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
+    # manifest diff: one full-outer equi-join of manifest-sized sides
+    "manifest_diff": [
+        ("equi-join of the manifests",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # CCNet partition: thresholds are radix-select literals; the final
+    # labeling pass is codegen'd over the checkpoint-backed scores
+    "ccnet_buckets": [
+        ("codegen'd literal labeling", r"\*\(\d+\)"),
+        ("no corpus-wide window", r"!windowspecdefinition"),
+        ("no global sort", r"!\bSort \["),
+    ],
     # orientation normalize: one Arrow pass, row-local
     "image_orientation": [
         ("one Arrow orientation pass", r"MapInPandas"),
