@@ -549,6 +549,8 @@ def bench_sf_queries(spark: SparkSession) -> dict:
         "embedding_quantize", "canonical_alias", "quantized_topk",
         "warc_revisit", "cdc_chunks", "archive_pipeline",
         "dataset_split", "precision_curation", "kmeans_centroids",
+        "layout_pipeline", "ccnet_buckets", "sequence_spans",
+        "warc_roundtrip", "epoch_mix",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
