@@ -5631,6 +5631,228 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _speech_chain_values_sql() -> str:
+    """Oracle for speech_pipeline: the whole trim → integer-ratio
+    resample → feature chain re-derived with scalar index loops over
+    the shared clips (no numpy, no operator code)."""
+    import hashlib
+
+    from lightcrawler_spark.operators.audio import parse_wav
+
+    vals = []
+    for cid, blob in _trim_fixture_clips():
+        meta = parse_wav(bytes(blob)) if blob is not None else None
+        if meta is None:
+            vals.append(
+                f"({cid}, NULL, NULL, false, NULL, NULL, NULL, NULL)"
+            )
+            continue
+        off, nf = meta["data_off"], meta["n_frames"]
+        raw = bytes(blob)
+        samples = [
+            int.from_bytes(raw[off + 2 * i:off + 2 * i + 2],
+                           "little", signed=True)
+            for i in range(nf)
+        ]
+        idx = [i for i, s in enumerate(samples) if abs(s) > 256]
+        lo, hi = (idx[0], idx[-1] + 1) if idx else (0, 0)
+        trimmed = samples[lo:hi]
+        ratio = meta["sample_rate"] // 4000
+        if len(trimmed) == 0:
+            vals.append(
+                f"({cid}, {lo}, 0, false, NULL, NULL, NULL, NULL)"
+            )
+            continue
+        n_out = max(len(trimmed) * 4000 // meta["sample_rate"], 1)
+        res = [trimmed[min(k * ratio, len(trimmed) - 1)]
+               for k in range(n_out)]
+        peak = max(abs(s) for s in res)
+        ssq = sum(s * s for s in res)
+        zc = sum(
+            1 for a, b in zip(res, res[1:])
+            if (a > 0 > b) or (a < 0 < b)
+        )
+        nz = sum(1 for s in res if s == 0)
+        vals.append(
+            f"({cid}, {lo}, {len(trimmed)}, true, {n_out}, {peak}, "
+            f"{ssq}, {zc + 0})"
+        )
+        _ = hashlib  # (digests covered by the audio_trim contract)
+    return (
+        "SELECT CAST(clip_id AS BIGINT) AS clip_id,\n"
+        "  CAST(trim_start AS BIGINT) AS trim_start,\n"
+        "  CAST(n_trimmed AS BIGINT) AS n_trimmed,\n"
+        "  ok,\n"
+        "  CAST(out_frames AS BIGINT) AS out_frames,\n"
+        "  CAST(peak AS BIGINT) AS peak,\n"
+        "  CAST(sum_sq AS BIGINT) AS sum_sq,\n"
+        "  CAST(zero_crossings AS BIGINT) AS zero_crossings\n"
+        "FROM (VALUES\n" + ",\n".join(vals) + "\n) AS t("
+        "clip_id, trim_start, n_trimmed, ok, out_frames, peak, sum_sq, "
+        "zero_crossings)"
+    )
+
+
+def q_speech_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth composed flagship — the SPEECH-curation chain in one plan:
+    silence trim (operators/audio.py:trim_silence) → integer-ratio
+    linear resample to 4 kHz (resample_audio; 2:1 and 4:1 land exactly
+    on input samples) → exact-integer features (audio_features_udf).
+    Certifies the audio subsystem's composition the way
+    curation_pipeline certifies the image chain; the oracle re-derives
+    trim indices, the decimation and every feature with scalar loops
+    over the shared clips. Three Arrow passes, zero shuffle."""
+    from lightcrawler_spark.operators.audio import (
+        audio_features_udf,
+        resample_audio,
+        trim_silence,
+    )
+
+    rows = [
+        (cid, bytearray(b) if b is not None else None)
+        for cid, b in _trim_fixture_clips()
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary")
+    trimmed = trim_silence(df, threshold=256)
+    res = resample_audio(
+        trimmed.withColumnRenamed("bytes", "bytes_orig")
+        .withColumnRenamed("bytes_trimmed", "bytes"),
+        out_rate=4000,
+    )
+    feat = res.withColumn("_f", audio_features_udf(F.col("bytes_resampled")))
+    return feat.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("trim_start").cast("long").alias("trim_start"),
+        F.col("n_samples_out").cast("long").alias("n_trimmed"),
+        F.coalesce(F.col("_f.ok"), F.lit(False)).alias("ok"),
+        F.col("out_frames").cast("long").alias("out_frames"),
+        F.col("_f.peak").cast("long").alias("peak"),
+        F.col("_f.sum_sq").cast("long").alias("sum_sq"),
+        F.col("_f.zero_crossings").cast("long").alias("zero_crossings"),
+    )
+
+
+def _privacy_fixture() -> list[tuple[int, bytes, int]]:
+    """Shared fixture for privacy_pipeline: 8 upright PNGs with an
+    injected tEXt metadata chunk (the PII the scrub must remove), plus
+    a camera-rotated duplicate of each (pixels stored under the
+    inverse transform, orientation tag 6) — after scrub → orient, the
+    duplicate must phash IDENTICALLY to its upright sibling."""
+    import numpy as np
+
+    from lightcrawler_spark.fixtures import make_image_array
+    from lightcrawler_spark.imagecodec import (
+        encode_image,
+        make_png_text_chunk,
+    )
+    from lightcrawler_spark.operators.images import _ORIENT_OPS
+
+    def with_text(png: bytes, note: bytes) -> bytes:
+        # insert the tEXt chunk right after IHDR (8-byte sig + 25-byte
+        # IHDR chunk)
+        cut = 8 + 25
+        return png[:cut] + make_png_text_chunk(b"GPS", note) + png[cut:]
+
+    rows = []
+    for i in range(8):
+        base = make_image_array(100 + i, 32, 24)
+        upright = encode_image(base.astype(np.uint8), "png")
+        # stored-rotated sibling: applying orientation 6 must recover
+        # the upright pixels -> store the INVERSE (orientation 8) view
+        stored = np.ascontiguousarray(_ORIENT_OPS[8](base)).astype(
+            np.uint8
+        )
+        rotated = encode_image(stored, "png")
+        note = f"lat=1.{i};lon=2.{i}".encode()
+        rows.append((i * 2, with_text(upright, note), 1))
+        rows.append((i * 2 + 1, with_text(rotated, note), 6))
+    return rows
+
+
+def _privacy_values_sql() -> str:
+    """Oracle for privacy_pipeline: scrub chunk-walk + orientation
+    re-derived with independent index arithmetic; phash via the shared
+    kernel (the hash-identity check is the chain's OUTPUT, the chain
+    logic is what is re-derived)."""
+    from lightcrawler_spark.imagecodec import decode_image, phash64
+
+    vals = []
+    for i, blob, o in _privacy_fixture():
+        # independent scrub: walk chunks by index arithmetic, drop tEXt
+        pos, kept, removed = 8, [blob[:8]], 0
+        while pos + 8 <= len(blob):
+            ln = int.from_bytes(blob[pos:pos + 4], "big")
+            tag = blob[pos + 4:pos + 8]
+            end = pos + 12 + ln
+            if tag in (b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"):
+                removed += 1
+            else:
+                kept.append(blob[pos:end])
+            pos = end
+        clean = b"".join(kept)
+        arr = decode_image(clean)
+        if o == 6:  # independent index-formula rotation (90 CW)
+            h, w = arr.shape[0], arr.shape[1]
+            import numpy as np
+
+            out = np.zeros((w, h, 3), dtype=arr.dtype)
+            for y in range(w):
+                for x in range(h):
+                    out[y][x] = arr[h - 1 - x][y]
+            arr = out
+        vals.append(
+            f"({i}, {removed}, {'true' if o >= 5 else 'false'}, "
+            f"{phash64(arr)})"
+        )
+    return (
+        "SELECT CAST(image_id AS BIGINT) AS image_id,\n"
+        "  CAST(chunks_removed AS INT) AS chunks_removed,\n"
+        "  was_rotated,\n"
+        "  CAST(phash AS BIGINT) AS phash\n"
+        "FROM (VALUES\n" + ",\n".join(vals) + "\n) AS t("
+        "image_id, chunks_removed, was_rotated, phash)"
+    )
+
+
+def q_privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh composed flagship — the image PRIVACY/NORMALIZATION
+    chain in one plan: PNG metadata scrub (GPS tEXt removed, pixels
+    bit-identical) → EXIF orientation applied → phash. The chain's
+    theorem: a camera-rotated duplicate carries different bytes,
+    different metadata and different raw phash, yet after the chain
+    its phash EQUALS its upright sibling's (asserted per-pair in
+    tests/test_images.py; the contract pins every scrub count,
+    rotation flag and final hash). Three Arrow passes, zero shuffle."""
+    from lightcrawler_spark.operators.images import (
+        normalize_orientation,
+        scrub_image_metadata,
+        with_phash,
+    )
+
+    rows = [
+        (i, bytearray(b), o) for i, b, o in _privacy_fixture()
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, orientation int"
+    )
+    scrubbed = scrub_image_metadata(df).select(
+        "image_id", "orientation",
+        F.col("meta_chunks_removed").alias("chunks_removed"),
+        F.col("bytes_clean").alias("bytes"),
+    )
+    oriented = normalize_orientation(scrubbed)
+    hashed = with_phash(
+        oriented.withColumnRenamed("bytes", "bytes_raw")
+        .withColumnRenamed("bytes_oriented", "bytes")
+    )
+    return hashed.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("chunks_removed").cast("int").alias("chunks_removed"),
+        "was_rotated",
+        F.col("phash_calc").cast("long").alias("phash"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -5793,6 +6015,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_orientation": q_image_orientation,
         "manifest_diff": q_manifest_diff,
         "ccnet_buckets": q_ccnet_buckets,
+        "speech_pipeline": q_speech_pipeline,
+        "privacy_pipeline": q_privacy_pipeline,
     }
 
 
@@ -8835,6 +9059,8 @@ FROM s, t WHERE s.score_m4 >= t.thr
         "bpe_train": _bpe_train_values_sql(),
         "audio_trim": _audio_trim_values_sql(),
         "image_orientation": _orientation_values_sql(),
+        "speech_pipeline": _speech_chain_values_sql(),
+        "privacy_pipeline": _privacy_values_sql(),
         # both md5 rank levels re-derived relationally
         "epoch_shard_order": """
 WITH t AS (

@@ -452,3 +452,22 @@ def test_normalize_orientation_roundtrip_and_hash_unify(spark):
     )
     r = normalize_orientation(df2).first()
     assert (decode_image(bytes(r["bytes_oriented"])) == base).all()
+
+
+def test_privacy_pipeline_unifies_rotated_duplicates(spark):
+    """The chain theorem, asserted per pair: scrub -> orient makes each
+    rotated duplicate phash EQUAL to its upright sibling, and every
+    GPS tEXt chunk is removed."""
+    import __spark_entry__ as e
+
+    out = {r["image_id"]: r
+           for r in e.q_privacy_pipeline(spark, "").collect()}
+    assert len(out) == 16
+    for i in range(8):
+        up, rot = out[i * 2], out[i * 2 + 1]
+        assert up["phash"] == rot["phash"], f"pair {i}"
+        assert (up["was_rotated"], rot["was_rotated"]) == (False, True)
+        assert up["chunks_removed"] == 1
+        assert rot["chunks_removed"] == 1
+    # distinct base images stay distinct
+    assert len({r["phash"] for r in out.values()}) == 8

@@ -255,6 +255,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no shuffle", r"!Exchange"),
         ("no row-at-a-time Python", r"!BatchEvalPython"),
     ],
+    # privacy flagship: chained Arrow passes, zero shuffle
+    "privacy_pipeline": [
+        ("chained Arrow passes", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
+    # speech flagship: three chained Arrow passes, zero shuffle
+    "speech_pipeline": [
+        ("chained Arrow passes", r"MapInPandas"),
+        ("no shuffle", r"!Exchange"),
+        ("no row-at-a-time Python", r"!BatchEvalPython"),
+    ],
     # audio trim: one Arrow container pass, row-local
     "audio_trim": [
         ("one Arrow trim pass", r"MapInPandas"),
