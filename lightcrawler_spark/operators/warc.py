@@ -240,6 +240,40 @@ def warc_revisit_records(
     return _with_global_offsets(sized, order_col, num_partitions)
 
 
+def _warc_records(data: bytes):
+    pos, n, seq = 0, len(data), 0
+    while pos < n:
+        bad = (None, None, None, None, None, False)
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if not data.startswith(b"WARC/1.0\r\n", pos) or hdr_end < 0:
+            yield (seq, pos) + bad
+            return
+        fields = {}
+        for line in data[pos + 10:hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            fields[k.strip().decode("ascii", "replace")] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        try:
+            clen = int(fields["Content-Length"])
+        except (KeyError, ValueError):
+            yield (seq, pos) + bad
+            return
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end + 4 > n or data[body_end:body_end + 4] != b"\r\n\r\n":
+            yield (seq, pos) + bad
+            return
+        payload = data[body_start:body_end]
+        yield (
+            seq, pos, fields.get("WARC-Type"),
+            fields.get("WARC-Target-URI"), fields.get("WARC-Date"),
+            clen, payload, True,
+        )
+        pos = body_end + 4
+        seq += 1
+
+
 def parse_warc_segment(
     df: DataFrame,
     segment_col: str = "segment",
@@ -270,6 +304,8 @@ def parse_warc_segment(
     import pandas as pd
     from pyspark.sql import types as T
 
+    _records = _warc_records  # module-level walk (fuzz-tested)
+
     in_fields = [f for f in df.schema.fields if f.name != segment_col]
     out_schema = T.StructType(
         in_fields
@@ -286,39 +322,6 @@ def parse_warc_segment(
         ]
     )
     keep = [f.name for f in in_fields]
-
-    def _records(data: bytes):
-        pos, n, seq = 0, len(data), 0
-        while pos < n:
-            bad = (None, None, None, None, None, False)
-            hdr_end = data.find(b"\r\n\r\n", pos)
-            if not data.startswith(b"WARC/1.0\r\n", pos) or hdr_end < 0:
-                yield (seq, pos) + bad
-                return
-            fields = {}
-            for line in data[pos + 10:hdr_end].split(b"\r\n"):
-                k, _, v = line.partition(b":")
-                fields[k.strip().decode("ascii", "replace")] = (
-                    v.strip().decode("utf-8", "replace")
-                )
-            try:
-                clen = int(fields["Content-Length"])
-            except (KeyError, ValueError):
-                yield (seq, pos) + bad
-                return
-            body_start = hdr_end + 4
-            body_end = body_start + clen
-            if body_end + 4 > n or data[body_end:body_end + 4] != b"\r\n\r\n":
-                yield (seq, pos) + bad
-                return
-            payload = data[body_start:body_end]
-            yield (
-                seq, pos, fields.get("WARC-Type"),
-                fields.get("WARC-Target-URI"), fields.get("WARC-Date"),
-                clen, payload, True,
-            )
-            pos = body_end + 4
-            seq += 1
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

