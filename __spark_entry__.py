@@ -5853,6 +5853,25 @@ def q_privacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet stats (operators/text.py:corpus_datasheet) —
+    the quantitative half of a release datasheet (Gebru et al. 2021):
+    corpus totals + per-language + per-source document/token/char/empty
+    counts from ONE grouping-sets (cube) aggregate over a single scan.
+    Exact integers; the oracle re-derives the three sections as plain
+    GROUP BYs unioned."""
+    from lightcrawler_spark.operators.text import corpus_datasheet
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_datasheet(docs).select(
+        "metric",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_empty").cast("long").alias("n_empty"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6017,6 +6036,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "speech_pipeline": q_speech_pipeline,
         "privacy_pipeline": q_privacy_pipeline,
+        "corpus_datasheet": q_corpus_datasheet,
     }
 
 
@@ -9061,6 +9081,29 @@ FROM s, t WHERE s.score_m4 >= t.thr
         "image_orientation": _orientation_values_sql(),
         "speech_pipeline": _speech_chain_values_sql(),
         "privacy_pipeline": _privacy_values_sql(),
+        # three plain GROUP BYs unioned — the cube must agree with them
+        "corpus_datasheet": r"""
+WITH b AS (
+  SELECT lang, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS t,
+    length(text) AS c,
+    CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS e
+  FROM documents
+)
+SELECT 'total:corpus' AS metric, count(*)::BIGINT AS n_docs,
+       sum(t)::BIGINT AS n_tokens, sum(c)::BIGINT AS n_chars,
+       sum(e)::BIGINT AS n_empty
+FROM b
+UNION ALL
+SELECT 'lang:' || COALESCE(lang, 'null'), count(*)::BIGINT,
+       sum(t)::BIGINT, sum(c)::BIGINT, sum(e)::BIGINT
+FROM b GROUP BY lang
+UNION ALL
+SELECT 'source:' || COALESCE(source, 'null'), count(*)::BIGINT,
+       sum(t)::BIGINT, sum(c)::BIGINT, sum(e)::BIGINT
+FROM b GROUP BY source
+""",
         # both md5 rank levels re-derived relationally
         "epoch_shard_order": """
 WITH t AS (

@@ -32,6 +32,7 @@ __all__ = [
     "vocab_topk",
     "bpe_train",
     "ccnet_buckets",
+    "corpus_datasheet",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -720,4 +721,59 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     return scored.select(
         id_col, "n_tokens", "mean_logprob", "ppl_score",
         bucket.alias("bucket"),
+    )
+
+
+def corpus_datasheet(df: DataFrame, text_col: str = "text",
+                     lang_col: str = "lang",
+                     source_col: str = "source") -> DataFrame:
+    """One-pass corpus summary in long format — the quantitative half
+    of a dataset datasheet (Gebru et al. 2021) every release ships:
+    document/token/char totals, emptiness, per-language and per-source
+    document shares. Exact integers and one rounded ratio per row, so
+    the report is hash-reproducible.
+
+    Scale shape: ONE map-side-combined grouping-sets aggregate over a
+    single scan (lang and source rollups share the pass via
+    grouping sets), output rows = 4 + |langs| + |sources|. No window,
+    no join; the token count reuses the whitespace convention
+    (with_token_counts).
+    """
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda x: F.length(x) > 0)
+    ).cast("long")
+    base = df.select(
+        F.col(lang_col).alias("_lang"),
+        F.col(source_col).alias("_src"),
+        toks.alias("_t"),
+        F.length(F.col(text_col)).cast("long").alias("_c"),
+        (F.length(F.trim(F.col(text_col))) == 0).cast("long").alias("_e"),
+    )
+    agg = base.cube("_lang", "_src").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_c").alias("n_chars"),
+        F.sum("_e").alias("n_empty"),
+        # grouping_id disambiguates real NULL key values from rollups
+        F.grouping_id().alias("_gid"),
+    )
+    total = agg.filter(F.col("_gid") == 3)
+    by_lang = agg.filter(F.col("_gid") == 1)
+    by_src = agg.filter(F.col("_gid") == 2)
+
+    def rows(dfx, key_expr, prefix):
+        return dfx.select(
+            F.concat(F.lit(prefix), F.coalesce(key_expr, F.lit("null")))
+            .alias("metric"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_empty").cast("long").alias("n_empty"),
+        )
+
+    return (
+        rows(total, F.lit("corpus"), "total:")
+        .unionByName(rows(by_lang, F.col("_lang"), "lang:"))
+        .unionByName(rows(by_src, F.col("_src"), "source:"))
     )

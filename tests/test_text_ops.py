@@ -522,3 +522,31 @@ def test_ccnet_buckets_tertiles(spark):
     assert min(by_bucket["head"]) > max(by_bucket["middle"])
     assert min(by_bucket["middle"]) > max(by_bucket["tail"])
     assert len(out) == 90
+
+
+def test_corpus_datasheet_sections_consistent(spark):
+    """corpus_datasheet: lang and source sections each sum to the
+    corpus totals; empty docs and NULL keys surface correctly."""
+    from pyspark.sql import functions as F
+
+    from lightcrawler_spark.operators.text import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a", "one two three"),
+            (1, "en", "b", "four"),
+            (2, None, "a", "   "),
+            (3, "zh", None, "五 六"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {r["metric"]: r for r in corpus_datasheet(docs).collect()}
+    tot = out["total:corpus"]
+    assert (tot["n_docs"], tot["n_tokens"], tot["n_empty"]) == (4, 6, 1)
+    langs = {k: v for k, v in out.items() if k.startswith("lang:")}
+    srcs = {k: v for k, v in out.items() if k.startswith("source:")}
+    assert sum(v["n_docs"] for v in langs.values()) == 4
+    assert sum(v["n_tokens"] for v in srcs.values()) == 6
+    assert out["lang:null"]["n_empty"] == 1
+    assert out["source:null"]["n_docs"] == 1
+    assert out["lang:en"]["n_tokens"] == 4

@@ -255,6 +255,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no shuffle", r"!Exchange"),
         ("no row-at-a-time Python", r"!BatchEvalPython"),
     ],
+    # datasheet: one grouping-sets aggregate over a single scan
+    "corpus_datasheet": [
+        ("grouping-sets hash aggregate", r"HashAggregate|ObjectHashAggregate"),
+        ("no window", r"!windowspecdefinition"),
+        ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
+    ],
     # privacy flagship: chained Arrow passes, zero shuffle
     "privacy_pipeline": [
         ("chained Arrow passes", r"MapInPandas"),
