@@ -239,7 +239,11 @@ def crossmodal_topk(
     caps = F.broadcast(
         df.select(
             F.col(id_col).alias("query_id"),
-            caption_vec_expr(F.col(caption_col), dim=dim).alias("_tv"),
+            # NULL caption -> zero vector -> t2 = 0 -> sim 0.0 (the
+            # clip_scores null contract), not a null-ordering hazard
+            caption_vec_expr(
+                F.coalesce(F.col(caption_col), F.lit("")), dim=dim
+            ).alias("_tv"),
         )
     )
     imgs = df.select(

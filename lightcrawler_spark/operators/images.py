@@ -1283,8 +1283,9 @@ def normalize_orientation(df: DataFrame, bytes_col: str = "bytes",
         for pdf in batches:
             outs, ws, hs, rot = [], [], [], []
             for b, o in zip(pdf[bytes_col], pdf[orientation_col]):
-                o = 1 if o is None or (isinstance(o, float) and pd.isna(o)) \
-                    else int(o)
+                # pd.isna covers None, float NaN AND pd.NA (extension
+                # dtypes) — int(pd.NA) would kill the whole Arrow task
+                o = 1 if o is None or pd.isna(o) else int(o)
                 if b is None or o not in _ORIENT_OPS:
                     outs.append(None); ws.append(None)
                     hs.append(None); rot.append(None)

@@ -119,3 +119,15 @@ def test_encoder_swap_seam(spark):
     # rank-1 is always the lexicographically smallest image id
     top1 = out.filter(F.col("rank") == 1).select("neighbor_id").distinct()
     assert [r["neighbor_id"] for r in top1.collect()] == ["img_000000000000"]
+
+
+def test_null_caption_scores_zero(spark):
+    df = spark.createDataFrame(
+        [("a", "real caption"), ("b", None)],
+        "image_id string, caption string",
+    ).withColumn(
+        "ivec", caption_vec_expr(F.coalesce(F.col("caption"), F.lit("")))
+    )
+    topk = crossmodal_topk(df, k=2, image_vec_col="ivec")
+    b_rows = topk.filter(F.col("query_id") == "b").collect()
+    assert all(r["sim"] == 0.0 for r in b_rows)  # zero vec -> sim 0.0
