@@ -2337,6 +2337,42 @@ def _golden_sitemap_values_sql() -> str:
     return _golden_values_sql(golden)
 
 
+def q_crawl_golden_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 revisit scheduling end-to-end (spec.revisit_url_rules,
+    CrawlEngine._revisit_candidates): URLs matching the revisit rule
+    re-enter the frontier after revisit_after_rounds rounds, once,
+    carrying their ORIGINAL depth/priority/referer and ranking after
+    all fresh discovery (insert_seq 1<<61 offset); the crawl idles
+    through immature revisits instead of draining. Engine trace vs the
+    reference-semantics simulator (VALUES-literal oracle)."""
+    from lightcrawler_spark.fixtures import (
+        make_revisit_webgraph,
+        revisit_spec,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = revisit_spec()
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_revisit_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_revisit_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        make_revisit_webgraph,
+        revisit_spec,
+        simulate_reference_crawl,
+    )
+
+    golden = simulate_reference_crawl(make_revisit_webgraph(), revisit_spec())
+    return _golden_values_sql(golden)
+
+
 def q_image_caption_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule product: crawl the fixture web (pagination feeds on,
     image bodies received) and assemble the image+caption table
@@ -6037,6 +6073,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_pipeline": q_speech_pipeline,
         "privacy_pipeline": q_privacy_pipeline,
         "corpus_datasheet": q_corpus_datasheet,
+        "crawl_golden_revisit": q_crawl_golden_revisit,
     }
 
 
@@ -9629,6 +9666,7 @@ FROM g, params
         "crossmodal_recall": _crossmodal_recall_values_sql(),
         "jpeg_meta_scrub": _jpeg_scrub_values_sql(),
         "crawl_golden_sitemap": _golden_sitemap_values_sql(),
+        "crawl_golden_revisit": _golden_revisit_values_sql(),
         # counts → epoch caps → whole-epoch replication + md5-uniform
         # fractional epoch, re-derived relationally end to end
         "epoch_mix": """

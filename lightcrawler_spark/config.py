@@ -189,6 +189,19 @@ class CrawlSpec:
     # seeds. The reference never reads sitemaps; this is the engine's
     # cheapest high-precision frontier source at web scale.
     ingest_sitemaps: bool = False
+    # P7 generalized — round-based revisit scheduling (the reference
+    # re-queues a fixed third of its list pages each run,
+    # worker/SpiderCsrcGov.class.php:52-111; the engine re-queues by
+    # AGE): a fetched URL matching any of these PHP-delimited regexes
+    # re-enters the frontier once `revisit_after_rounds` rounds have
+    # passed since its last fetch, up to `max_revisits` extra fetches.
+    # Revisit rows carry the ORIGINAL row's depth/priority/referer and
+    # rank AFTER all fresh discovery at equal priority (insert_seq
+    # offset 1<<61). Derived every round from committed pages — no new
+    # state tables, resume-safe by construction. Empty list = off.
+    revisit_url_rules: list[str] = field(default_factory=list)
+    revisit_after_rounds: int = 2
+    max_revisits: int = 1
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

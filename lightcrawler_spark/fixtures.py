@@ -508,6 +508,42 @@ def sitemap_spec(**kw) -> CrawlSpec:
     )
 
 
+HOST_RV = "www.site-rv.test"
+_RV_ROOT = f"http://{HOST_RV}"
+
+
+def make_revisit_webgraph() -> list[dict]:
+    """P7-revisit fixture: a /list/ page (matches the revisit rule)
+    linking two details, plus a non-matching about page."""
+    r = _RV_ROOT
+    return [
+        _page_row(
+            r,
+            "<html><a href='/list/index.htm'>list</a>"
+            "<a href='/about.htm'>about</a></html>",
+        ),
+        _page_row(
+            f"{r}/list/index.htm",
+            "<html><a href='/d1.htm'>one</a>"
+            "<a href='/d2.htm'>two</a></html>",
+        ),
+        _page_row(f"{r}/about.htm", "<html>about</html>"),
+        _page_row(f"{r}/d1.htm", "<html>d1</html>"),
+        _page_row(f"{r}/d2.htm", "<html>d2</html>"),
+    ]
+
+
+def revisit_spec(**kw) -> CrawlSpec:
+    return CrawlSpec(
+        seeds=[_RV_ROOT],
+        max_depth=3,
+        revisit_url_rules=[r"#/list/# i"],
+        revisit_after_rounds=2,
+        max_revisits=1,
+        **kw,
+    )
+
+
 def simulate_reference_crawl(
     webgraph: list[dict],
     spec: CrawlSpec,
@@ -895,10 +931,56 @@ def simulate_reference_crawl(
             if admit(link, depth, page_nofollow):
                 push(link["url"], depth, nxt["url"])
 
+    # P7 revisit mirror (CrawlEngine._revisit_candidates): url_md5 ->
+    # {row: first-fetch attrs, n: fetches, last: last fetch round}
+    revisit_rules = [
+        _re.compile(php_regex_to_std(x)) for x in spec.revisit_url_rules
+    ]
+    fetch_hist: dict[str, dict] = {}
+
+    def _record_fetch(nxt: dict) -> None:
+        if not revisit_rules or not any(
+            rx.search(nxt["url"]) for rx in revisit_rules
+        ):
+            return
+        h = fetch_hist.get(nxt["url_md5"])
+        if h is None:
+            fetch_hist[nxt["url_md5"]] = {
+                "row": {
+                    k: nxt[k]
+                    for k in ("url", "url_md5", "host", "depth",
+                              "referer", "priority_level", "insert_seq")
+                },
+                "n": 1,
+                "last": round_idx,
+            }
+        else:
+            h["n"] += 1
+            h["last"] = round_idx
+
     round_idx = 1  # engine rounds start at 1 (round 0 = seeding)
     while seq < max_pops and round_idx < 100_000:
         pending = [f for f in frontier if not f["done"]]
+        if revisit_rules:
+            for h in fetch_hist.values():
+                if (
+                    h["n"] <= spec.max_revisits
+                    and round_idx - h["last"] >= spec.revisit_after_rounds
+                ):
+                    pending.append(
+                        dict(
+                            h["row"],
+                            insert_seq=(1 << 61)
+                            + h["row"]["insert_seq"],
+                            done=False,
+                        )
+                    )
         if not pending:
+            if revisit_rules and any(
+                h["n"] <= spec.max_revisits for h in fetch_hist.values()
+            ):
+                round_idx += 1  # idle: revisits still maturing
+                continue
             break
         # retry_after_backoff: hosts inside their declared (or default)
         # backoff window sit the round out; if EVERY pending host is
@@ -919,6 +1001,7 @@ def simulate_reference_crawl(
             if seq >= max_pops:
                 break
             _process_pop(nxt)
+            _record_fetch(nxt)
             if spec.adaptive_latency_budgets:
                 p = web.get(nxt["url"])
                 lat = p.get("latency_ms") if p else None

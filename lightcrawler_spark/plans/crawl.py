@@ -540,6 +540,73 @@ class CrawlEngine:
         )
         return scheduler.assign_priority(rows, spec.priority_rules)
 
+    # -- P7 revisit scheduling (spec.revisit_url_rules) -----------------------
+    def _revisit_pred(self):
+        from functools import reduce
+
+        rules = self.spec.std_rules(self.spec.revisit_url_rules)
+        return reduce(
+            lambda a, b: a | b, [F.col("url").rlike(x) for x in rules]
+        )
+
+    def _revisit_candidates(self, claimed: DataFrame, r: int) -> DataFrame:
+        """Round-r revisit rows, DERIVED from the committed pages (no
+        state table; resume-safe by construction): per matching URL —
+        fetch count n and last fetch round from one groupBy, the
+        ORIGINAL row attributes via min_by(seq); eligible when
+        n <= max_revisits and the last fetch is revisit_after_rounds
+        old. insert_seq = 1<<61 + original seq: unique, stable across
+        recomputation (deterministic pop order), and ABOVE every fresh
+        row — fresh discovery outranks revisits at equal priority."""
+        spec = self.spec
+        hist = (
+            claimed.filter(self._revisit_pred())
+            .groupBy("url_md5")
+            .agg(
+                F.count("*").alias("_n"),
+                F.max("round").alias("_last"),
+                F.min_by(
+                    F.struct("url", "host", "depth", "referer",
+                             "priority_level", "insert_seq"),
+                    "seq",
+                ).alias("_row"),
+            )
+        )
+        elig = hist.filter(
+            (F.col("_n") <= F.lit(int(spec.max_revisits)))
+            & (F.lit(r) - F.col("_last")
+               >= F.lit(int(spec.revisit_after_rounds)))
+        )
+        return elig.select(
+            F.col("_row.url").alias("url"),
+            "url_md5",
+            F.col("_row.host").alias("host"),
+            F.col("_row.depth").alias("depth"),
+            F.col("_row.referer").alias("referer"),
+            F.lit(None).cast("string").alias("link_raw"),
+            F.lit(None).cast("string").alias("linktext"),
+            F.lit(False).alias("is_redirect"),
+            F.col("_row.priority_level").alias("priority_level"),
+            (F.lit(1 << 61) + F.col("_row.insert_seq")).alias("insert_seq"),
+        )
+
+    def _future_revisits(self, r: int) -> bool:
+        """True when some matching URL still has revisit budget — the
+        crawl idles (committing empty rounds so age advances) instead
+        of draining. Runs only on otherwise-empty rounds."""
+        claimed = self._pages_upto(r)
+        if claimed is None:
+            return False
+        n = (
+            claimed.filter(self._revisit_pred())
+            .groupBy("url_md5")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= F.lit(int(self.spec.max_revisits)))
+            .limit(1)
+            .count()
+        )
+        return n > 0
+
     # -- unified round-table projections -------------------------------------
     def _pages_upto(self, r: int) -> DataFrame | None:
         return self.store.read_upto("pages", r)
@@ -592,6 +659,10 @@ class CrawlEngine:
             if (
                 getattr(self.store, "materializes", False)
                 and not spec.priority_rules
+                # revisit fetches carry 1<<61-offset seqs that would
+                # blow the per-host watermark past every fresh row —
+                # revisit crawls keep the exact anti-join
+                and not spec.revisit_url_rules
                 and "insert_seq" in claimed.columns
             ):
                 wm = claimed.groupBy("host").agg(
@@ -609,6 +680,12 @@ class CrawlEngine:
                 pending = pending.join(
                     claimed.select("url_md5"), "url_md5", "left_anti"
                 )
+        if spec.revisit_url_rules and claimed is not None:
+            # P7 revisits join the pending set BEFORE the politeness
+            # dims (cooldown/backoff/budgets gate them like any row)
+            pending = pending.unionByName(
+                self._revisit_candidates(claimed, r)
+            )
         pending_before_cooldown = pending
         if spec.host_delay_rounds > 0:
             # P8 cross-round cooldown: hosts fetched within the last
@@ -1297,6 +1374,9 @@ class CrawlEngine:
                 if (
                     self._frontier_total is not None
                     and base_seq >= self._frontier_total
+                    # revisit fetches add pages beyond the frontier count
+                    # and pending can repopulate — no provable drain
+                    and not spec.revisit_url_rules
                 ):
                     # every frontier row is claimed → pending is provably
                     # empty; skip the terminal probe round (its action
@@ -1307,8 +1387,13 @@ class CrawlEngine:
                 fetched, keep_going = self._run_round(r, base_seq)
                 self._prev_round_n = fetched
                 if fetched == 0 and not keep_going:
-                    abort_reason = ABORT_PASSEDTHROUGH
-                    break
+                    if spec.revisit_url_rules and self._future_revisits(r):
+                        # only immature revisits remain: commit the idle
+                        # round so their age advances (cooldown idiom)
+                        keep_going = True
+                    else:
+                        abort_reason = ABORT_PASSEDTHROUGH
+                        break
                 self.store.commit_round(r)
                 # the committed round's rows now live in the store — free
                 # its checkpoint blocks so driver memory stays O(1 round)
