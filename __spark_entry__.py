@@ -5908,6 +5908,275 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _watermark_fixture_images() -> list:
+    """Shared fixture for the watermark_gate contract: 10 images
+    exercising every verdict path of the two-arm watermark screen.
+    CONSTRUCTION is shared between the Spark query and the VALUES
+    oracle; the band statistics are implemented twice, independently
+    (vectorized numpy in watermark_stats_udf vs scalar index loops in
+    _scalar_watermark_stats), and the verdict twice (codegen'd Column
+    vs SQL CASE), so a kernel bug cannot cancel out."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(encode_image(a.astype(np.uint8), "png"))
+
+    # horizontal ramp: gray varies only with x, so the bottom band and
+    # the rest have IDENTICAL per-column content -> all arms false
+    ramp = np.repeat(
+        (np.arange(24) * 10)[None, :, None], 24, axis=0
+    ).repeat(3, axis=2)
+    # text-overlay archetype: ramp + alternating stripes in the band
+    text_band = ramp.copy()
+    text_band[20:] = (255 * (np.arange(24) % 2))[None, :, None]
+    # banner archetype: ramp + solid white strip
+    banner = ramp.copy()
+    banner[20:] = 255
+    noise = np.random.default_rng(77).integers(0, 256, size=(24, 24, 3))
+    solid = np.full((24, 24, 3), 128)
+    checker = np.where(
+        ((np.arange(24)[:, None] + np.arange(24)[None, :]) % 2 == 0),
+        255, 0
+    )[..., None].repeat(3, axis=2)
+    tiny = np.random.default_rng(78).integers(0, 256, size=(4, 8, 3))
+    one_row = np.repeat(
+        (np.arange(8) * 30)[None, :, None], 1, axis=0
+    ).repeat(3, axis=2)
+    return [
+        (0, enc(ramp)),
+        (1, enc(text_band)),
+        (2, enc(banner)),
+        (3, enc(noise)),
+        (4, enc(solid)),
+        (5, bytearray(b"notanimage")),
+        (6, None),
+        (7, enc(tiny)),
+        (8, enc(one_row)),
+        (9, enc(checker)),
+    ]
+
+
+def q_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-band screen (operators/images.py:with_watermark_stats
+    + watermark_expr): exact-int64 transition counts and gray sums for
+    the bottom 1/5 band vs the rest, verdict JVM-side over two arms
+    (busy text/logo band; smooth bright/dark banner strip). Fixture
+    paths: clean horizontal ramp (False), stripe-overlay band (True,
+    busy arm), solid white banner (True, banner arm), seeded noise
+    (False, band no busier than rest), solid (False), corrupt/NULL
+    (NULL verdict), 4-row tiny (1-row band), 1-row image (no rest ->
+    False), checkerboard (False, equal busyness). Oracle: same fixture,
+    independent scalar-loop statistics, verdict re-derived in SQL with
+    the same cross-multiplied integer arithmetic."""
+    from lightcrawler_spark.operators.images import (
+        watermark_expr,
+        with_watermark_stats,
+    )
+
+    df = spark.createDataFrame(
+        _watermark_fixture_images(), "image_id long, bytes binary"
+    )
+    return (
+        with_watermark_stats(df)
+        .withColumn("watermark_likely", watermark_expr())
+        .select(
+            F.col("image_id").cast("long").alias("image_id"),
+            F.col("wm_band_trans").cast("long").alias("wm_band_trans"),
+            F.col("wm_band_px").cast("long").alias("wm_band_px"),
+            F.col("wm_rest_trans").cast("long").alias("wm_rest_trans"),
+            F.col("wm_rest_px").cast("long").alias("wm_rest_px"),
+            F.col("wm_band_sum").cast("long").alias("wm_band_sum"),
+            F.col("wm_rest_sum").cast("long").alias("wm_rest_sum"),
+            "watermark_likely",
+        )
+    )
+
+
+def _scalar_watermark_stats(arr):
+    """Scalar-index-loop reimplementation of the watermark band
+    statistics — deliberately NOT the vectorized numpy math of
+    watermark_stats_udf (sequential loops, explicit band split), so
+    oracle and kernel cannot share a bug. Returns the six int64
+    signals (band_trans, band_px, rest_trans, rest_px, band_sum,
+    rest_sum)."""
+    from lightcrawler_spark.operators.images import (
+        _TXT_DIFF_THRESH,
+        _WM_BAND_DEN,
+    )
+
+    h, w = arr.shape[0], arr.shape[1]
+    gray = [
+        [int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
+         for x in range(w)]
+        for y in range(h)
+    ]
+    band_h = max(1, h // _WM_BAND_DEN)
+    band_rows = range(h - band_h, h)
+    rest_rows = range(0, h - band_h)
+
+    def region(rows):
+        trans = px = total = 0
+        for y in rows:
+            for x in range(w):
+                px += 1
+                total += gray[y][x]
+                if x + 1 < w and abs(gray[y][x + 1] - gray[y][x]) >= _TXT_DIFF_THRESH:
+                    trans += 1
+        return trans, px, total
+
+    bt, bp, bs = region(band_rows)
+    rt, rp, rs = region(rest_rows)
+    return bt, bp, rt, rp, bs, rs
+
+
+def _watermark_values_sql() -> str:
+    """Independent scalar-loop statistics over the SHARED fixture; the
+    two-arm verdict is re-derived in SQL with the same exact
+    cross-multiplied int64 comparisons as watermark_expr's defaults."""
+    from lightcrawler_spark.imagecodec import decode_image
+
+    rows = []
+    for image_id, blob in _watermark_fixture_images():
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            rows.append(f"({image_id}, NULL, NULL, NULL, NULL, NULL, NULL)")
+            continue
+        bt, bp, rt, rp, bs, rs = _scalar_watermark_stats(arr)
+        rows.append(f"({image_id}, {bt}, {bp}, {rt}, {rp}, {bs}, {rs})")
+    return (
+        "SELECT CAST(image_id AS BIGINT) AS image_id,\n"
+        "       CAST(bt AS BIGINT) AS wm_band_trans,\n"
+        "       CAST(bp AS BIGINT) AS wm_band_px,\n"
+        "       CAST(rt AS BIGINT) AS wm_rest_trans,\n"
+        "       CAST(rp AS BIGINT) AS wm_rest_px,\n"
+        "       CAST(bs AS BIGINT) AS wm_band_sum,\n"
+        "       CAST(rs AS BIGINT) AS wm_rest_sum,\n"
+        "       CASE WHEN bp IS NULL THEN NULL\n"
+        "            ELSE rp > 0 AND (\n"
+        "              (bt * 100 > 8 * bp AND bt * rp > 3 * rt * bp)\n"
+        "              OR (bt * 100 <= 2 * bp\n"
+        "                  AND abs(bs * rp - rs * bp) > 48 * bp * rp)\n"
+        "            )\n"
+        "       END AS watermark_likely\n"
+        "FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(image_id, bt, bp, rt, rp, bs, rs)"
+    )
+
+
+def _rot_fixture_images() -> list:
+    """Shared fixture for the rot_invariant_hash contract: two
+    spectrum-rich seeded 24x32 'photographs', each with D4-transformed
+    re-posts (rot90, mirror, rot180 — pixels transformed, re-encoded
+    lossless, EXIF-free), plus corrupt and NULL blobs. The d4-min keys
+    of a variant group must coincide EXACTLY: {phash(T(S(img)))} over
+    T in D4 is the same SET as {phash(T(img))} by group closure, so
+    min-over-group is invariant no matter how the hash itself behaves
+    under rotation."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(
+            encode_image(np.ascontiguousarray(a).astype(np.uint8), "png")
+        )
+
+    base0 = np.random.default_rng(500).integers(0, 256, size=(24, 32, 3))
+    base1 = np.random.default_rng(501).integers(0, 256, size=(24, 32, 3))
+    return [
+        (0, enc(base0)),
+        (1, enc(np.rot90(base0))),          # 90 CCW re-post
+        (2, enc(base0[:, ::-1])),           # mirrored re-post
+        (3, enc(base1)),
+        (4, enc(base1[::-1, ::-1])),        # 180 re-post
+        (5, bytearray(b"notanimage")),
+        (6, None),
+    ]
+
+
+def q_rot_invariant_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation/flip-invariant dedup keys
+    (operators/images.py:with_rot_invariant_hashes): least signed-int64
+    phash64/dhash64 over the 8 dihedral transforms, making the key
+    identical for EXIF-stripped rotated/mirrored re-posts (ids 0-2 and
+    3-4 collapse to one key each — the invariance the plain hashes
+    lack). Oracle: per-transform hashes computed driver-side with
+    INDEPENDENT scalar index-formula transforms (not numpy slicing)
+    feeding the shared base-hash kernels (themselves pinned by the
+    image_dhash / image_dedup_clusters VALUES contracts), min re-derived
+    in SQL via LEAST over the 8 per-transform columns."""
+    from lightcrawler_spark.operators.images import with_rot_invariant_hashes
+
+    df = spark.createDataFrame(
+        _rot_fixture_images(), "image_id long, bytes binary"
+    )
+    return with_rot_invariant_hashes(df).select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("phash_d4").cast("long").alias("phash_d4"),
+        F.col("dhash_d4").cast("long").alias("dhash_d4"),
+    )
+
+
+def _scalar_d4_transforms(arr):
+    """The 8 dihedral transforms via explicit scalar index FORMULAS
+    (out[i][j] = in[...]) — deliberately not _ORIENT_OPS' numpy
+    slicing, so the oracle certifies the transform table independently.
+    Yields numpy arrays in EXIF-orientation order 1..8."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+
+    def build(oh, ow, f):
+        return np.array(
+            [[arr[f(i, j)] for j in range(ow)] for i in range(oh)],
+            dtype=np.uint8,
+        )
+
+    yield build(h, w, lambda i, j: (i, j))                    # 1
+    yield build(h, w, lambda i, j: (i, w - 1 - j))            # 2 mirror H
+    yield build(h, w, lambda i, j: (h - 1 - i, w - 1 - j))    # 3 rot180
+    yield build(h, w, lambda i, j: (h - 1 - i, j))            # 4 mirror V
+    yield build(w, h, lambda i, j: (j, i))                    # 5 transpose
+    yield build(w, h, lambda i, j: (h - 1 - j, i))            # 6 rot90 CW
+    yield build(w, h, lambda i, j: (h - 1 - j, w - 1 - i))    # 7 transverse
+    yield build(w, h, lambda i, j: (j, w - 1 - i))            # 8 rot270 CW
+
+
+def _rot_invariant_values_sql() -> str:
+    """Per-transform phash/dhash pairs over the SHARED fixture blobs
+    (independent scalar transforms + the VALUES-pinned base kernels);
+    the canonical d4-min is re-derived entirely in SQL."""
+    from lightcrawler_spark.imagecodec import decode_image, dhash64, phash64
+
+    rows = []
+    for image_id, blob in _rot_fixture_images():
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            rows.append(f"({image_id}, " + ", ".join(["NULL"] * 16) + ")")
+            continue
+        vals = []
+        for t in _scalar_d4_transforms(arr):
+            vals.append(str(phash64(t)))
+            vals.append(str(dhash64(t)))
+        rows.append(f"({image_id}, " + ", ".join(vals) + ")")
+    cols = ", ".join(f"p{k}, d{k}" for k in range(8))
+    pl = ", ".join(f"p{k}" for k in range(8))
+    dl = ", ".join(f"d{k}" for k in range(8))
+    return (
+        "SELECT CAST(image_id AS BIGINT) AS image_id,\n"
+        f"       CAST(LEAST({pl}) AS BIGINT) AS phash_d4,\n"
+        f"       CAST(LEAST({dl}) AS BIGINT) AS dhash_d4\n"
+        "FROM (VALUES\n" + ",\n".join(rows)
+        + f"\n) AS t(image_id, {cols})"
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6074,6 +6343,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_pipeline": q_privacy_pipeline,
         "corpus_datasheet": q_corpus_datasheet,
         "crawl_golden_revisit": q_crawl_golden_revisit,
+        "watermark_gate": q_watermark_gate,
+        "rot_invariant_hash": q_rot_invariant_hash,
     }
 
 
@@ -9702,6 +9973,8 @@ WHERE n_repeats > 0
         # (bit-array membership) — no ANSI-SQL equivalent → rows-only
         # checks (intentional); their FPR and exactness guarantees are
         # unit-tested instead (tests/test_operators.py).
+        "watermark_gate": _watermark_values_sql(),
+        "rot_invariant_hash": _rot_invariant_values_sql(),
         # psnr_verify: decoded-pixel PSNR over the Python image codec —
         # not SQL-expressible → rows-only; verdicts pinned value-exact
         # by tests/test_curation_images_r4b.py.

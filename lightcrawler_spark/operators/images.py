@@ -44,6 +44,9 @@ __all__ = [
     "low_information_expr",
     "with_text_overlay_stats",
     "text_overlay_expr",
+    "with_watermark_stats",
+    "watermark_expr",
+    "with_rot_invariant_hashes",
     "normalize_orientation",
     "resize_images",
     "letterbox_images",
@@ -1308,3 +1311,210 @@ def normalize_orientation(df: DataFrame, bytes_col: str = "bytes",
             yield pdf
 
     return df.mapInPandas(_orient, out_schema)
+
+
+# --- curation: watermark-band screen --------------------------------------
+
+
+# Band height fraction (denominator): the bottom 1/5 of the rows is the
+# overlay band — where stock-photo bars, site banners and watermark text
+# overwhelmingly live. Shared module constant so the VALUES oracle and
+# the kernel stay in lockstep by construction.
+_WM_BAND_DEN = 5
+
+_WM_SCHEMA = T.StructType(
+    [
+        T.StructField("wm_band_trans", T.LongType()),
+        T.StructField("wm_band_px", T.LongType()),
+        T.StructField("wm_rest_trans", T.LongType()),
+        T.StructField("wm_rest_px", T.LongType()),
+        T.StructField("wm_band_sum", T.LongType()),
+        T.StructField("wm_rest_sum", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_WM_SCHEMA)
+def watermark_stats_udf(data: pd.Series) -> pd.DataFrame:
+    """Watermark-band signals in one decode pass — the heuristic screen
+    for the two overlay archetypes a LAION-style image+caption corpus
+    must route away from caption supervision (the learned
+    watermark-classifier stand-in, honest about being a heuristic like
+    text_overlay_stats_udf; the CLIP gate and low-information gate are
+    its complements):
+
+    1. TEXT/LOGO overlays: the bottom band is transition-BUSY while the
+       rest of the image is smooth (sharp glyph edges concentrated in
+       the band).
+    2. SOLID BANNER strips: the bottom band is transition-SMOOTH but
+       its mean brightness jumps away from the rest (stock-site bars,
+       white/black strips).
+
+    All six signals are EXACT int64 accumulators over the exact 0..765
+    gray (R+G+B) — no float anywhere, so the VALUES oracle reproduces
+    them bit-for-bit with scalar loops:
+
+    - wm_band_trans / wm_rest_trans: horizontal transitions with
+      |Δgray| ≥ _TXT_DIFF_THRESH (the text-overlay screen's shared
+      constant) inside / outside the bottom band of
+      max(1, h // _WM_BAND_DEN) rows.
+    - wm_band_px / wm_rest_px: pixel counts of the two regions
+      (wm_rest_px = 0 when the band IS the image, h == band rows).
+    - wm_band_sum / wm_rest_sum: gray sums (for the cross-multiplied
+      mean-delta arm — never divided kernel-side).
+
+    Undecodable or NULL blobs emit all-null rows (sibling-UDF
+    convention); watermark_expr maps null stats to a NULL verdict.
+    """
+    bt, bp, rt, rp, bs, rs = [], [], [], [], [], []
+    for b in data:
+        if b is None:
+            bt.append(None); bp.append(None); rt.append(None)
+            rp.append(None); bs.append(None); rs.append(None)
+            continue
+        try:
+            arr = decode_image(bytes(b))
+        except Exception:
+            bt.append(None); bp.append(None); rt.append(None)
+            rp.append(None); bs.append(None); rs.append(None)
+            continue
+        h, w = arr.shape[0], arr.shape[1]
+        gray = arr.astype(np.int64).sum(axis=2)  # 0..765 exact
+        band_h = max(1, h // _WM_BAND_DEN)
+        band, rest = gray[h - band_h:], gray[: h - band_h]
+        if w >= 2:
+            band_t = int(
+                (np.abs(band[:, 1:] - band[:, :-1]) >= _TXT_DIFF_THRESH).sum()
+            )
+            rest_t = int(
+                (np.abs(rest[:, 1:] - rest[:, :-1]) >= _TXT_DIFF_THRESH).sum()
+            ) if rest.size else 0
+        else:
+            band_t = rest_t = 0
+        bt.append(band_t); rt.append(rest_t)
+        bp.append(int(band.size)); rp.append(int(rest.size))
+        bs.append(int(band.sum())); rs.append(int(rest.sum()) if rest.size else 0)
+    return pd.DataFrame(
+        {
+            "wm_band_trans": pd.array(bt, dtype="Int64"),
+            "wm_band_px": pd.array(bp, dtype="Int64"),
+            "wm_rest_trans": pd.array(rt, dtype="Int64"),
+            "wm_rest_px": pd.array(rp, dtype="Int64"),
+            "wm_band_sum": pd.array(bs, dtype="Int64"),
+            "wm_rest_sum": pd.array(rs, dtype="Int64"),
+        }
+    )
+
+
+def with_watermark_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Attach the watermark-band signals as six typed int64 columns —
+    one Arrow pass, row-local, no shuffle; the scan stays
+    partition-parallel at any corpus size."""
+    s = watermark_stats_udf(F.col(bytes_col))
+    return df.withColumn("_w", s).select("*", "_w.*").drop("_w")
+
+
+def watermark_expr(
+    busy_band_pct: int = 8,
+    trans_ratio: int = 3,
+    smooth_band_pct: int = 2,
+    mean_delta: int = 48,
+) -> Column:
+    """JVM-side watermark verdict over the attached band stats
+    (codegen'd; every comparison cross-multiplied int64 — no float ULP
+    at any boundary, so DuckDB re-derives it exactly):
+
+    - TEXT/LOGO arm: band transition fraction > busy_band_pct/100 AND
+      the band is > trans_ratio× busier than the rest
+      (band_trans/band_px > ratio · rest_trans/rest_px, cross-
+      multiplied; a zero-transition rest makes any busy band qualify).
+    - BANNER arm: band transition fraction ≤ smooth_band_pct/100 AND
+      |mean(band) − mean(rest)| > mean_delta gray units (of 765),
+      as |band_sum·rest_px − rest_sum·band_px| > delta·band_px·rest_px.
+
+    When the band is the whole image (wm_rest_px = 0) both arms are
+    vacuously false — a 1-row image has no "rest" to contrast against.
+    NULL stats (undecodable blob) → NULL verdict.
+
+    int64 overflow bound: gray sums are ≤ 765·px, so the banner arm's
+    products stay inside int64 for images up to ~10^8 px per region —
+    far past any training corpus's decode gate.
+    """
+    band_t, band_p = F.col("wm_band_trans"), F.col("wm_band_px")
+    rest_t, rest_p = F.col("wm_rest_trans"), F.col("wm_rest_px")
+    band_s, rest_s = F.col("wm_band_sum"), F.col("wm_rest_sum")
+    busy = (band_t * F.lit(100) > F.lit(int(busy_band_pct)) * band_p) & (
+        band_t * rest_p > F.lit(int(trans_ratio)) * rest_t * band_p
+    )
+    banner = (band_t * F.lit(100) <= F.lit(int(smooth_band_pct)) * band_p) & (
+        F.abs(band_s * rest_p - rest_s * band_p)
+        > F.lit(int(mean_delta)) * band_p * rest_p
+    )
+    return F.when(
+        band_p.isNull(), F.lit(None).cast("boolean")
+    ).otherwise((rest_p > F.lit(0)) & (busy | banner))
+
+
+# --- curation: rotation/flip-invariant dedup keys -------------------------
+
+
+_ROT_SCHEMA = T.StructType(
+    [
+        T.StructField("phash_d4", T.LongType()),
+        T.StructField("dhash_d4", T.LongType()),
+    ]
+)
+
+
+def with_rot_invariant_hashes(df: DataFrame,
+                              bytes_col: str = "bytes") -> DataFrame:
+    """Rotation/flip-INVARIANT perceptual dedup keys: min over the 8
+    dihedral transforms (the D4 group — exactly the EXIF orientation
+    table _ORIENT_OPS) of phash64 and dhash64.
+
+    normalize_orientation catches camera-rotated duplicates WHEN the
+    EXIF tag survived; social-media re-uploads strip EXIF, so a rotated
+    or mirrored re-post of the same photo phashes differently and
+    slips every hash-equality dedup pass. Hashing all 8 transforms and
+    keeping a canonical representative makes the key invariant under
+    the whole group: any two images equal up to rotation/mirror get
+    the SAME (phash_d4, dhash_d4) pair, at 8× the (cheap, row-local)
+    hash cost and zero extra decode cost — the decode dominates.
+
+    Canonical representative = LEAST SIGNED int64 of the 8 hashes — an
+    arbitrary-but-fixed convention (only equality matters for a dedup
+    key) chosen because both Spark's `least` and the oracle's SQL
+    LEAST compare signed int64 natively, no unsigned shim.
+
+    One Arrow pass, no shuffle. Undecodable/NULL blobs → null keys
+    (sibling-UDF convention). Group-by on the pair (or band over
+    phash_d4 like phash_near_dup_pairs for near-dup candidacy) exactly
+    as with the plain hashes.
+    """
+    out_schema = T.StructType(df.schema.fields + list(_ROT_SCHEMA.fields))
+    in_cols = df.schema.fieldNames()
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ph, dh = [], []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    ph.append(None); dh.append(None)
+                    continue
+                try:
+                    arr = decode_image(bytes(b))
+                except Exception:
+                    ph.append(None); dh.append(None)
+                    continue
+                phs, dhs = [], []
+                for op in _ORIENT_OPS.values():
+                    t = np.ascontiguousarray(op(arr))
+                    phs.append(phash64(t))
+                    dhs.append(dhash64(t))
+                ph.append(min(phs)); dh.append(min(dhs))
+            pdf = pdf[in_cols].copy()
+            pdf["phash_d4"] = pd.array(ph, dtype="Int64")
+            pdf["dhash_d4"] = pd.array(dh, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(_hash, out_schema)
