@@ -6177,6 +6177,46 @@ def _rot_invariant_values_sql() -> str:
     )
 
 
+def q_crawl_golden_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET revisits end-to-end (spec.conditional_get, RFC
+    9110 §13 over the P7 revisit path): revisit rows carry the last
+    committed page's validators (ETag → If-None-Match, Last-Modified →
+    If-Modified-Since), an unchanged page answers 304 Not Modified with
+    no body and no re-extraction, a validator-less page refetches in
+    full. Both validator arms fire in the fixture (statuses [200, 304]
+    for the ETag and Last-Modified pages, [200, 200] for the bare one).
+    Engine trace vs the reference-semantics simulator (VALUES-literal
+    oracle)."""
+    from lightcrawler_spark.fixtures import (
+        conditional_spec,
+        make_conditional_webgraph,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = conditional_spec()
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_conditional_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_conditional_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        conditional_spec,
+        make_conditional_webgraph,
+        simulate_reference_crawl,
+    )
+
+    golden = simulate_reference_crawl(
+        make_conditional_webgraph(), conditional_spec()
+    )
+    return _golden_values_sql(golden)
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6345,6 +6385,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_golden_revisit": q_crawl_golden_revisit,
         "watermark_gate": q_watermark_gate,
         "rot_invariant_hash": q_rot_invariant_hash,
+        "crawl_golden_conditional": q_crawl_golden_conditional,
     }
 
 
@@ -9975,6 +10016,7 @@ WHERE n_repeats > 0
         # unit-tested instead (tests/test_operators.py).
         "watermark_gate": _watermark_values_sql(),
         "rot_invariant_hash": _rot_invariant_values_sql(),
+        "crawl_golden_conditional": _golden_conditional_values_sql(),
         # psnr_verify: decoded-pixel PSNR over the Python image codec —
         # not SQL-expressible → rows-only; verdicts pinned value-exact
         # by tests/test_curation_images_r4b.py.

@@ -202,6 +202,14 @@ class CrawlSpec:
     revisit_url_rules: list[str] = field(default_factory=list)
     revisit_after_rounds: int = 2
     max_revisits: int = 1
+    # Conditional revalidation for revisits (RFC 9110 §13): revisit rows
+    # carry the LAST committed page's validators (ETag → If-None-Match,
+    # Last-Modified → If-Modified-Since, verbatim opaque strings); an
+    # unchanged page answers 304 Not Modified — no body transfer, no
+    # re-extraction, the recrawl-bandwidth saver every production
+    # revisit loop runs with. Off by default: the reference's fetcher
+    # sends no validators, so parity crawls must not either.
+    conditional_get: bool = False
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

@@ -106,7 +106,7 @@ HOST_S = "www.site-s.test"       # first-content host after redirects
 
 def _page_row(url, body: bytes | str, status=200, ctype="text/html",
               redirect_to=None, image_id=None, host=None, fail_times=0,
-              retry_after=None):
+              retry_after=None, etag=None, last_modified=None):
     if isinstance(body, str):
         body = body.encode("utf-8")
     return {
@@ -121,21 +121,32 @@ def _page_row(url, body: bytes | str, status=200, ctype="text/html",
         "fail_times": fail_times,
         # throttle fixtures (429/503): the server's Retry-After seconds
         "retry_after": retry_after,
+        # conditional-GET fixtures: validators the server would send
+        "etag": etag,
+        "last_modified": last_modified,
     }
 
 
 def webgraph_df(spark, pages: list[dict]):
-    """Fixture web rows → the SyntheticFetcher's webgraph DataFrame."""
+    """Fixture web rows → the SyntheticFetcher's webgraph DataFrame.
+    Validator columns (etag / last_modified) appear only when some page
+    declares one, so non-conditional fixture schemas are unchanged."""
+    extra = [
+        k for k in ("etag", "last_modified")
+        if any(p.get(k) is not None for p in pages)
+    ]
     return spark.createDataFrame(
         [
             (p["url"], p["host"], p["status"], p["content_type"],
              p["redirect_to"], bytearray(p["body"]), p["image_id"],
-             p["latency_ms"], p.get("fail_times", 0), p.get("retry_after"))
+             p["latency_ms"], p.get("fail_times", 0), p.get("retry_after"),
+             *[p.get(k) for k in extra])
             for p in pages
         ],
         "url string, host string, status int, content_type string, "
         "redirect_to string, body binary, image_id string, latency_ms int, "
-        "fail_times int, retry_after int",
+        "fail_times int, retry_after int"
+        + "".join(f", {k} string" for k in extra),
     )
 
 
@@ -544,6 +555,51 @@ def revisit_spec(**kw) -> CrawlSpec:
     )
 
 
+HOST_CG = "www.site-cg.test"
+_CG_ROOT = f"http://{HOST_CG}"
+
+
+def make_conditional_webgraph() -> list[dict]:
+    """Conditional-GET fixture: three revisit-matching /list/ pages —
+    one with an ETag (revisit answers 304 via If-None-Match), one with
+    only Last-Modified (304 via If-Modified-Since), one with neither
+    (every revisit is a full 200 refetch) — plus a detail page outside
+    the revisit rule."""
+    r = _CG_ROOT
+    return [
+        _page_row(
+            r,
+            "<html><a href='/list/a.htm'>a</a>"
+            "<a href='/list/b.htm'>b</a>"
+            "<a href='/list/c.htm'>c</a></html>",
+        ),
+        _page_row(
+            f"{r}/list/a.htm",
+            "<html><a href='/d1.htm'>one</a></html>",
+            etag='"v1"',
+        ),
+        _page_row(f"{r}/list/b.htm", "<html>no validators</html>"),
+        _page_row(
+            f"{r}/list/c.htm",
+            "<html>lm only</html>",
+            last_modified="Mon, 01 Jan 2024 00:00:00 GMT",
+        ),
+        _page_row(f"{r}/d1.htm", "<html>d1</html>"),
+    ]
+
+
+def conditional_spec(**kw) -> CrawlSpec:
+    kw.setdefault("conditional_get", True)
+    return CrawlSpec(
+        seeds=[_CG_ROOT],
+        max_depth=3,
+        revisit_url_rules=[r"#/list/# i"],
+        revisit_after_rounds=2,
+        max_revisits=1,
+        **kw,
+    )
+
+
 def simulate_reference_crawl(
     webgraph: list[dict],
     spec: CrawlSpec,
@@ -847,6 +903,18 @@ def simulate_reference_crawl(
         # first fail_times attempts error out; retry also on status
         # >400/<100; unknown URL == connection error (status 0)
         raw_status = p["status"] if p else 0
+        # conditional revalidation mirror (SyntheticFetcher not_mod):
+        # a validator match on a would-be-2xx page answers 304 with no
+        # body; If-None-Match takes precedence over If-Modified-Since
+        if spec.conditional_get and p and 200 <= raw_status <= 299:
+            inm = nxt.get("if_none_match")
+            ims = nxt.get("if_modified_since")
+            if inm is not None and p.get("etag") is not None:
+                if inm == p["etag"]:
+                    raw_status = 304
+            elif ims is not None and p.get("last_modified") is not None:
+                if ims == p["last_modified"]:
+                    raw_status = 304
         fail_times = (p.get("fail_times", 0) if p else 0) or 0
         exhausted = fail_times >= spec.retry_limit
         status = 0 if exhausted else raw_status
@@ -945,7 +1013,7 @@ def simulate_reference_crawl(
             return
         h = fetch_hist.get(nxt["url_md5"])
         if h is None:
-            fetch_hist[nxt["url_md5"]] = {
+            h = fetch_hist[nxt["url_md5"]] = {
                 "row": {
                     k: nxt[k]
                     for k in ("url", "url_md5", "host", "depth",
@@ -957,6 +1025,14 @@ def simulate_reference_crawl(
         else:
             h["n"] += 1
             h["last"] = round_idx
+        if spec.conditional_get:
+            # the engine takes max_by(validator, seq) over the pages —
+            # i.e. the LATEST fetch's harvest, nulls overwriting too
+            # (exhausted fetches emit null validators)
+            p = web.get(nxt["url"])
+            dead = ((p.get("fail_times", 0) if p else 0) or 0) >= spec.retry_limit
+            h["etag"] = p.get("etag") if p and not dead else None
+            h["lm"] = p.get("last_modified") if p and not dead else None
 
     round_idx = 1  # engine rounds start at 1 (round 0 = seeding)
     while seq < max_pops and round_idx < 100_000:
@@ -967,14 +1043,15 @@ def simulate_reference_crawl(
                     h["n"] <= spec.max_revisits
                     and round_idx - h["last"] >= spec.revisit_after_rounds
                 ):
-                    pending.append(
-                        dict(
-                            h["row"],
-                            insert_seq=(1 << 61)
-                            + h["row"]["insert_seq"],
-                            done=False,
-                        )
+                    row = dict(
+                        h["row"],
+                        insert_seq=(1 << 61) + h["row"]["insert_seq"],
+                        done=False,
                     )
+                    if spec.conditional_get:
+                        row["if_none_match"] = h.get("etag")
+                        row["if_modified_since"] = h.get("lm")
+                    pending.append(row)
         if not pending:
             if revisit_rules and any(
                 h["n"] <= spec.max_revisits for h in fetch_hist.values()

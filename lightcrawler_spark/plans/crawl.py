@@ -115,6 +115,10 @@ PAGES_COLS = [
     "seq", "url", "url_md5", "host", "depth", "referer", "priority_level",
     "status", "content_type", "body", "body_text", "bytes_received",
     "latency_ms", "n_attempts", "benchmarks", "fetch_rank", "retry_after",
+    # conditional-revalidation validators harvested from the response
+    # (opaque strings; feed the next revisit's If-None-Match /
+    # If-Modified-Since when spec.conditional_get)
+    "etag", "last_modified",
     # frontier-insert lineage: drives the per-host claimed-watermark
     # pending fast path (see _run_round) and lets any page row be traced
     # back to the exact frontier insertion that produced it
@@ -570,6 +574,11 @@ class CrawlEngine:
                              "priority_level", "insert_seq"),
                     "seq",
                 ).alias("_row"),
+                # conditional_get: the LAST response's validators (a 304
+                # repeats the ETag, so max_by-seq always tracks the
+                # server's current validator)
+                F.max_by("etag", "seq").alias("_etag"),
+                F.max_by("last_modified", "seq").alias("_lm"),
             )
         )
         elig = hist.filter(
@@ -588,6 +597,8 @@ class CrawlEngine:
             F.lit(False).alias("is_redirect"),
             F.col("_row.priority_level").alias("priority_level"),
             (F.lit(1 << 61) + F.col("_row.insert_seq")).alias("insert_seq"),
+            F.col("_etag").alias("if_none_match"),
+            F.col("_lm").alias("if_modified_since"),
         )
 
     def _future_revisits(self, r: int) -> bool:
@@ -683,9 +694,18 @@ class CrawlEngine:
         if spec.revisit_url_rules and claimed is not None:
             # P7 revisits join the pending set BEFORE the politeness
             # dims (cooldown/backoff/budgets gate them like any row)
-            pending = pending.unionByName(
-                self._revisit_candidates(claimed, r)
-            )
+            cands = self._revisit_candidates(claimed, r)
+            if spec.conditional_get:
+                # fresh rows carry null validators; the fetcher sends
+                # If-None-Match / If-Modified-Since only on revisits
+                pending = pending.withColumn(
+                    "if_none_match", F.lit(None).cast("string")
+                ).withColumn(
+                    "if_modified_since", F.lit(None).cast("string")
+                )
+            else:
+                cands = cands.drop("if_none_match", "if_modified_since")
+            pending = pending.unionByName(cands)
         pending_before_cooldown = pending
         if spec.host_delay_rounds > 0:
             # P8 cross-round cooldown: hosts fetched within the last
@@ -1096,6 +1116,9 @@ class CrawlEngine:
         )
         if "retry_after" not in pages.columns:  # fetcher without throttle surface
             pages = pages.withColumn("retry_after", F.lit(None).cast("int"))
+        for vc in ("etag", "last_modified"):  # no conditional surface
+            if vc not in pages.columns:
+                pages = pages.withColumn(vc, F.lit(None).cast("string"))
         pages = pages.select(*PAGES_COLS)
         self.store.write("pages", r, pages)
 

@@ -216,6 +216,13 @@ class SyntheticFetcher:
         self._has_cookie_gate = "requires_cookie" in webgraph_df.columns
         if self._has_cookie_gate:
             cols.append("requires_cookie")
+        # conditional revalidation fixtures: the page's validators
+        # (served as ETag / Last-Modified response headers)
+        for vc, alias in (("etag", "_w_etag"), ("last_modified", "_w_lm")):
+            if vc in webgraph_df.columns:
+                cols.append(F.col(vc).alias(alias))
+            else:
+                cols.append(F.lit(None).cast("string").alias(alias))
         # fixture webs are small by construction — broadcast so each
         # round's fetch is shuffle-free on the work side. Do NOT wrap the
         # local-rows scan in coalesce(1): BroadcastExchange over a bare
@@ -229,12 +236,14 @@ class SyntheticFetcher:
         # columns — build the Column trees ONCE per fetcher, not once per
         # round: the engine loop calls fetch() every round, and rebuilding
         # ~100 expression nodes is thousands of py4j round-trips that
-        # dominate driver time at fixture scale (keyed by whether the
-        # work list carries a cookie_header column)
-        self._out_exprs: dict[bool, dict] = {}
+        # dominate driver time at fixture scale (keyed by which optional
+        # work-list columns exist: cookie_header, validators)
+        self._out_exprs: dict[tuple, dict] = {}
 
-    def _output_exprs(self, has_cookie_header: bool) -> dict:
-        cached = self._out_exprs.get(has_cookie_header)
+    def _output_exprs(self, has_cookie_header: bool,
+                      has_validators: bool) -> dict:
+        key = (has_cookie_header, has_validators)
+        cached = self._out_exprs.get(key)
         if cached is not None:
             return cached
         spec = self.spec
@@ -267,6 +276,24 @@ class SyntheticFetcher:
             body = F.when(~gate_fail, body)
             set_cookies = F.when(~gate_fail, set_cookies)
             redirect = F.when(~gate_fail, redirect)
+        not_mod = F.lit(False)
+        if has_validators:
+            # RFC 9110 §13.1: If-None-Match takes precedence over
+            # If-Modified-Since; a validator match on a would-be-2xx
+            # page answers 304 Not Modified with no body
+            inm = F.col("if_none_match")
+            ims = F.col("if_modified_since")
+            etag_match = F.when(
+                inm.isNotNull() & F.col("_w_etag").isNotNull(),
+                inm == F.col("_w_etag"),
+            ).otherwise(
+                ims.isNotNull() & F.col("_w_lm").isNotNull()
+                & (ims == F.col("_w_lm"))
+            )
+            not_mod = raw_status.between(200, 299) & etag_match
+            raw_status = F.when(not_mod, F.lit(304)).otherwise(raw_status)
+            body = F.when(~not_mod, body)
+            redirect = F.when(~not_mod, redirect)
         fail_times = F.coalesce(F.col("fail_times"), F.lit(0))
         exhausted = fail_times >= F.lit(spec.retry_limit)
         status = F.when(exhausted, F.lit(0)).otherwise(raw_status)
@@ -308,14 +335,21 @@ class SyntheticFetcher:
             "retry_after": F.when(
                 status.isin(429, 503), F.col("retry_after")
             ).cast("int"),
+            "etag": F.when(~exhausted, F.col("_w_etag")),
+            "last_modified": F.when(~exhausted, F.col("_w_lm")),
         }
-        self._out_exprs[has_cookie_header] = exprs
+        self._out_exprs[key] = exprs
         return exprs
 
     def fetch(self, work: DataFrame) -> DataFrame:
-        exprs = self._output_exprs("cookie_header" in work.columns)
+        exprs = self._output_exprs(
+            "cookie_header" in work.columns,
+            "if_none_match" in work.columns,
+        )
         joined = work.join(self.web, self._join_cond, "left")
-        out = joined.withColumns(exprs).drop("_w_url", "fail_times")
+        out = joined.withColumns(exprs).drop(
+            "_w_url", "fail_times", "_w_etag", "_w_lm"
+        )
         if self._has_cookie_gate:
             out = out.drop("requires_cookie")
         return out
@@ -341,6 +375,7 @@ class HttpFetcher:
         has_cookies = "cookie_header" in work.columns
         has_post = "post_data" in work.columns
         has_auth = "auth" in work.columns
+        has_validators = "if_none_match" in work.columns
 
         out_schema = T.StructType(
             work.schema.fields
@@ -360,6 +395,11 @@ class HttpFetcher:
                 # adaptive backoff: Retry-After seconds from a 429/503
                 # response (delta-seconds form; HTTP-date form → null)
                 T.StructField("retry_after", T.IntegerType()),
+                # conditional-revalidation harvest: the response's ETag /
+                # Last-Modified verbatim (opaque validators, RFC 9110
+                # §8.8 — never parsed, echoed back on the next revisit)
+                T.StructField("etag", T.StringType()),
+                T.StructField("last_modified", T.StringType()),
             ]
         )
 
@@ -411,10 +451,15 @@ class HttpFetcher:
                     return url
                 return m.group(1) + prepare_http_request_query(m.group(2))
 
-            def _attempt(url, cookie, post_data, auth):
+            def _attempt(url, cookie, post_data, auth, inm=None, ims=None):
                 headers = {"User-Agent": spec.user_agent}
                 if cookie:
                     headers["Cookie"] = cookie  # P12 (PHPCrawler:718-719)
+                if inm:
+                    # RFC 9110 §13.1.2: echo the stored ETag verbatim
+                    headers["If-None-Match"] = inm
+                if ims:
+                    headers["If-Modified-Since"] = ims
                 if auth:
                     # P13 basic auth (PHPCrawler:722-727)
                     headers["Authorization"] = "Basic " + base64.b64encode(
@@ -434,7 +479,8 @@ class HttpFetcher:
                 except urllib.error.HTTPError as e:
                     resp = e  # 3xx/4xx/5xx: the error IS the response
                 except Exception:
-                    return 0, None, None, None, {}, None, None  # connection error
+                    # connection error
+                    return 0, None, None, None, {}, None, None, None, None
                 # A3: request → headers-in is the server-response timer
                 t_resp = time.perf_counter()
                 with resp:
@@ -448,10 +494,17 @@ class HttpFetcher:
                         ra = (resp.headers.get("Retry-After") or "").strip()
                         if ra.isdigit():
                             retry_after = int(ra)
+                    etag = resp.headers.get("ETag")
+                    last_mod = resp.headers.get("Last-Modified")
                     body = None
                     t_read0 = time.perf_counter()
-                    if ctype and any(rx.search(ctype) for rx in compiled):
-                        # F10: only receive gated bodies
+                    if (
+                        status != 304
+                        and ctype
+                        and any(rx.search(ctype) for rx in compiled)
+                    ):
+                        # F10: only receive gated bodies (a 304 carries
+                        # none by definition — don't block on a read)
                         body = resp.read()
                     t_read = time.perf_counter() - t_read0
                 bench = {
@@ -460,31 +513,44 @@ class HttpFetcher:
                     # the prefill analog)
                     "data_transfer_ms": round(t_read * 1000, 3),
                 }
-                return status, ctype, redirect, body, bench, set_cookies, retry_after
+                return (status, ctype, redirect, body, bench, set_cookies,
+                        retry_after, etag, last_mod)
 
             for pdf in batches:
                 rows = {
                     "status": [], "content_type": [], "redirect_to": [],
                     "body": [], "latency_ms": [], "n_attempts": [],
                     "benchmarks": [], "set_cookies": [], "retry_after": [],
+                    "etag": [], "last_modified": [],
                 }
                 cookies = pdf["cookie_header"] if has_cookies else [None] * len(pdf)
                 posts = pdf["post_data"] if has_post else [None] * len(pdf)
                 auths = pdf["auth"] if has_auth else [None] * len(pdf)
-                for url, cookie, post_data, auth in zip(
-                    pdf["url"], cookies, posts, auths
+                inms = (
+                    pdf["if_none_match"] if has_validators
+                    else [None] * len(pdf)
+                )
+                imss = (
+                    pdf["if_modified_since"] if has_validators
+                    else [None] * len(pdf)
+                )
+                for url, cookie, post_data, auth, inm, ims in zip(
+                    pdf["url"], cookies, posts, auths, inms, imss
                 ):
                     t0 = time.perf_counter()
-                    status, ctype, redirect, body, bench, set_ck, r_after = (
-                        0, None, None, None, {}, None, None,
+                    (status, ctype, redirect, body, bench, set_ck, r_after,
+                     etag, last_mod) = (
+                        0, None, None, None, {}, None, None, None, None,
                     )
                     attempts = 0
                     # P9 inline retry (PHPCrawler.class.php:735-751):
-                    # retry on error or status >400 / <100
+                    # retry on error or status >400 / <100 (304 is a
+                    # success: it terminates the loop like any 3xx)
                     for _ in range(spec.retry_limit):
                         attempts += 1
                         (status, ctype, redirect, body, bench, set_ck,
-                         r_after) = _attempt(url, cookie, post_data, auth)
+                         r_after, etag, last_mod) = _attempt(
+                            url, cookie, post_data, auth, inm, ims)
                         if 100 <= status <= 400:
                             break
                     rows["status"].append(status)
@@ -498,6 +564,8 @@ class HttpFetcher:
                     rows["benchmarks"].append(bench)
                     rows["set_cookies"].append(set_ck)
                     rows["retry_after"].append(r_after)
+                    rows["etag"].append(etag)
+                    rows["last_modified"].append(last_mod)
                 yield pd.concat(
                     [pdf.reset_index(drop=True), pd.DataFrame(rows)], axis=1
                 )

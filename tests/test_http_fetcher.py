@@ -88,6 +88,28 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/versioned":
+            # conditional GET: ETag + Last-Modified on 200; a matching
+            # If-None-Match (or, absent that, If-Modified-Since) → 304
+            etag = '"v7"'
+            lm = "Mon, 01 Jan 2024 00:00:00 GMT"
+            inm = self.headers.get("If-None-Match")
+            ims = self.headers.get("If-Modified-Since")
+            not_mod = (inm == etag) if inm is not None else (ims == lm)
+            if not_mod:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.send_header("Last-Modified", lm)
+                self.end_headers()
+            else:
+                body = b"<html><body>version seven</body></html>"
+                self.send_response(200)
+                self.send_header("ETag", etag)
+                self.send_header("Last-Modified", lm)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
         else:
             self._respond(404, b"nope")
 
@@ -363,3 +385,34 @@ def test_gzip_vectors():
     assert decode_gzip_content(payload) == b"hello world"
     # corrupt input returns input unchanged (PHP gzinflate → false path)
     assert decode_gzip_content(b"\x1f\x8b\x08 garbage") == b"\x1f\x8b\x08 garbage"
+
+
+def test_conditional_get_live(spark, server):
+    # validator round-trip against a real server: harvest on 200, 304 on
+    # a matching If-None-Match / If-Modified-Since, full refetch on a
+    # stale validator (RFC 9110 §13)
+    url = f"{server}/versioned"
+    schema = "url string, if_none_match string, if_modified_since string"
+    first = _fetch(spark, server, [(url, None, None)], schema)[url]
+    assert first["status"] == 200
+    assert first["etag"] == '"v7"'
+    assert first["last_modified"] == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert first["body"] is not None
+
+    spec_rows = [
+        (url, first["etag"], None),
+    ]
+    hit = _fetch(spark, server, spec_rows, schema)[url]
+    assert hit["status"] == 304
+    assert hit["body"] is None and hit["received"] is False
+    assert hit["bytes_received"] == 0
+    assert hit["n_attempts"] == 1          # 304 terminates the retry loop
+    assert hit["etag"] == '"v7"'           # server repeats the validator
+
+    lm_hit = _fetch(
+        spark, server, [(url, None, first["last_modified"])], schema
+    )[url]
+    assert lm_hit["status"] == 304
+
+    stale = _fetch(spark, server, [(url, '"old"', None)], schema)[url]
+    assert stale["status"] == 200 and stale["body"] is not None
