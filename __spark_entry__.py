@@ -6217,6 +6217,69 @@ def _golden_conditional_values_sql() -> str:
     return _golden_values_sql(golden)
 
 
+def q_byte_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth-politeness budget dim (operators/scheduler.py:
+    byte_budgets): per-host (n, sum_bytes) sufficient statistics over a
+    synthetic pages projection of the documents table (one host per
+    source, every 7th row a 0-byte failure), then budget =
+    clamp(floor(byte_budget·n / sum_bytes), 1, max) in EXACT int64 —
+    the bytes analog of latency_budgets. Oracle re-derives the
+    aggregate and the integer-division clamp relationally."""
+    from lightcrawler_spark.operators.scheduler import byte_budgets
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(0))
+        .otherwise(F.length("text")).cast("long").alias("bytes_received"),
+    )
+    return byte_budgets(
+        pages, byte_budget=50_000, default_budget=8, max_budget=8
+    ).select(
+        "host",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("sum_bytes").cast("long").alias("sum_bytes"),
+        F.col("host_budget").cast("long").alias("host_budget"),
+    )
+
+
+def q_crawl_golden_bytebudget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth politeness end-to-end (spec.host_byte_budget): the
+    heavy host's observed ~2 KB mean page size collapses its per-round
+    budget to 1 (3000·n // sum) while the light host keeps the full
+    budget — engine trace vs the reference-semantics simulator
+    (VALUES-literal oracle)."""
+    from lightcrawler_spark.fixtures import (
+        bytebudget_spec,
+        make_bytebudget_webgraph,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = bytebudget_spec()
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_bytebudget_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_bytebudget_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        bytebudget_spec,
+        make_bytebudget_webgraph,
+        simulate_reference_crawl,
+    )
+
+    golden = simulate_reference_crawl(
+        make_bytebudget_webgraph(), bytebudget_spec()
+    )
+    return _golden_values_sql(golden)
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6386,6 +6449,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_gate": q_watermark_gate,
         "rot_invariant_hash": q_rot_invariant_hash,
         "crawl_golden_conditional": q_crawl_golden_conditional,
+        "byte_budgets": q_byte_budgets,
+        "crawl_golden_bytebudget": q_crawl_golden_bytebudget,
     }
 
 
@@ -10017,6 +10082,25 @@ WHERE n_repeats > 0
         "watermark_gate": _watermark_values_sql(),
         "rot_invariant_hash": _rot_invariant_values_sql(),
         "crawl_golden_conditional": _golden_conditional_values_sql(),
+        "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
+        "byte_budgets": """
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+         CASE WHEN doc_id % 7 = 0 THEN 0
+              ELSE length(text) END AS bytes_received
+  FROM documents WHERE doc_id < 400
+),
+stats AS (
+  SELECT host, COUNT(*)::BIGINT AS n_obs,
+         SUM(bytes_received)::BIGINT AS sum_bytes
+  FROM pages GROUP BY host
+)
+SELECT host, n_obs, sum_bytes,
+  CASE WHEN sum_bytes > 0
+       THEN LEAST(8, GREATEST(1, (50000 * n_obs) // sum_bytes))
+       ELSE 8 END::BIGINT AS host_budget
+FROM stats
+""",
         # psnr_verify: decoded-pixel PSNR over the Python image codec —
         # not SQL-expressible → rows-only; verdicts pinned value-exact
         # by tests/test_curation_images_r4b.py.

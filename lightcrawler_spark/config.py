@@ -210,6 +210,11 @@ class CrawlSpec:
     # revisit loop runs with. Off by default: the reference's fetcher
     # sends no validators, so parity crawls must not either.
     conditional_get: bool = False
+    # P8 bandwidth politeness: target bytes per host per round (0 =
+    # off). Converted to a per-host COUNT budget from the host's
+    # observed mean page size (scheduler.byte_budgets) and MIN-combined
+    # with every other budget dim. Requires per_host_politeness.
+    host_byte_budget: int = 0
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

@@ -588,6 +588,42 @@ def make_conditional_webgraph() -> list[dict]:
     ]
 
 
+HOST_BB_BIG = "big.site-bb.test"
+HOST_BB_SMALL = "small.site-bb.test"
+
+
+def make_bytebudget_webgraph() -> list[dict]:
+    """Bandwidth-politeness fixture: a heavy host (≈2 KB pages) and a
+    light host (≈40 B pages), each a root linking five details. With
+    host_byte_budget=3000 the heavy host's budget collapses to 1/round
+    after the first observation while the light host keeps the full
+    per-host budget."""
+    pages = []
+    for host, pad in ((HOST_BB_BIG, 2000), (HOST_BB_SMALL, 8)):
+        root = f"http://{host}"
+        links = "".join(
+            f"<a href='/d{i}.htm'>d{i}</a>" for i in range(5)
+        )
+        pages.append(_page_row(root, f"<html>{links}</html>"))
+        for i in range(5):
+            body = "<html>" + ("x" * pad) + f"d{i}</html>"
+            pages.append(_page_row(f"{root}/d{i}.htm", body))
+    return pages
+
+
+def bytebudget_spec(**kw) -> CrawlSpec:
+    kw.setdefault("host_byte_budget", 3000)
+    return CrawlSpec(
+        seeds=[f"http://{HOST_BB_BIG}", f"http://{HOST_BB_SMALL}"],
+        follow_mode=0,  # two seed hosts in one crawl
+        max_depth=2,
+        per_host_politeness=True,
+        crawl_delay_s=5.0,
+        round_duration_s=15.0,  # per-host budget 3
+        **kw,
+    )
+
+
 def conditional_spec(**kw) -> CrawlSpec:
     kw.setdefault("conditional_get", True)
     return CrawlSpec(
@@ -862,6 +898,15 @@ def simulate_reference_crawl(
     # latency arrives — mirroring SQL sum() over all-null groups, where
     # the engine falls back to the default budget.
     lat_stats: dict[str, list] = {}
+    # host_byte_budget state: host -> [n_pops, sum_received_bytes],
+    # updated per pop (the engine counts ALL pages rows; failures
+    # contribute 0 bytes), consumed at NEXT round's batch selection —
+    # the engine derives its dim from pages persisted up to r-1
+    byte_stats: dict[str, list] = {}
+    recv_rules_std = [
+        _re.compile(php_regex_to_std(x))
+        for x in spec.content_type_receive_rules
+    ]
 
     def _effective_budget(host: str) -> int:
         b = host_budgets.get(host, spec.budget_per_round)
@@ -875,6 +920,16 @@ def simulate_reference_crawl(
             else:
                 ab = spec.budget_per_round
             b = min(b, ab)
+        if spec.host_byte_budget > 0 and host in byte_stats:
+            n, sb = byte_stats[host]
+            if sb > 0:
+                cap = min(
+                    spec.budget_per_round,
+                    max(1, (spec.host_byte_budget * n) // sb),
+                )
+            else:
+                cap = spec.budget_per_round
+            b = min(b, cap)
         return b
     # retry_after_backoff state: host -> (throttle_round, retry_after|None),
     # keeping the LATEST throttled round (ties: larger retry_after) —
@@ -943,6 +998,18 @@ def simulate_reference_crawl(
                 prev[0], -1 if prev[1] is None else prev[1]
             ):
                 throttled_hosts[nxt["host"]] = cand
+        if spec.host_byte_budget > 0:
+            ct = (p["content_type"] or "") if p else ""
+            received = (
+                not exhausted and p is not None and 200 <= status <= 299
+                and any(rx.search(ct) for rx in recv_rules_std)
+            )
+            nbytes = (
+                len(p["body"]) if received and p["body"] is not None else 0
+            )
+            st = byte_stats.setdefault(nxt["host"], [0, 0])
+            st[0] += 1
+            st[1] += nbytes
         if p is None or exhausted:
             return
         # body only when received (status 2xx + html), like the engine's

@@ -451,6 +451,51 @@ def latency_budgets(
     )
 
 
+def byte_budgets(
+    pages: DataFrame,
+    byte_budget: int,
+    default_budget: int,
+    max_budget: int | None = None,
+    host_col: str = "host",
+    bytes_col: str = "bytes_received",
+) -> DataFrame:
+    """Bandwidth politeness (P8 extension): cap the next round's
+    per-host COUNT budget so the round's expected transfer from each
+    host stays near ``byte_budget`` bytes, using the host's OBSERVED
+    mean page size — the bytes analog of latency_budgets, for servers
+    whose cost is bandwidth rather than request handling (media mirrors,
+    archive hosts). The reference has a global traffic limit only
+    (ABORTREASON_TRAFFICLIMIT, PHPCrawler.class.php docblocks); a
+    per-host rate exists nowhere in it.
+
+    budget = clamp(floor(byte_budget * n_obs / sum_bytes), 1,
+    max_budget) — EXACT int64 arithmetic on the (n, sum) sufficient
+    statistics (n counts ALL fetches, failed ones contributing 0 bytes,
+    so error-prone hosts aren't over-throttled by a high observed
+    mean). Hosts with no received bytes yet keep ``default_budget``.
+
+    Scale shape: one map-side-combining groupBy(host) over the pages
+    scan; the result is a per-host dim meant to broadcast into
+    pop_per_host, MIN-combined with the Crawl-delay / latency /
+    apportionment dims so the most conservative signal wins.
+    """
+    stats = pages.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(bytes_col).cast("long")).alias("sum_bytes"),
+    )
+    raw = F.expr(
+        f"(CAST({int(byte_budget)} AS BIGINT) * n_obs) DIV sum_bytes"
+    )
+    b = F.greatest(F.lit(1).cast("long"), raw)
+    if max_budget is not None:
+        b = F.least(F.lit(int(max_budget)).cast("long"), b)
+    return stats.withColumn(
+        "host_budget",
+        F.when(F.col("sum_bytes") > 0, b)
+        .otherwise(F.lit(int(default_budget)).cast("long")),
+    )
+
+
 def frontier_age_report(frontier: DataFrame, current_round: int,
                         priority_col: str = "priority_level",
                         round_col: str = "round") -> DataFrame:

@@ -765,6 +765,25 @@ class CrawlEngine:
                 .groupBy("host")
                 .agg(F.min("host_budget").alias("host_budget"))
             )
+        if (spec.host_byte_budget > 0 and spec.per_host_politeness
+                and claimed is not None):
+            # bandwidth politeness: observed mean page size converts the
+            # per-host byte target to a count budget — same persisted-
+            # stats shape as the latency dim (resume-safe for free)
+            bb = scheduler.byte_budgets(
+                claimed, spec.host_byte_budget,
+                default_budget=spec.budget_per_round,
+                max_budget=spec.budget_per_round,
+            ).select(
+                "host",
+                F.col("host_budget").cast("int").alias("host_budget"),
+            )
+            host_budgets = (
+                bb if host_budgets is None
+                else host_budgets.unionByName(bb)
+                .groupBy("host")
+                .agg(F.min("host_budget").alias("host_budget"))
+            )
         if spec.apportion_round_budget > 0 and spec.per_host_politeness:
             # Hamilton apportionment of a GLOBAL round budget across
             # hosts proportional to pending frontier size (P8 extension;
