@@ -6280,6 +6280,112 @@ def _golden_bytebudget_values_sql() -> str:
     return _golden_values_sql(golden)
 
 
+def _rot_dedup_fixture() -> list:
+    """Shared fixture for the rot_dedup_pipeline contract: group A =
+    base + rot90 + mirror re-posts (longest caption on the rot90 copy),
+    group B = base + rot180 with EQUAL-length captions (tie → lowest
+    id), one singleton, one corrupt blob, one NULL blob. Returns
+    (image_id, blob, caption)."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(
+            encode_image(np.ascontiguousarray(a).astype(np.uint8), "png")
+        )
+
+    base0 = np.random.default_rng(500).integers(0, 256, size=(24, 32, 3))
+    base1 = np.random.default_rng(501).integers(0, 256, size=(24, 32, 3))
+    single = np.random.default_rng(502).integers(0, 256, size=(24, 32, 3))
+    return [
+        (0, enc(base0), "short"),
+        (1, enc(np.rot90(base0)), "a much longer descriptive caption"),
+        (2, enc(base0[:, ::-1]), "mid caption"),
+        (3, enc(base1), "caption x"),
+        (4, enc(base1[::-1, ::-1]), "caption y"),
+        (5, enc(single), None),
+        (6, bytearray(b"notanimage"), "corrupt"),
+        (7, None, "null blob"),
+    ]
+
+
+def q_rot_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rot/mirror-invariant dedup with keep-best-caption
+    canonicalization (operators/images.py:rot_invariant_dedup): d4-min
+    key pair → exact groupBy → longest-caption representative (ties to
+    lowest id) via one max_by partial aggregate, corrupt/NULL blobs
+    routed as singletons. Fixture: ids 0-2 collapse to one group (rep =
+    1, longest caption), ids 3-4 tie on length (rep = 3), 5 is a
+    NULL-captioned singleton kept, 6/7 are corrupt/NULL singletons
+    kept. Oracle: independent scalar transforms + VALUES per-transform
+    hashes, key/group/argmax re-derived relationally."""
+    from lightcrawler_spark.operators.images import rot_invariant_dedup
+
+    df = spark.createDataFrame(
+        _rot_dedup_fixture(), "image_id long, bytes binary, caption string"
+    )
+    return rot_invariant_dedup(df).select(
+        F.col("image_id").cast("long").alias("image_id"),
+        "dup_key",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "is_kept",
+        "caption",
+    )
+
+
+def _rot_dedup_values_sql() -> str:
+    """Per-transform hashes over the SHARED fixture blobs (independent
+    scalar index-formula transforms + the VALUES-pinned base kernels);
+    dup_key, group size, longest-caption argmax and keep flags are all
+    re-derived relationally in SQL."""
+    from lightcrawler_spark.imagecodec import decode_image, dhash64, phash64
+
+    rows = []
+    for image_id, blob, caption in _rot_dedup_fixture():
+        cap = "NULL" if caption is None else "'" + caption + "'"
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            rows.append(
+                f"({image_id}, {cap}, " + ", ".join(["NULL"] * 16) + ")"
+            )
+            continue
+        vals = []
+        for t in _scalar_d4_transforms(arr):
+            vals.append(str(phash64(t)))
+            vals.append(str(dhash64(t)))
+        rows.append(f"({image_id}, {cap}, " + ", ".join(vals) + ")")
+    cols = ", ".join(f"p{k}, d{k}" for k in range(8))
+    pl = ", ".join(f"p{k}" for k in range(8))
+    dl = ", ".join(f"d{k}" for k in range(8))
+    return f"""
+WITH t(image_id, caption, {cols}) AS (VALUES
+{",".join(rows)}
+),
+keyed AS (
+  SELECT image_id, caption,
+    CASE WHEN LEAST({pl}) IS NULL
+         THEN 's:' || CAST(image_id AS VARCHAR)
+         ELSE 'k:' || CAST(LEAST({pl}) AS VARCHAR)
+              || ':' || CAST(LEAST({dl}) AS VARCHAR)
+    END AS dup_key
+  FROM t
+),
+groups AS (
+  SELECT dup_key, COUNT(*)::BIGINT AS group_size,
+    FIRST(image_id ORDER BY COALESCE(length(caption), -1) DESC,
+          image_id ASC) AS rep_id
+  FROM keyed GROUP BY dup_key
+)
+SELECT CAST(k.image_id AS BIGINT) AS image_id, k.dup_key,
+       g.group_size, CAST(g.rep_id AS BIGINT) AS rep_id,
+       k.image_id = g.rep_id AS is_kept, k.caption
+FROM keyed k JOIN groups g USING (dup_key)
+"""
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6451,6 +6557,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_golden_conditional": q_crawl_golden_conditional,
         "byte_budgets": q_byte_budgets,
         "crawl_golden_bytebudget": q_crawl_golden_bytebudget,
+        "rot_dedup_pipeline": q_rot_dedup_pipeline,
     }
 
 
@@ -10083,6 +10190,7 @@ WHERE n_repeats > 0
         "rot_invariant_hash": _rot_invariant_values_sql(),
         "crawl_golden_conditional": _golden_conditional_values_sql(),
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
+        "rot_dedup_pipeline": _rot_dedup_values_sql(),
         "byte_budgets": """
 WITH pages AS (
   SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,

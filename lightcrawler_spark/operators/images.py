@@ -47,6 +47,7 @@ __all__ = [
     "with_watermark_stats",
     "watermark_expr",
     "with_rot_invariant_hashes",
+    "rot_invariant_dedup",
     "normalize_orientation",
     "resize_images",
     "letterbox_images",
@@ -1518,3 +1519,57 @@ def with_rot_invariant_hashes(df: DataFrame,
             yield pdf
 
     return df.mapInPandas(_hash, out_schema)
+
+
+def rot_invariant_dedup(df: DataFrame, id_col: str = "image_id",
+                        caption_col: str = "caption",
+                        bytes_col: str = "bytes") -> DataFrame:
+    """Rot/mirror-invariant exact dedup with keep-best-caption
+    canonicalization — the pipeline step the d4-min keys enable: an
+    EXIF-stripped rotated/mirrored re-post lands in the SAME group as
+    its original, and the group keeps the most useful caption.
+
+    Grouping key = the (phash_d4, dhash_d4) PAIR — both hash families
+    must agree, which cuts cross-family collisions the way
+    consensus_near_dup_pairs does for near-dups. Undecodable/NULL blobs
+    get per-row singleton keys ('s:<id>', the contrastive_batches
+    routing convention) so a corrupt blob is never merged with
+    anything and never NULL-grouped.
+
+    Representative = the row with the LONGEST caption, ties to the
+    lowest id — computed as one max_by over a struct (partial-
+    aggregating, NO rank window, so a spam mega-group never collapses
+    to one window task; the cluster_representatives idiom). NULL
+    captions sort below every real caption (length coalesced to -1).
+
+    Scale shape: one Arrow decode pass (with_rot_invariant_hashes), one
+    map-side-combining groupBy on the key, one AQE-splittable equi-join
+    of the group dim back to the rows. No window, no cartesian.
+
+    Adds: ``dup_key``, ``group_size``, ``rep_id``, ``is_kept``.
+    """
+    hashed = with_rot_invariant_hashes(df, bytes_col=bytes_col)
+    key = F.when(
+        F.col("phash_d4").isNull(),
+        F.concat(F.lit("s:"), F.col(id_col).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("k:"), F.col("phash_d4").cast("string"),
+            F.lit(":"), F.col("dhash_d4").cast("string"),
+        )
+    )
+    keyed = hashed.withColumn("dup_key", key)
+    groups = keyed.groupBy("dup_key").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.coalesce(F.length(F.col(caption_col)), F.lit(-1))
+                .alias("cap_len"),
+                (F.lit(0) - F.col(id_col)).alias("neg_id"),
+            ),
+        ).alias("rep_id"),
+    )
+    return keyed.join(groups, "dup_key").withColumn(
+        "is_kept", F.col(id_col) == F.col("rep_id")
+    )

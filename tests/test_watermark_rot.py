@@ -157,3 +157,39 @@ def test_rot_null_and_corrupt(spark):
     for i in (0, 1):
         assert got[i]["phash_d4"] is None
         assert got[i]["dhash_d4"] is None
+
+
+def test_rot_invariant_dedup_groups(spark):
+    from lightcrawler_spark.operators.images import rot_invariant_dedup
+
+    base0 = np.random.default_rng(500).integers(0, 256, size=(24, 32, 3))
+    base1 = np.random.default_rng(501).integers(0, 256, size=(24, 32, 3))
+    rows = [
+        (0, _enc(base0), "short"),
+        (1, _enc(np.rot90(base0)), "a much longer descriptive caption"),
+        (2, _enc(base0[:, ::-1]), "mid caption"),
+        (3, _enc(base1), "caption x"),
+        (4, _enc(base1[::-1, ::-1]), "caption y"),
+        (5, bytearray(b"notanimage"), "corrupt"),
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, caption string"
+    )
+    got = {
+        r["image_id"]: r
+        for r in rot_invariant_dedup(df).collect()
+    }
+    # group A: the rotated re-post's longer caption wins
+    assert got[0]["dup_key"] == got[1]["dup_key"] == got[2]["dup_key"]
+    assert got[0]["group_size"] == 3
+    assert got[0]["rep_id"] == 1
+    assert got[1]["is_kept"] is True
+    assert got[0]["is_kept"] is False and got[2]["is_kept"] is False
+    # group B: equal-length captions tie to the lowest id
+    assert got[3]["dup_key"] == got[4]["dup_key"]
+    assert got[3]["rep_id"] == 3 and got[3]["is_kept"] is True
+    # corrupt / NULL blobs: per-row singleton keys, always kept
+    assert got[5]["dup_key"] == "s:5" and got[5]["is_kept"] is True
+    assert got[6]["dup_key"] == "s:6" and got[6]["is_kept"] is True
+    assert got[5]["group_size"] == 1 and got[6]["group_size"] == 1

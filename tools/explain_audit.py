@@ -737,6 +737,37 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window",
          r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
     ],
+    # watermark band screen / d4-min hashes: ONE row-local Arrow pass,
+    # verdicts codegen'd JVM-side — never a shuffle or join
+    "watermark_gate": [
+        ("single Arrow pass", r"ArrowEvalPython|MapInPandas"),
+        ("no shuffle (row-local)", r"!Exchange"),
+        ("no join", r"!Join"),
+    ],
+    "rot_invariant_hash": [
+        ("single Arrow pass", r"ArrowEvalPython|MapInPandas"),
+        ("no shuffle (row-local)", r"!Exchange"),
+        ("no join", r"!Join"),
+    ],
+    # bandwidth budget dim: one map-side-combining groupBy(host) over
+    # the pages projection; the clamp math is a codegen'd projection
+    # rot/mirror dedup flagship: one Arrow decode pass, map-side
+    # partial groupBy on the key, equi-join of the group dim back —
+    # never a rank window (mega-group safe), never a cartesian
+    "rot_dedup_pipeline": [
+        ("Arrow decode pass", r"ArrowEvalPython|MapInPandas"),
+        ("group dim equi-join",
+         r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no rank window", r"!windowspecdefinition"),
+    ],
+    "byte_budgets": [
+        ("partial-agg groupBy(host)", r"HashAggregate"),
+        ("no join", r"!Join"),
+        ("no window", r"!windowspecdefinition"),
+        ("codegen", r"\*\(\d+\)"),
+    ],
 }
 
 
