@@ -6386,6 +6386,40 @@ FROM keyed k JOIN groups g USING (dup_key)
 """
 
 
+def q_warc_not_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-recrawl WARC assembly
+    (operators/warc.py:warc_not_modified_records) — 304 trace rows
+    become WARC/1.1 revisit records with the server-not-modified
+    profile, referencing the PRIOR capture's digest from the archive
+    index (the 304 carries no payload to digest); non-304 rows stay
+    full responses; a 304 whose URL has no prior digest surfaces as
+    nm_orphan with an empty response record. Synthetic trace: every
+    5th document answers 304; the prior index covers doc_id ≥ 50, so
+    304s below 50 exercise the orphan path. Oracle re-assembles every
+    record form and re-runs the serial offset sum."""
+    from lightcrawler_spark.operators.warc import warc_not_modified_records
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/doc/"), F.col("doc_id").cast("string"))
+    trace = docs.select(
+        "doc_id", url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("payload"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(304))
+        .otherwise(F.lit(200)).alias("status"),
+    )
+    prior = docs.filter(F.col("doc_id") >= 50).select(
+        url.alias("url"),
+        F.md5(F.concat(F.col("text"), F.lit("prior"))).alias("prior_md5"),
+    )
+    return warc_not_modified_records(trace, prior).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "record_type", "nm_orphan", "content_length", "record_length",
+        "record_md5", "warc_offset",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6558,6 +6592,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_budgets": q_byte_budgets,
         "crawl_golden_bytebudget": q_crawl_golden_bytebudget,
         "rot_dedup_pipeline": q_rot_dedup_pipeline,
+        "warc_not_modified": q_warc_not_modified,
     }
 
 
@@ -10191,6 +10226,62 @@ WHERE n_repeats > 0
         "crawl_golden_conditional": _golden_conditional_values_sql(),
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
+        "warc_not_modified": """
+WITH d AS (
+  SELECT doc_id,
+    'https://' || source || '.example.org/doc/' || doc_id AS url,
+    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS payload,
+    CASE WHEN doc_id % 5 = 0 THEN 304 ELSE 200 END AS status
+  FROM documents WHERE doc_id < 300
+),
+pr AS (
+  SELECT doc_id, md5(text || 'prior') AS prior_md5
+  FROM documents WHERE doc_id >= 50 AND doc_id < 300
+),
+j AS (
+  SELECT d.doc_id, d.url, d.payload, d.status, pr.prior_md5,
+    CASE WHEN d.status = 304 AND pr.prior_md5 IS NOT NULL
+         THEN 'revisit' ELSE 'response' END AS record_type,
+    d.status = 304 AND pr.prior_md5 IS NULL AS nm_orphan
+  FROM d LEFT JOIN pr ON d.doc_id = pr.doc_id
+),
+r AS (
+  SELECT doc_id, url, record_type, nm_orphan, prior_md5,
+    CASE WHEN status = 304 THEN '' ELSE coalesce(payload, '') END AS body
+  FROM j
+),
+a AS (
+  SELECT doc_id, record_type, nm_orphan,
+    CAST(strlen(body) AS BIGINT) AS content_length,
+    'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: ' || record_type || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+      || CASE WHEN record_type = 'revisit'
+              THEN 'WARC-Profile: '
+                   || 'http://netpreserve.org/warc/1.1/revisit/'
+                   || 'server-not-modified' || chr(13) || chr(10)
+                   || 'WARC-Refers-To-Digest: md5:' || prior_md5
+              ELSE 'WARC-Payload-Digest: md5:' || md5(body) END
+      || chr(13) || chr(10)
+      || 'Content-Length: ' || strlen(body)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || body || chr(13) || chr(10) || chr(13) || chr(10) AS record
+  FROM r
+),
+s AS (
+  SELECT doc_id, record_type, nm_orphan, content_length,
+    CAST(strlen(record) AS BIGINT) AS record_length,
+    md5(record) AS record_md5
+  FROM a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, record_type, nm_orphan,
+  content_length, record_length, record_md5,
+  coalesce(sum(record_length) OVER (
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0)::BIGINT AS warc_offset
+FROM s
+""",
         "byte_budgets": """
 WITH pages AS (
   SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,

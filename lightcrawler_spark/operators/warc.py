@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["warc_records", "warc_revisit_records", "cdx_entries",
+__all__ = ["warc_records", "warc_revisit_records",
+           "warc_not_modified_records", "cdx_entries",
            "parse_warc_segment"]
 
 _CRLF = "\r\n"
@@ -237,6 +238,103 @@ def warc_revisit_records(
         .withColumn("record_md5", F.md5(record))
         .drop("_prior_md5")
     )
+    return _with_global_offsets(sized, order_col, num_partitions)
+
+
+_NM_PROFILE = "http://netpreserve.org/warc/1.1/revisit/server-not-modified"
+
+
+def warc_not_modified_records(
+    df: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    status_col: str = "status",
+    prior_digest_col: str = "prior_md5",
+    order_col: str = "doc_id",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    num_partitions: int | None = None,
+    keep_record: bool = False,
+) -> DataFrame:
+    """WARC assembly for CONDITIONAL recrawls (WARC/1.1 revisit records
+    with the server-not-modified profile): a trace row whose fetch
+    answered 304 Not Modified has NO payload to digest — the revisit
+    record must reference the PRIOR capture's digest from the archive
+    index instead. This is the archive-side closure of the engine's
+    spec.conditional_get: digest-identical revisits
+    (warc_revisit_records) need the body to prove identity; a 304
+    proves it by protocol and transfers nothing.
+
+    `prior` is (url, prior_md5) from the previous snapshot index. Rows
+    with status != 304 produce full response records. A 304 row whose
+    URL has NO prior digest is a protocol anomaly (the server
+    revalidated a capture the archive never stored); it SURFACES as
+    ``nm_orphan = true`` and is written as a response record with an
+    empty body rather than silently fabricating a reference.
+
+    One equi-join on the url key, pure-JVM record assembly, offsets by
+    the same two-stage prefix sum as warc_records.
+
+    Adds: ``record_type`` ('response' | 'revisit'), ``nm_orphan``,
+    ``content_length``, ``record_length``, ``record_md5``,
+    ``warc_offset``.
+
+    PRECONDITION: ``order_col`` values must be UNIQUE (see warc_records
+    — duplicate order keys make offsets nondeterministic across runs).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+
+    p = prior.select(
+        F.col(url_col),
+        F.col(prior_digest_col).alias("_prior_md5"),
+    )
+    is_304 = F.col(status_col) == F.lit(304)
+    joined = (
+        df.join(p, url_col, "left")
+        .withColumn(
+            "record_type",
+            F.when(is_304 & F.col("_prior_md5").isNotNull(), "revisit")
+            .otherwise("response"),
+        )
+        .withColumn("nm_orphan", is_304 & F.col("_prior_md5").isNull())
+    )
+
+    is_rev = F.col("record_type") == "revisit"
+    body = F.when(is_304, F.lit("")).otherwise(
+        F.coalesce(F.col(payload_col), F.lit(""))
+    )
+    content_length = F.octet_length(body).cast("long")
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: "), F.col("record_type"), F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "), F.col(url_col), F.lit(_CRLF),
+        F.lit("WARC-Date: " + warc_date + _CRLF),
+        F.when(
+            is_rev,
+            F.concat(
+                F.lit("WARC-Profile: " + _NM_PROFILE + _CRLF),
+                F.lit("WARC-Refers-To-Digest: md5:"), F.col("_prior_md5"),
+                F.lit(_CRLF),
+            ),
+        ).otherwise(
+            F.concat(F.lit("WARC-Payload-Digest: md5:"), F.md5(body),
+                     F.lit(_CRLF)),
+        ),
+        F.lit("Content-Length: "), content_length.cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    record = F.concat(header, body, F.lit(_CRLF + _CRLF))
+    sized = (
+        joined.withColumn("content_length", content_length)
+        .withColumn("record_length", F.octet_length(record).cast("long"))
+        .withColumn("record_md5", F.md5(record))
+    )
+    if keep_record:
+        # before the _prior_md5 drop: the revisit header embeds it
+        sized = sized.withColumn("record", record)
+    sized = sized.drop("_prior_md5")
     return _with_global_offsets(sized, order_col, num_partitions)
 
 

@@ -97,3 +97,83 @@ class TestWarcRevisit:
         )
         assert got[2].record_md5 == hashlib.md5(rec.encode()).hexdigest()
         assert got[2].record_length == len(rec)
+
+
+class TestWarcNotModified:
+    """server-not-modified revisit records (warc_not_modified_records):
+    the archive closure of conditional-GET — 304 rows reference the
+    PRIOR capture's digest, orphan 304s surface instead of fabricating
+    a reference, and the segment round-trips through the parser."""
+
+    def _run(self, spark):
+        from lightcrawler_spark.operators.warc import (
+            warc_not_modified_records,
+        )
+
+        trace = spark.createDataFrame(
+            [
+                (0, "http://h.test/0", "payload-0", 200),
+                (1, "http://h.test/1", None, 304),       # prior known
+                (2, "http://h.test/2", "payload-2", 200),
+                (3, "http://h.test/3", None, 304),       # orphan
+            ],
+            "doc_id long, url string, payload string, status int",
+        )
+        prior = spark.createDataFrame(
+            [
+                ("http://h.test/0", hashlib.md5(b"old-0").hexdigest()),
+                ("http://h.test/1", hashlib.md5(b"payload-1").hexdigest()),
+            ],
+            "url string, prior_md5 string",
+        )
+        rows = warc_not_modified_records(
+            trace, prior, keep_record=True
+        ).collect()
+        return {r["doc_id"]: r for r in rows}
+
+    def test_types_and_orphan(self, spark):
+        got = self._run(spark)
+        assert got[0]["record_type"] == "response"
+        assert got[1]["record_type"] == "revisit"
+        assert got[2]["record_type"] == "response"
+        # 304 without a prior capture: surfaced, written as empty response
+        assert got[3]["record_type"] == "response"
+        assert got[3]["nm_orphan"] is True
+        assert got[3]["content_length"] == 0
+        assert all(got[i]["nm_orphan"] is False for i in (0, 1, 2))
+
+    def test_revisit_record_bytes(self, spark):
+        got = self._run(spark)
+        digest = hashlib.md5(b"payload-1").hexdigest()
+        rec = (
+            "WARC/1.0\r\nWARC-Type: revisit\r\n"
+            "WARC-Target-URI: http://h.test/1\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "server-not-modified\r\n"
+            f"WARC-Refers-To-Digest: md5:{digest}\r\n"
+            "Content-Length: 0\r\n\r\n\r\n\r\n"
+        )
+        assert got[1]["record_md5"] == hashlib.md5(rec.encode()).hexdigest()
+        assert got[1]["record_length"] == len(rec)
+
+    def test_offsets_and_roundtrip(self, spark):
+        from lightcrawler_spark.operators.warc import parse_warc_segment
+
+        got = self._run(spark)
+        off = 0
+        for i in range(4):
+            assert got[i]["warc_offset"] == off
+            off += got[i]["record_length"]
+        segment = "".join(got[i]["record"] for i in range(4)).encode()
+        seg_df = spark.createDataFrame(
+            [(bytearray(segment),)], "segment binary"
+        )
+        parsed = {
+            r["rec_seq"]: r for r in parse_warc_segment(seg_df).collect()
+        }
+        assert len(parsed) == 4
+        assert all(r["record_ok"] for r in parsed.values())
+        assert parsed[1]["warc_type"] == "revisit"
+        assert parsed[1]["payload"] == bytearray(b"")
+        assert parsed[0]["payload"] == bytearray(b"payload-0")
