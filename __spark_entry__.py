@@ -6420,6 +6420,47 @@ def q_warc_not_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lastmod-driven recrawl selection
+    (operators/sitemap.py:sitemap_refetch): sitemap entries vs stored
+    fetch times, freshness decided by LEXICOGRAPHIC comparison of
+    normalized W3C datetime strings (date-only padded to T00:00:00Z,
+    malformed → NULL) — no timestamp parsing, so the verdict is
+    bit-identical across engines. Paths: never-fetched, modified
+    (lastmod > fetch), fresh (lastmod ≤ fetch), lastmod absent or
+    garbage (→ wait for the age scheduler). Oracle re-derives the
+    normalization and the join relationally."""
+    from lightcrawler_spark.operators.sitemap import sitemap_refetch
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = F.concat(F.lit("http://s"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".test/p/"), F.col("doc_id").cast("string"))
+    entries = docs.select(
+        url.alias("loc"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("not-a-date"))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
+                     F.lit("-15")),
+        )
+        .otherwise(
+            F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
+                     F.lit("-15T0"), (F.col("doc_id") % 10).cast("string"),
+                     F.lit(":30:00Z"))
+        ).alias("lastmod"),
+    )
+    pages = docs.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"),
+        F.concat(F.lit("2024-0"), ((F.col("doc_id") % 4) + 3).cast("string"),
+                 F.lit("-01T00:00:00Z")).alias("fetched_at"),
+    )
+    return sitemap_refetch(entries, pages).select(
+        "loc", "lastmod_norm", "fetched_norm", "refetch_reason",
+        "needs_refetch",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6593,6 +6634,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_golden_bytebudget": q_crawl_golden_bytebudget,
         "rot_dedup_pipeline": q_rot_dedup_pipeline,
         "warc_not_modified": q_warc_not_modified,
+        "sitemap_refetch": q_sitemap_refetch,
     }
 
 
@@ -10226,6 +10268,52 @@ WHERE n_repeats > 0
         "crawl_golden_conditional": _golden_conditional_values_sql(),
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
+        "sitemap_refetch": """
+WITH docs AS (
+  SELECT doc_id,
+    'http://s' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'
+      || CAST(doc_id AS VARCHAR) AS loc
+  FROM documents WHERE doc_id < 400
+),
+e AS (
+  SELECT loc,
+    CASE WHEN doc_id % 5 = 0 THEN NULL
+         WHEN doc_id % 5 = 1 THEN 'not-a-date'
+         WHEN doc_id % 5 = 2 THEN
+           '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15'
+         ELSE '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15T0'
+              || CAST(doc_id % 10 AS VARCHAR) || ':30:00Z'
+    END AS lastmod
+  FROM docs
+),
+p AS (
+  SELECT loc,
+    '2024-0' || CAST((doc_id % 4) + 3 AS VARCHAR) || '-01T00:00:00Z'
+      AS fetched_at
+  FROM docs WHERE doc_id % 3 <> 0
+),
+en AS (
+  SELECT loc,
+    CASE WHEN regexp_matches(lastmod,
+      '^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:\\d{2})?)?$')
+      THEN CASE WHEN strlen(lastmod) = 10
+                THEN lastmod || 'T00:00:00Z' ELSE lastmod END
+    END AS lastmod_norm
+  FROM e
+),
+j AS (
+  SELECT en.loc, en.lastmod_norm, p.fetched_at AS fetched_norm
+  FROM en LEFT JOIN p USING (loc)
+)
+SELECT loc, lastmod_norm, fetched_norm,
+  CASE WHEN fetched_norm IS NULL THEN 'never_fetched'
+       WHEN lastmod_norm IS NOT NULL AND lastmod_norm > fetched_norm
+       THEN 'modified' END AS refetch_reason,
+  CASE WHEN fetched_norm IS NULL THEN true
+       WHEN lastmod_norm IS NOT NULL AND lastmod_norm > fetched_norm
+       THEN true ELSE false END AS needs_refetch
+FROM j
+""",
         "warc_not_modified": """
 WITH d AS (
   SELECT doc_id,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_sitemaps", "discover_robots_sitemaps"]
+__all__ = ["parse_sitemaps", "discover_robots_sitemaps", "sitemap_refetch"]
 
 # (?s): '.' spans newlines; lazy quantifiers keep blocks minimal. Both
 # supported identically by Java regex (Spark) and RE2 (DuckDB oracle).
@@ -125,4 +125,65 @@ def parse_sitemaps(pages: DataFrame, url_col: str = "sitemap_url",
             field(_PRIORITY).cast("double").alias("priority"),
         )
         .filter(F.col("loc").isNotNull())
+    )
+
+
+def sitemap_refetch(
+    entries: DataFrame,
+    pages: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    url_col: str = "url",
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """Lastmod-driven recrawl selection — the freshness signal the
+    sitemap protocol exists to provide: a URL whose publisher-declared
+    ``<lastmod>`` is NEWER than our last fetch needs a refetch; a URL
+    the sitemap lists that we never fetched needs a first fetch; a URL
+    whose lastmod is older (or absent/garbage) can wait for the
+    age-based scheduler (scheduler.recrawl_schedule — this operator is
+    its high-precision companion, not a replacement).
+
+    Freshness comparison is LEXICOGRAPHIC on normalized W3C datetime
+    strings, never parsed timestamps: ISO 8601 orders lexicographically
+    within its canonical form, date-only values are padded to
+    'T00:00:00Z', and anything not matching the W3C shape becomes NULL
+    — so the verdict is bit-identical across engines with no
+    timestamp-parsing semantics in play (the C7/C12 determinism rule).
+
+    Scale shape: one projection per side + one equi-join on the URL
+    (full outer is NOT needed: URLs we fetched but the sitemap dropped
+    are the age-scheduler's business). ``fetched_at`` uses the same
+    normalized-string convention (the caller derives it from crawl
+    round timestamps, C12's pinned clock).
+
+    Output: ``loc, lastmod_norm, fetched_norm, refetch_reason``
+    ('never_fetched' | 'modified' | NULL), ``needs_refetch``.
+    """
+    w3c = r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$"
+
+    def norm(col):
+        valid = F.when(col.rlike(w3c), col)
+        return F.when(
+            F.length(valid) == 10, F.concat(valid, F.lit("T00:00:00Z"))
+        ).otherwise(valid)
+
+    e = entries.select(
+        F.col(loc_col).alias("loc"),
+        norm(F.col(lastmod_col)).alias("lastmod_norm"),
+    )
+    p = pages.select(
+        F.col(url_col).alias("loc"),
+        norm(F.col(fetched_col)).alias("fetched_norm"),
+    )
+    joined = e.join(p, "loc", "left")
+    reason = F.when(
+        F.col("fetched_norm").isNull(), F.lit("never_fetched")
+    ).when(
+        F.col("lastmod_norm").isNotNull()
+        & (F.col("lastmod_norm") > F.col("fetched_norm")),
+        F.lit("modified"),
+    )
+    return joined.withColumn("refetch_reason", reason).withColumn(
+        "needs_refetch", reason.isNotNull()
     )

@@ -116,3 +116,56 @@ class TestSitemapGolden:
         assert f"{ROOT}/d.html" not in urls
         assert f"{ROOT}/a.html" not in urls
         assert f"{ROOT}/linked.html" in urls
+
+
+class TestSitemapRefetch:
+    """Lastmod-driven recrawl selection (sitemap.sitemap_refetch):
+    verdict paths and the string-normalization freshness rule."""
+
+    def _run(self, spark, entries, pages):
+        from lightcrawler_spark.operators.sitemap import sitemap_refetch
+
+        e = spark.createDataFrame(entries, "loc string, lastmod string")
+        p = spark.createDataFrame(pages, "url string, fetched_at string")
+        return {
+            r["loc"]: r for r in sitemap_refetch(e, p).collect()
+        }
+
+    def test_verdict_paths(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("u:new", "2024-06-01"),            # never fetched
+                ("u:mod", "2024-06-02T09:00:00Z"),  # newer than fetch
+                ("u:fresh", "2024-01-01"),          # older than fetch
+                ("u:nolm", None),                   # no lastmod, fetched
+                ("u:garbage", "last week"),         # malformed lastmod
+            ],
+            [
+                ("u:mod", "2024-06-01T00:00:00Z"),
+                ("u:fresh", "2024-05-01T00:00:00Z"),
+                ("u:nolm", "2024-05-01T00:00:00Z"),
+                ("u:garbage", "2024-05-01T00:00:00Z"),
+            ],
+        )
+        assert got["u:new"]["refetch_reason"] == "never_fetched"
+        assert got["u:mod"]["refetch_reason"] == "modified"
+        assert got["u:fresh"]["needs_refetch"] is False
+        assert got["u:nolm"]["needs_refetch"] is False
+        assert got["u:garbage"]["needs_refetch"] is False
+        assert got["u:garbage"]["lastmod_norm"] is None
+
+    def test_date_only_padding_boundary(self, spark):
+        # date-only lastmod pads to midnight: equal-to-fetch is NOT
+        # newer; one second after midnight is
+        got = self._run(
+            spark,
+            [("u:eq", "2024-06-01"), ("u:later", "2024-06-01T00:00:01Z")],
+            [
+                ("u:eq", "2024-06-01T00:00:00Z"),
+                ("u:later", "2024-06-01T00:00:00Z"),
+            ],
+        )
+        assert got["u:eq"]["lastmod_norm"] == "2024-06-01T00:00:00Z"
+        assert got["u:eq"]["needs_refetch"] is False
+        assert got["u:later"]["needs_refetch"] is True
