@@ -6461,6 +6461,42 @@ def q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_golden_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier TTL end-to-end (spec.frontier_ttl_rounds): fresh
+    pending rows whose packed insertion round (insert_seq >> 40) is
+    more than ttl rounds old expire before the pending anti-join —
+    frontier hygiene at 10^10 scale with no new state (resume-safe by
+    construction). Budget-1 fixture: d0..d3 fetch, d4/d5 age out.
+    Engine trace vs the reference-semantics simulator (VALUES-literal
+    oracle)."""
+    from lightcrawler_spark.fixtures import (
+        make_ttl_webgraph,
+        ttl_spec,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = ttl_spec()
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_ttl_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_ttl_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        make_ttl_webgraph,
+        simulate_reference_crawl,
+        ttl_spec,
+    )
+
+    golden = simulate_reference_crawl(make_ttl_webgraph(), ttl_spec())
+    return _golden_values_sql(golden)
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6635,6 +6671,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rot_dedup_pipeline": q_rot_dedup_pipeline,
         "warc_not_modified": q_warc_not_modified,
         "sitemap_refetch": q_sitemap_refetch,
+        "crawl_golden_ttl": q_crawl_golden_ttl,
     }
 
 
@@ -10267,6 +10304,7 @@ WHERE n_repeats > 0
         "rot_invariant_hash": _rot_invariant_values_sql(),
         "crawl_golden_conditional": _golden_conditional_values_sql(),
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
+        "crawl_golden_ttl": _golden_ttl_values_sql(),
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
         "sitemap_refetch": """
 WITH docs AS (

@@ -215,6 +215,14 @@ class CrawlSpec:
     # observed mean page size (scheduler.byte_budgets) and MIN-combined
     # with every other budget dim. Requires per_host_politeness.
     host_byte_budget: int = 0
+    # Frontier hygiene at 10^10 scale: a FRESH pending URL not popped
+    # within this many rounds of its insertion round expires (dropped
+    # from pop eligibility before the pending anti-join, so dead rows
+    # also skip the round's wide shuffle). 0 = off. Revisit rows are
+    # exempt (their 1<<61 seq offset packs a far-future round). The
+    # insertion round is recovered from insert_seq's bit-packing —
+    # no new state, resume-safe by construction.
+    frontier_ttl_rounds: int = 0
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

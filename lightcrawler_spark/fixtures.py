@@ -555,6 +555,30 @@ def revisit_spec(**kw) -> CrawlSpec:
     )
 
 
+HOST_TTL = "www.site-ttl.test"
+
+
+def make_ttl_webgraph() -> list[dict]:
+    """Frontier-TTL fixture: one root fanning out to six details, budget
+    1/round — with frontier_ttl_rounds=3 the oldest unfetched details
+    expire before their turn (d4/d5 age past 3 by rounds 6-7)."""
+    root = f"http://{HOST_TTL}"
+    links = "".join(f"<a href='/d{i}.htm'>d{i}</a>" for i in range(6))
+    pages = [_page_row(root, f"<html>{links}</html>")]
+    for i in range(6):
+        pages.append(_page_row(f"{root}/d{i}.htm", f"<html>d{i}</html>"))
+    return pages
+
+
+def ttl_spec(**kw) -> CrawlSpec:
+    kw.setdefault("frontier_ttl_rounds", 3)
+    return CrawlSpec(
+        seeds=[f"http://{HOST_TTL}"],
+        max_depth=2,
+        **kw,
+    )
+
+
 HOST_CG = "www.site-cg.test"
 _CG_ROOT = f"http://{HOST_CG}"
 
@@ -748,6 +772,11 @@ def simulate_reference_crawl(
     seen: set[str] = set()
     insert_seq = 0
 
+    # engine-equivalent packed insertion round for the frontier-TTL
+    # mirror: 0 during seeding/sitemap bootstrap, r+1 for links pushed
+    # while round r runs (CrawlEngine packs (r+1)<<40 into insert_seq)
+    cur_ins_round = [0]
+
     def push(url, depth, referer):
         nonlocal insert_seq
         k = url_md5(url)
@@ -763,6 +792,7 @@ def simulate_reference_crawl(
                 "referer": referer,
                 "priority_level": priority(url),
                 "insert_seq": insert_seq,
+                "ins_round": cur_ins_round[0],
                 "done": False,
             }
         )
@@ -1104,6 +1134,11 @@ def simulate_reference_crawl(
     round_idx = 1  # engine rounds start at 1 (round 0 = seeding)
     while seq < max_pops and round_idx < 100_000:
         pending = [f for f in frontier if not f["done"]]
+        if spec.frontier_ttl_rounds > 0:
+            pending = [
+                f for f in pending
+                if round_idx - f["ins_round"] <= spec.frontier_ttl_rounds
+            ]
         if revisit_rules:
             for h in fetch_hist.values():
                 if (
@@ -1136,6 +1171,7 @@ def simulate_reference_crawl(
         # batch membership freezes BEFORE any of the round's fetches —
         # links pushed mid-round only become poppable next round, exactly
         # like the engine's BSP rounds
+        cur_ins_round[0] = round_idx + 1
         batch = select_batch(eligible)
         if spec.request_limit:
             batch = batch[: spec.request_limit - seq]

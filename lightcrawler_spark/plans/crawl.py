@@ -639,6 +639,18 @@ class CrawlEngine:
         frontier = self.store.read_upto("frontier", r - 1)
         claimed = self._pages_upto(r - 1)
         pending = frontier.drop("round")
+        if spec.frontier_ttl_rounds > 0:
+            # frontier TTL: expire fresh rows whose packed insertion
+            # round (insert_seq >> 40; seeds/sitemap rows pack round 0,
+            # round-r discoveries pack r+1) is more than ttl rounds old.
+            # BEFORE the anti-join, so expired rows never ride the
+            # round's wide pending shuffle.
+            pending = pending.filter(
+                F.lit(r)
+                - F.shiftright(F.col("insert_seq"),
+                               _POS_BITS + _RANK_BITS)
+                <= F.lit(int(spec.frontier_ttl_rounds))
+            )
         if claimed is not None:
             # Pending = frontier − claimed. The generic form is a
             # url_md5 anti-join — an O(frontier) full-width shuffle every
