@@ -236,6 +236,49 @@ def bench_image_curation(spark: SparkSession) -> dict:
     return {"sec": dt, "curation_imgs_per_sec": n / dt, "kept": kept}
 
 
+def bench_rot_dedup(spark: SparkSession) -> dict:
+    """Rot/mirror-invariant dedup at volume: decode + 8 dihedral
+    phash/dhash pairs per image (with_rot_invariant_hashes) + exact
+    group dedup with keep-best-caption argmax. Each base image ships
+    with a rot90 re-post under a different id; replication makes every
+    key a 2×reps mega-group, exercising the no-window max_by path."""
+    import numpy as np
+
+    from lightcrawler_spark.fixtures import make_images
+    from lightcrawler_spark.imagecodec import decode_image, encode_image
+    from lightcrawler_spark.operators.images import rot_invariant_dedup
+
+    base = make_images(128)
+    rows = []
+    for rec in base:
+        arr = decode_image(bytes(rec["bytes"]))
+        rot = encode_image(
+            np.ascontiguousarray(np.rot90(arr)).astype(np.uint8), "png"
+        )
+        rows.append(
+            (rec["image_id"] + ":o", bytearray(rec["bytes"]),
+             "caption " + rec["image_id"])
+        )
+        rows.append(
+            (rec["image_id"] + ":r", bytearray(rot),
+             "rotated longer caption " + rec["image_id"])
+        )
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, caption string"
+    )
+    reps = max(1, N_IMAGES // 512)
+    big = df.crossJoin(
+        spark.range(reps).select(F.col("id").alias("rep"))
+    ).repartition(CPUS * 2)
+    t0 = time.time()
+    kept = rot_invariant_dedup(big).filter(F.col("is_kept")).count()
+    dt = time.time() - t0
+    n = 256 * reps
+    log(f"rot_dedup: {n} images keyed+deduped ({kept} kept) in {dt:.1f}s = "
+        f"{n / dt:,.0f} imgs/s")
+    return {"sec": dt, "rot_imgs_per_sec": n / dt, "kept": kept}
+
+
 def bench_audio_pipeline(spark: SparkSession) -> dict:
     """Audio leg of the multimodal pipeline at volume: WAV encode →
     container parse → exact-integer PCM features, all executor-side
@@ -591,6 +634,10 @@ def run(spark: SparkSession) -> dict:
     r = best_of(bench_image_curation)
     queries["image_curation_gate"] = round(r["sec"], 3)
     extra["curation_imgs_per_sec"] = round(r["curation_imgs_per_sec"])
+
+    r = best_of(bench_rot_dedup)
+    queries["rot_dedup_synthetic"] = round(r["sec"], 3)
+    extra["rot_imgs_per_sec"] = round(r["rot_imgs_per_sec"])
 
     r = best_of(bench_audio_pipeline)
     queries["audio_pipeline"] = round(r["sec"], 3)

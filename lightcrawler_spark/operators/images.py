@@ -1537,10 +1537,13 @@ def rot_invariant_dedup(df: DataFrame, id_col: str = "image_id",
     anything and never NULL-grouped.
 
     Representative = the row with the LONGEST caption, ties to the
-    lowest id — computed as one max_by over a struct (partial-
-    aggregating, NO rank window, so a spam mega-group never collapses
-    to one window task; the cluster_representatives idiom). NULL
-    captions sort below every real caption (length coalesced to -1).
+    lowest id — computed as one min(struct(-caption_length, id))
+    lexicographic argmin (partial-aggregating, NO rank window, so a
+    spam mega-group never collapses to one window task; the
+    cluster_representatives idiom). Negating the LENGTH (always int)
+    instead of the id keeps the id type free — string or numeric ids
+    both work. NULL captions sort below every real caption (length
+    coalesced to -1).
 
     Scale shape: one Arrow decode pass (with_rot_invariant_hashes), one
     map-side-combining groupBy on the key, one AQE-splittable equi-join
@@ -1561,14 +1564,16 @@ def rot_invariant_dedup(df: DataFrame, id_col: str = "image_id",
     keyed = hashed.withColumn("dup_key", key)
     groups = keyed.groupBy("dup_key").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
-        F.max_by(
-            F.col(id_col),
+        F.min(
             F.struct(
-                F.coalesce(F.length(F.col(caption_col)), F.lit(-1))
-                .alias("cap_len"),
-                (F.lit(0) - F.col(id_col)).alias("neg_id"),
-            ),
-        ).alias("rep_id"),
+                (F.lit(0)
+                 - F.coalesce(F.length(F.col(caption_col)), F.lit(-1)))
+                .alias("neg_cap_len"),
+                F.col(id_col).alias("rid"),
+            )
+        ).alias("_rep"),
+    ).select(
+        "dup_key", "group_size", F.col("_rep.rid").alias("rep_id")
     )
     return keyed.join(groups, "dup_key").withColumn(
         "is_kept", F.col(id_col) == F.col("rep_id")

@@ -193,3 +193,23 @@ def test_rot_invariant_dedup_groups(spark):
     assert got[5]["dup_key"] == "s:5" and got[5]["is_kept"] is True
     assert got[6]["dup_key"] == "s:6" and got[6]["is_kept"] is True
     assert got[5]["group_size"] == 1 and got[6]["group_size"] == 1
+
+
+def test_rot_invariant_dedup_string_ids(spark):
+    # the argmin is min(struct(-cap_len, id)) — negate the LENGTH, not
+    # the id — so string ids work (production image ids usually are)
+    from lightcrawler_spark.operators.images import rot_invariant_dedup
+
+    base = np.random.default_rng(500).integers(0, 256, size=(24, 32, 3))
+    df = spark.createDataFrame(
+        [
+            ("img:b", _enc(base), "same len"),
+            ("img:a", _enc(np.rot90(base)), "SAME LEN"),
+        ],
+        "image_id string, bytes binary, caption string",
+    )
+    got = {r["image_id"]: r for r in rot_invariant_dedup(df).collect()}
+    assert got["img:a"]["group_size"] == 2
+    # equal caption length: tie to the LOWEST id, string order
+    assert got["img:a"]["rep_id"] == "img:a"
+    assert got["img:a"]["is_kept"] is True and got["img:b"]["is_kept"] is False
