@@ -6497,6 +6497,39 @@ def _golden_ttl_values_sql() -> str:
     return _golden_values_sql(golden)
 
 
+def q_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl health report
+    (operators/scheduler.py:host_crawl_report): status-class counts
+    (2xx/304/3xx/4xx/5xx/dead/throttle), bytes, attempts, and a
+    milli-precision integer-division latency mean from one map-side-
+    combined groupBy(host) over a synthetic trace projection of the
+    events table. Oracle re-derives every conditional sum and the DIV
+    mean relationally."""
+    from lightcrawler_spark.operators.scheduler import host_crawl_report
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    trace = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.element_at(
+            F.array(
+                F.lit(200), F.lit(200), F.lit(200), F.lit(304),
+                F.lit(301), F.lit(404), F.lit(503), F.lit(0),
+            ),
+            ((F.col("event_id") % 8) + 1).cast("int"),
+        ).alias("status"),
+        (F.col("event_id") % 5000).cast("long").alias("bytes_received"),
+        ((F.col("event_id") % 900) + 1).cast("long").alias("latency_ms"),
+        ((F.col("event_id") % 3) + 1).cast("long").alias("n_attempts"),
+    )
+    return host_crawl_report(trace).select(
+        "host", "n_fetches", "n_ok", "n_not_modified", "n_redirect",
+        "n_client_err", "n_server_err", "n_dead", "n_throttled",
+        "total_bytes", "total_attempts", "sum_latency_ms",
+        "mean_latency_mu",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6672,6 +6705,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_not_modified": q_warc_not_modified,
         "sitemap_refetch": q_sitemap_refetch,
         "crawl_golden_ttl": q_crawl_golden_ttl,
+        "host_report": q_host_report,
     }
 
 
@@ -10305,6 +10339,39 @@ WHERE n_repeats > 0
         "crawl_golden_conditional": _golden_conditional_values_sql(),
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
         "crawl_golden_ttl": _golden_ttl_values_sql(),
+        "host_report": """
+WITH t AS (
+  SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.test' AS host,
+    CASE event_id % 8
+      WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 200 WHEN 3 THEN 304
+      WHEN 4 THEN 301 WHEN 5 THEN 404 WHEN 6 THEN 503 ELSE 0
+    END AS status,
+    event_id % 5000 AS bytes_received,
+    (event_id % 900) + 1 AS latency_ms,
+    (event_id % 3) + 1 AS n_attempts
+  FROM events WHERE event_id < 2000
+)
+SELECT host,
+  COUNT(*)::BIGINT AS n_fetches,
+  SUM(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END)::BIGINT
+    AS n_ok,
+  SUM(CASE WHEN status = 304 THEN 1 ELSE 0 END)::BIGINT
+    AS n_not_modified,
+  SUM(CASE WHEN status BETWEEN 300 AND 399 AND status <> 304
+           THEN 1 ELSE 0 END)::BIGINT AS n_redirect,
+  SUM(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END)::BIGINT
+    AS n_client_err,
+  SUM(CASE WHEN status BETWEEN 500 AND 599 THEN 1 ELSE 0 END)::BIGINT
+    AS n_server_err,
+  SUM(CASE WHEN status = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dead,
+  SUM(CASE WHEN status IN (429, 503) THEN 1 ELSE 0 END)::BIGINT
+    AS n_throttled,
+  SUM(bytes_received)::BIGINT AS total_bytes,
+  SUM(n_attempts)::BIGINT AS total_attempts,
+  SUM(latency_ms)::BIGINT AS sum_latency_ms,
+  ((SUM(latency_ms) * 1000) // COUNT(*))::BIGINT AS mean_latency_mu
+FROM t GROUP BY host
+""",
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
         "sitemap_refetch": """
 WITH docs AS (

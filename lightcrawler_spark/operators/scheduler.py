@@ -623,3 +623,58 @@ def politeness_audit(trace: DataFrame, per_host_budget: int,
         budget.alias("budget"),
         (F.col("n_fetches") > budget).alias("exceeded"),
     )
+
+
+def host_crawl_report(
+    trace: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    bytes_col: str = "bytes_received",
+    latency_col: str = "latency_ms",
+    attempts_col: str = "n_attempts",
+) -> DataFrame:
+    """Per-host crawl health report (A1/A2 generalized to the host
+    grain): the ops table a production recrawl loop watches — which
+    hosts error, which throttle, which answer 304 (conditional-GET
+    efficiency per host), where the bytes go, what latency looks like.
+    politeness_audit answers "did WE behave"; this answers "how do
+    THEY behave".
+
+    Exact integers end to end: counts by status class (2xx ok / 304
+    not-modified / 3xx redirect / 4xx client / 5xx server / 0
+    connection-dead / 429+503 throttle), total bytes, total attempts,
+    and latency as (sum, n) sufficient stats with a milli-precision
+    mean derived by integer division (mean_latency_mu = sum*1000 DIV n
+    — bit-stable across engines, the latency_budgets rule).
+
+    Scale shape: ONE map-side-combined groupBy(host) over the trace
+    scan; every class count is a codegen'd conditional sum. Rows out =
+    distinct hosts.
+    """
+    s = F.col(status_col)
+
+    def n(cond, name):
+        return F.sum(cond.cast("long")).alias(name)
+
+    return trace.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        n(s.between(200, 299), "n_ok"),
+        n(s == 304, "n_not_modified"),
+        n(s.between(300, 399) & (s != 304), "n_redirect"),
+        n(s.between(400, 499), "n_client_err"),
+        n(s.between(500, 599), "n_server_err"),
+        n(s == 0, "n_dead"),
+        n(s.isin(429, 503), "n_throttled"),
+        F.coalesce(F.sum(F.col(bytes_col).cast("long")), F.lit(0))
+        .alias("total_bytes"),
+        F.coalesce(F.sum(F.col(attempts_col).cast("long")), F.lit(0))
+        .alias("total_attempts"),
+        F.coalesce(F.sum(F.col(latency_col).cast("long")), F.lit(0))
+        .alias("sum_latency_ms"),
+    ).withColumn(
+        "mean_latency_mu",
+        F.when(
+            F.col("n_fetches") > 0,
+            F.expr("(sum_latency_ms * 1000) DIV n_fetches"),
+        ),
+    )

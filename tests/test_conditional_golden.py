@@ -129,3 +129,37 @@ def test_304_pages_carry_no_links(spark):
     rows = _run_engine(spark, spec)
     d1 = [r for r in rows if r["url"].endswith("/d1.htm")]
     assert len(d1) == 1
+
+
+def test_conditional_resume_parity(spark, tmp_path):
+    # kill the crawl mid-way (before the revisits fire), resume on the
+    # same parquet store: validators live in the committed pages rows,
+    # so the resumed crawl's 304s (and whole trace) match the
+    # uninterrupted run bit-for-bit — resume-safe by construction
+    from lightcrawler_spark.plans.storage import RoundStore
+
+    spec = conditional_spec()
+    web = webgraph_df(spark, make_conditional_webgraph())
+
+    full_store = RoundStore(spark, str(tmp_path / "full"))
+    full = CrawlEngine(
+        spark, spec, SyntheticFetcher(web, spec), store=full_store
+    ).run(max_rounds=60)
+
+    part_store = RoundStore(spark, str(tmp_path / "part"))
+    CrawlEngine(
+        spark, spec, SyntheticFetcher(web, spec), store=part_store
+    ).run(max_rounds=2)
+    resumed = CrawlEngine(
+        spark, spec, SyntheticFetcher(web, spec),
+        store=RoundStore(spark, str(tmp_path / "part")),
+    ).run(max_rounds=60, resume=True)
+
+    def rows(res):
+        return [
+            (r["seq"], r["url"], r["status"], r["bytes_received"])
+            for r in res.trace.orderBy("seq").collect()
+        ]
+
+    assert rows(resumed) == rows(full)
+    assert any(r[2] == 304 for r in rows(full))
