@@ -200,11 +200,12 @@ class GenerativeFetcher:
     def __init__(self, web: SynthWebSpec, spec: CrawlSpec):
         self.web = web
         self.spec = spec
-        self._exprs: dict | None = None
+        self._exprs: dict[bool, dict] = {}
 
-    def _output_exprs(self) -> dict:
-        if self._exprs is not None:
-            return self._exprs
+    def _output_exprs(self, has_validators: bool = False) -> dict:
+        cached = self._exprs.get(has_validators)
+        if cached is not None:
+            return cached
         web, spec = self.web, self.spec
         url = F.col("url")
         aid = F.regexp_extract(url, r"^http://h\d+\.test/p(\d+)$", 1).try_cast("long")
@@ -227,6 +228,23 @@ class GenerativeFetcher:
             F.when(known_article | known_image, F.lit(200))
             .otherwise(F.lit(404))
         )
+        # deterministic per-URL validator (the synthetic web never
+        # changes, so every conditional revisit revalidates — the
+        # slow-changing-corpus bound of the bandwidth saving)
+        etag = (
+            F.when(known_article,
+                   F.concat(F.lit('"a'), aid.cast("string"), F.lit('"')))
+            .when(known_image,
+                  F.concat(F.lit('"i'), iid.cast("string"), F.lit('"')))
+        )
+        not_mod = F.lit(False)
+        if has_validators:
+            not_mod = (
+                status.between(200, 299)
+                & F.col("if_none_match").isNotNull()
+                & (F.col("if_none_match") == etag)
+            )
+            status = F.when(not_mod, F.lit(304)).otherwise(status)
         content_type = (
             F.when(known_image, F.lit("image/png"))
             .when(known_article, F.lit("text/html; charset=utf-8"))
@@ -235,6 +253,8 @@ class GenerativeFetcher:
             F.when(known_image, _synth_image_bytes_udf(F.when(known_image, iid)))
             .when(known_article, F.encode(article_html_expr(web, aid), "utf-8"))
         )
+        if has_validators:
+            body = F.when(~not_mod, body)
         invalid = (status < 100) | (status > 400)
         n_attempts = (
             F.when(invalid, F.lit(spec.retry_limit)).otherwise(F.lit(1))
@@ -250,7 +270,7 @@ class GenerativeFetcher:
             status.between(200, 299)
             & _rlike_any(ct, spec.content_type_receive_rules)
         )
-        self._exprs = {
+        exprs = {
             "status": status,
             "content_type": content_type,
             "body": body,
@@ -265,11 +285,16 @@ class GenerativeFetcher:
             ).otherwise(F.lit(None).cast("string")),
             "redirect_to": F.lit(None).cast("string"),
             "retry_after": F.lit(None).cast("int"),
+            "etag": etag,
+            "last_modified": F.lit(None).cast("string"),
         }
-        return self._exprs
+        self._exprs[has_validators] = exprs
+        return exprs
 
     def fetch(self, work: DataFrame) -> DataFrame:
-        return work.withColumns(self._output_exprs())
+        return work.withColumns(
+            self._output_exprs("if_none_match" in work.columns)
+        )
 
 
 # --- helpers for soaks & tests ---------------------------------------------
@@ -319,6 +344,8 @@ def materialize_webgraph(spark: SparkSession, web: SynthWebSpec) -> DataFrame:
         F.lit(None).cast("string").alias("redirect_to"),
         F.encode(article_html_expr(web, F.col("id")), "utf-8").alias("body"),
         _latency_expr(web, F.col("id")).alias("latency_ms"),
+        F.concat(F.lit('"a'), F.col("id").cast("string"), F.lit('"'))
+        .alias("etag"),
     )
     if web.img_every <= 0:
         return articles
@@ -329,5 +356,7 @@ def materialize_webgraph(spark: SparkSession, web: SynthWebSpec) -> DataFrame:
         F.lit(None).cast("string").alias("redirect_to"),
         _synth_image_bytes_udf(F.col("id")).alias("body"),
         _latency_expr(web, F.col("id")).alias("latency_ms"),
+        F.concat(F.lit('"i'), F.col("id").cast("string"), F.lit('"'))
+        .alias("etag"),
     )
     return articles.unionByName(images)

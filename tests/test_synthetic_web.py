@@ -142,3 +142,44 @@ class TestProductInvariants:
             assert (r["w"], r["h"]) == (expect.shape[1], expect.shape[0])
             assert r["fmt"] == "png"
             assert r["phash"] == phash64(expect)
+
+
+class TestGenerativeConditional:
+    """Conditional-GET on the generative substrate: the soak fetcher's
+    deterministic ETags make revisit crawls revalidate (304, no body),
+    identically to SyntheticFetcher over the materialized twin."""
+
+    def _spec(self, spark):
+        import dataclasses
+
+        # deliberately tiny: a narrow revisit rule (4 articles) and few
+        # rounds keep the two back-to-back engine runs inside the test
+        # session's memory (the full-size soak arm lives in
+        # tools/engine_soak.py --conditional)
+        spec = soak_crawl_spec(WEB, spark, per_host_budget=8, n_seeds=4,
+                               max_rounds=12)
+        return dataclasses.replace(
+            spec,
+            revisit_url_rules=[r"#/p[0-3]$# i"],
+            revisit_after_rounds=2,
+            max_revisits=1,
+            conditional_get=True,
+        )
+
+    def test_generative_matches_materialized(self, spark):
+        spec = self._spec(spark)
+        gen = CrawlEngine(
+            spark, spec, GenerativeFetcher(WEB, spec)
+        ).run(max_rounds=12)
+        mat = CrawlEngine(
+            spark, spec,
+            SyntheticFetcher(materialize_webgraph(spark, WEB), spec),
+        ).run(max_rounds=12)
+        assert _trace_rows(gen) == _trace_rows(mat)
+        n304 = sum(1 for t in _trace_rows(gen) if t[2] == 304)
+        assert n304 > 0
+        # the synthetic web never changes: EVERY revisit of a known
+        # article revalidates, and transfers zero bytes
+        for t in _trace_rows(gen):
+            if t[2] == 304:
+                assert t[3] == 0

@@ -118,6 +118,17 @@ def cmd_run(a) -> dict:
         web, spark, per_host_budget=a.budget, n_seeds=a.seeds or a.hosts,
         max_rounds=a.rounds, seen_filter=a.seen,
     )
+    if a.revisit_after > 0:
+        # conditional-recrawl soak arm: every article revisited once
+        # its age passes --revisit-after; with --conditional the
+        # deterministic ETags make every unchanged revisit a 304
+        spec = dataclasses.replace(
+            spec,
+            revisit_url_rules=[r"#/p\d+$# i"],
+            revisit_after_rounds=a.revisit_after,
+            max_revisits=a.max_revisits,
+            conditional_get=bool(a.conditional),
+        )
     if a.row_repartition > 0:
         # A/B treatment: enable the opt-in rows arm of the fetch
         # repartition gate (spec.fetch_repartition_rows; off by default
@@ -172,6 +183,13 @@ def cmd_run(a) -> dict:
         "pages_fetched": result.pages_fetched,
         "bytes_received": result.bytes_received,
         "abort_reason": result.abort_reason,
+        "n_304": int(
+            result.trace.agg(
+                F.coalesce(
+                    F.sum((F.col("status") == 304).cast("long")), F.lit(0)
+                )
+            ).first()[0]
+        ),
         "wall_s": round(wall, 2),
         "pages_per_sec": round(result.pages_fetched / wall, 1),
         "steady_pages_per_sec": (
@@ -409,6 +427,11 @@ def main() -> None:
                     help="segment width for compaction rewrites "
                          "(0 = store default: 8; leg-13 A/B rejected "
                          "a wider default)")
+    ap.add_argument("--revisit-after", dest="revisit_after", type=int,
+                    default=0, help="revisit articles after N rounds (0=off)")
+    ap.add_argument("--max-revisits", dest="max_revisits", type=int, default=1)
+    ap.add_argument("--conditional", action="store_true",
+                    help="send validators on revisits (304 revalidation)")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--kill-round", type=int, default=None)
