@@ -6526,7 +6526,7 @@ def q_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "n_fetches", "n_ok", "n_not_modified", "n_redirect",
         "n_client_err", "n_server_err", "n_dead", "n_throttled",
         "total_bytes", "total_attempts", "sum_latency_ms",
-        "mean_latency_mu",
+        "n_latency_obs", "mean_latency_mu",
     )
 
 
@@ -10369,7 +10369,9 @@ SELECT host,
   SUM(bytes_received)::BIGINT AS total_bytes,
   SUM(n_attempts)::BIGINT AS total_attempts,
   SUM(latency_ms)::BIGINT AS sum_latency_ms,
-  ((SUM(latency_ms) * 1000) // COUNT(*))::BIGINT AS mean_latency_mu
+  COUNT(latency_ms)::BIGINT AS n_latency_obs,
+  ((SUM(latency_ms) * 1000) // COUNT(latency_ms))::BIGINT
+    AS mean_latency_mu
 FROM t GROUP BY host
 """,
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
@@ -10399,12 +10401,12 @@ p AS (
 ),
 en AS (
   SELECT loc,
-    CASE WHEN regexp_matches(lastmod,
-      '^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:\\d{2})?)?$')
-      THEN CASE WHEN strlen(lastmod) = 10
-                THEN lastmod || 'T00:00:00Z' ELSE lastmod END
+    CASE WHEN regexp_matches(lm2,
+      '^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|\\+00:00)?)?$')
+      THEN CASE WHEN strlen(lm2) = 10
+                THEN lm2 || 'T00:00:00Z' ELSE lm2 END
     END AS lastmod_norm
-  FROM e
+  FROM (SELECT loc, regexp_replace(lastmod, '\\+00:00$', 'Z') AS lm2 FROM e) s
 ),
 j AS (
   SELECT en.loc, en.lastmod_norm, p.fetched_at AS fetched_norm

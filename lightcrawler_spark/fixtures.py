@@ -994,8 +994,11 @@ def simulate_reference_crawl(
         if spec.conditional_get and p and 200 <= raw_status <= 299:
             inm = nxt.get("if_none_match")
             ims = nxt.get("if_modified_since")
-            if inm is not None and p.get("etag") is not None:
-                if inm == p["etag"]:
+            if inm is not None:
+                # RFC 9110 §13.1.2: If-None-Match present -> evaluate it
+                # ALONE (If-Modified-Since MUST be ignored), even when
+                # the page serves no ETag to match against
+                if p.get("etag") is not None and inm == p["etag"]:
                     raw_status = 304
             elif ims is not None and p.get("last_modified") is not None:
                 if ims == p["last_modified"]:
@@ -1123,13 +1126,17 @@ def simulate_reference_crawl(
             h["n"] += 1
             h["last"] = round_idx
         if spec.conditional_get:
-            # the engine takes max_by(validator, seq) over the pages —
-            # i.e. the LATEST fetch's harvest, nulls overwriting too
-            # (exhausted fetches emit null validators)
+            # the engine keeps the latest NON-NULL validator per family
+            # (max(struct(seq, v)) over non-null v): a response that
+            # omits a validator must not erase the stored one
             p = web.get(nxt["url"])
             dead = ((p.get("fail_times", 0) if p else 0) or 0) >= spec.retry_limit
-            h["etag"] = p.get("etag") if p and not dead else None
-            h["lm"] = p.get("last_modified") if p and not dead else None
+            new_etag = p.get("etag") if p and not dead else None
+            new_lm = p.get("last_modified") if p and not dead else None
+            if new_etag is not None:
+                h["etag"] = new_etag
+            if new_lm is not None:
+                h["lm"] = new_lm
 
     round_idx = 1  # engine rounds start at 1 (round 0 = seeding)
     while seq < max_pops and round_idx < 100_000:

@@ -643,9 +643,11 @@ def host_crawl_report(
     Exact integers end to end: counts by status class (2xx ok / 304
     not-modified / 3xx redirect / 4xx client / 5xx server / 0
     connection-dead / 429+503 throttle), total bytes, total attempts,
-    and latency as (sum, n) sufficient stats with a milli-precision
-    mean derived by integer division (mean_latency_mu = sum*1000 DIV n
-    — bit-stable across engines, the latency_budgets rule).
+    and latency as (sum, n_obs) sufficient stats over NON-NULL
+    latencies (a dead connection carries none and must not deflate the
+    mean) with a milli-precision mean by integer division
+    (mean_latency_mu = sum*1000 DIV n_latency_obs — bit-stable across
+    engines, the latency_budgets rule).
 
     Scale shape: ONE map-side-combined groupBy(host) over the trace
     scan; every class count is a codegen'd conditional sum. Rows out =
@@ -671,10 +673,11 @@ def host_crawl_report(
         .alias("total_attempts"),
         F.coalesce(F.sum(F.col(latency_col).cast("long")), F.lit(0))
         .alias("sum_latency_ms"),
+        F.count(F.col(latency_col)).cast("long").alias("n_latency_obs"),
     ).withColumn(
         "mean_latency_mu",
         F.when(
-            F.col("n_fetches") > 0,
-            F.expr("(sum_latency_ms * 1000) DIV n_fetches"),
+            F.col("n_latency_obs") > 0,
+            F.expr("(sum_latency_ms * 1000) DIV n_latency_obs"),
         ),
     )

@@ -146,9 +146,12 @@ def sitemap_refetch(
 
     Freshness comparison is LEXICOGRAPHIC on normalized W3C datetime
     strings, never parsed timestamps: ISO 8601 orders lexicographically
-    within its canonical form, date-only values are padded to
-    'T00:00:00Z', and anything not matching the W3C shape becomes NULL
-    — so the verdict is bit-identical across engines with no
+    within a single offset form, date-only values are padded to
+    'T00:00:00Z', '+00:00' normalizes to 'Z', and anything else —
+    malformed values AND non-UTC numeric offsets, which are NOT
+    lexicographically comparable against Z-forms — becomes NULL
+    (conservative: no freshness signal, the age scheduler owns the
+    URL). The verdict is bit-identical across engines with no
     timestamp-parsing semantics in play (the C7/C12 determinism rule).
 
     Scale shape: one projection per side + one equi-join on the URL
@@ -160,9 +163,12 @@ def sitemap_refetch(
     Output: ``loc, lastmod_norm, fetched_norm, refetch_reason``
     ('never_fetched' | 'modified' | NULL), ``needs_refetch``.
     """
-    w3c = r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$"
+    # only Z / +00:00 / naive forms are admitted: a non-UTC offset is
+    # valid W3C but breaks lexicographic comparability, so it is NULLed
+    w3c = r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|\+00:00)?)?$"
 
     def norm(col):
+        col = F.regexp_replace(col, r"\+00:00$", "Z")
         valid = F.when(col.rlike(w3c), col)
         return F.when(
             F.length(valid) == 10, F.concat(valid, F.lit("T00:00:00Z"))

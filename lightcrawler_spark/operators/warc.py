@@ -194,8 +194,12 @@ def warc_revisit_records(
     Adds: `record_type` ('response' | 'revisit'), `content_length`
     (0 for revisits), `record_length`, `record_md5`, `warc_offset`.
 
-    PRECONDITION: ``order_col`` values must be UNIQUE (see warc_records
-    — duplicate order keys make offsets nondeterministic across runs).
+    PRECONDITIONS: ``order_col`` values must be UNIQUE (see warc_records
+    — duplicate order keys make offsets nondeterministic across runs),
+    and ``prior`` must hold AT MOST ONE row per URL (it is a snapshot
+    INDEX; a multi-capture index must be reduced to the latest digest
+    first — a duplicate URL would fan its trace row out into duplicate
+    records and break the unique-order_col offsets).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -279,8 +283,11 @@ def warc_not_modified_records(
     ``content_length``, ``record_length``, ``record_md5``,
     ``warc_offset``.
 
-    PRECONDITION: ``order_col`` values must be UNIQUE (see warc_records
-    — duplicate order keys make offsets nondeterministic across runs).
+    PRECONDITIONS: ``order_col`` values must be UNIQUE (see warc_records
+    — duplicate order keys make offsets nondeterministic across runs),
+    and ``prior`` must hold AT MOST ONE row per URL (reduce a
+    multi-capture index to the latest digest first; a duplicate URL
+    fans its trace row into duplicate records at overlapping offsets).
     """
     spark = df.sparkSession
     if num_partitions is None:

@@ -574,11 +574,36 @@ class CrawlEngine:
                              "priority_level", "insert_seq"),
                     "seq",
                 ).alias("_row"),
-                # conditional_get: the LAST response's validators (a 304
-                # repeats the ETag, so max_by-seq always tracks the
-                # server's current validator)
-                F.max_by("etag", "seq").alias("_etag"),
-                F.max_by("last_modified", "seq").alias("_lm"),
+                # conditional_get: the latest NON-NULL validator per
+                # family — a 304 from a terse real server may omit
+                # ETag/Last-Modified (RFC-legal), and overwriting with
+                # its null would force the next revisit unconditional,
+                # halving the bandwidth saving. max(struct(seq, v))
+                # over non-null v = argmax-seq among rows that carried
+                # one. Pre-upgrade stores lack the columns entirely
+                # (they joined PAGES_COLS this round): fall back to
+                # null literals so resume keeps working.
+                *(
+                    [
+                        F.max(
+                            F.when(
+                                F.col("etag").isNotNull(),
+                                F.struct("seq", "etag"),
+                            )
+                        )["etag"].alias("_etag"),
+                        F.max(
+                            F.when(
+                                F.col("last_modified").isNotNull(),
+                                F.struct("seq", "last_modified"),
+                            )
+                        )["last_modified"].alias("_lm"),
+                    ]
+                    if "etag" in claimed.columns
+                    else [
+                        F.max(F.lit(None).cast("string")).alias("_etag"),
+                        F.max(F.lit(None).cast("string")).alias("_lm"),
+                    ]
+                ),
             )
         )
         elig = hist.filter(
@@ -1140,6 +1165,16 @@ class CrawlEngine:
                 # slow path's pre-extract early exit
                 return self._empty_round(pending_before_cooldown)
         n_fetched = int(stats["n"])
+        if spec.frontier_ttl_rounds > 0 and n_fetched >= (1 << _RANK_BITS):
+            # fetch_rank would overflow into insert_seq's round bits and
+            # corrupt the TTL's packed-round recovery (rows would look
+            # younger and expire late) — fail loudly instead of
+            # silently mis-aging; widen _RANK_BITS for larger rounds
+            raise ValueError(
+                f"frontier_ttl_rounds requires < 2^{_RANK_BITS} fetches "
+                f"per round (got {n_fetched}): insert_seq round bits "
+                "would be corrupted"
+            )
         self._bytes_total += int(stats["bytes"])
 
         pages = results.withColumn(

@@ -278,14 +278,15 @@ class SyntheticFetcher:
             redirect = F.when(~gate_fail, redirect)
         not_mod = F.lit(False)
         if has_validators:
-            # RFC 9110 §13.1: If-None-Match takes precedence over
-            # If-Modified-Since; a validator match on a would-be-2xx
-            # page answers 304 Not Modified with no body
+            # RFC 9110 §13.1.2: when If-None-Match is present it is
+            # evaluated ALONE — If-Modified-Since MUST be ignored, even
+            # when the page serves no ETag (no match -> full response);
+            # a validator match on a would-be-2xx page answers 304
             inm = F.col("if_none_match")
             ims = F.col("if_modified_since")
             etag_match = F.when(
-                inm.isNotNull() & F.col("_w_etag").isNotNull(),
-                inm == F.col("_w_etag"),
+                inm.isNotNull(),
+                F.col("_w_etag").isNotNull() & (inm == F.col("_w_etag")),
             ).otherwise(
                 ims.isNotNull() & F.col("_w_lm").isNotNull()
                 & (ims == F.col("_w_lm"))

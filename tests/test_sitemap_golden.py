@@ -169,3 +169,24 @@ class TestSitemapRefetch:
         assert got["u:eq"]["lastmod_norm"] == "2024-06-01T00:00:00Z"
         assert got["u:eq"]["needs_refetch"] is False
         assert got["u:later"]["needs_refetch"] is True
+
+    def test_offset_forms(self, spark):
+        # '+00:00' normalizes to 'Z' (comparable); any NON-UTC numeric
+        # offset is valid W3C but not lexicographically comparable, so
+        # it is conservatively NULLed — no false refetch verdicts from
+        # cross-offset string comparison
+        got = self._run(
+            spark,
+            [
+                ("u:utc", "2024-06-02T09:00:00+00:00"),
+                ("u:offset", "2024-06-01T23:30:00-03:00"),
+            ],
+            [
+                ("u:utc", "2024-06-01T00:00:00Z"),
+                ("u:offset", "2024-06-02T01:00:00Z"),
+            ],
+        )
+        assert got["u:utc"]["lastmod_norm"] == "2024-06-02T09:00:00Z"
+        assert got["u:utc"]["needs_refetch"] is True
+        assert got["u:offset"]["lastmod_norm"] is None
+        assert got["u:offset"]["needs_refetch"] is False
