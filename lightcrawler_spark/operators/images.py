@@ -1488,9 +1488,14 @@ def with_rot_invariant_hashes(df: DataFrame,
     LEAST compare signed int64 natively, no unsigned shim.
 
     One Arrow pass, no shuffle. Undecodable/NULL blobs → null keys
-    (sibling-UDF convention). Group-by on the pair (or band over
-    phash_d4 like phash_near_dup_pairs for near-dup candidacy) exactly
-    as with the plain hashes.
+    (sibling-UDF convention). Group-by on the pair for EXACT-up-to-D4
+    dedup (rot_invariant_dedup). CAVEAT — near-dup banding over
+    phash_d4 is NOT sound: for two near-identical (not pixel-equal)
+    images the min can select DIFFERENT transforms, so the Hamming
+    distance between d4-min keys is unbounded even when some aligned
+    pair is close. Near-dup candidacy under rotation needs banding over
+    ALL 8 per-transform hashes of one side (8× candidate volume), or
+    orientation normalization first when EXIF survives.
     """
     out_schema = T.StructType(df.schema.fields + list(_ROT_SCHEMA.fields))
     in_cols = df.schema.fieldNames()
