@@ -6530,6 +6530,108 @@ def q_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rot_near_fixture() -> list:
+    """Shared fixture for the rot_near_dup contract: two content groups
+    whose re-posts are ROTATED RE-ENCODES (±16 pixel noise on top of a
+    dihedral transform — near-dups whose d4-min keys NO LONGER
+    coincide, so exact-key dedup misses them and alignment search is
+    required), one unrelated image, corrupt + NULL blobs."""
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import encode_image
+
+    def enc(a):
+        return bytearray(
+            encode_image(
+                np.clip(np.ascontiguousarray(a), 0, 255).astype(np.uint8),
+                "png",
+            )
+        )
+
+    base0 = np.random.default_rng(600).integers(0, 256, size=(24, 32, 3))
+    base1 = np.random.default_rng(601).integers(0, 256, size=(24, 32, 3))
+
+    def noisy(a, seed):
+        # ±16: empirically past the point where the d4-MIN keys still
+        # coincide (they survive ±8 on this fixture), while the aligned
+        # phash distance stays ~2 — the regime this operator exists for
+        return a.astype(np.int64) + np.random.default_rng(seed).integers(
+            -16, 17, size=a.shape
+        )
+
+    return [
+        (0, enc(base0)),
+        (1, enc(noisy(np.rot90(base0), 700))),
+        (2, enc(noisy(base0[:, ::-1], 701))),
+        (3, enc(base1)),
+        (4, enc(noisy(base1[::-1, ::-1], 702))),
+        (5, bytearray(b"notanimage")),
+        (6, None),
+    ]
+
+
+def q_rot_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-aware NEAR-dup pairs
+    (operators/images.py:rot_near_dup_pairs): min-over-alignment phash
+    distance of the lower-id side, candidates from banding all 8
+    per-transform hashes against identity hashes — bands=7 makes
+    candidacy pigeonhole-EXACT at max_hamming=6, so the DuckDB oracle
+    is the straight all-pairs min-over-transform popcount with NO
+    candidacy clause. Fixture: rotated re-ENCODES (±1 noise on top of
+    the transform) that exact d4-key dedup cannot merge."""
+    from lightcrawler_spark.operators.images import rot_near_dup_pairs
+
+    df = spark.createDataFrame(
+        _rot_near_fixture(), "image_id long, bytes binary"
+    )
+    return rot_near_dup_pairs(df).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("rot_hamming").cast("int").alias("rot_hamming"),
+        F.col("best_transform").cast("int").alias("best_transform"),
+    )
+
+
+def _rot_near_values_sql() -> str:
+    """All-pairs oracle with independent scalar transforms feeding the
+    VALUES-pinned phash kernel; min-over-alignment and the 1-based
+    first-occurrence argmin re-derived relationally."""
+    from lightcrawler_spark.imagecodec import decode_image, phash64
+
+    rows = []
+    for image_id, blob in _rot_near_fixture():
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            continue  # null-hash rows generate no pairs
+        vals = [str(phash64(t)) for t in _scalar_d4_transforms(arr)]
+        rows.append(f"({image_id}, " + ", ".join(vals) + ")")
+    pl = ", ".join(f"p{k}" for k in range(8))
+    dcols = ", ".join(
+        f"bit_count(xor(a.p{k}, b.p0)) AS d{k}" for k in range(8)
+    )
+    dl = ", ".join(f"d{k}" for k in range(8))
+    best = " ".join(
+        f"WHEN d{k} = m THEN {k + 1}" for k in range(8)
+    )
+    return f"""
+WITH t(image_id, {pl}) AS (VALUES
+{",".join(rows)}
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b, {dcols}
+  FROM t a JOIN t b ON a.image_id < b.image_id
+),
+m AS (
+  SELECT id_a, id_b, {dl}, LEAST({dl}) AS m FROM pairs
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  CAST(m AS INT) AS rot_hamming,
+  CAST(CASE {best} END AS INT) AS best_transform
+FROM m WHERE m <= 6
+"""
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6706,6 +6808,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_refetch": q_sitemap_refetch,
         "crawl_golden_ttl": q_crawl_golden_ttl,
         "host_report": q_host_report,
+        "rot_near_dup": q_rot_near_dup,
     }
 
 
@@ -10375,6 +10478,7 @@ SELECT host,
 FROM t GROUP BY host
 """,
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
+        "rot_near_dup": _rot_near_values_sql(),
         "sitemap_refetch": """
 WITH docs AS (
   SELECT doc_id,

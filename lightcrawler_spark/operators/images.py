@@ -48,6 +48,8 @@ __all__ = [
     "watermark_expr",
     "with_rot_invariant_hashes",
     "rot_invariant_dedup",
+    "with_d4_phashes",
+    "rot_near_dup_pairs",
     "normalize_orientation",
     "resize_images",
     "letterbox_images",
@@ -1583,3 +1585,142 @@ def rot_invariant_dedup(df: DataFrame, id_col: str = "image_id",
     return keyed.join(groups, "dup_key").withColumn(
         "is_kept", F.col(id_col) == F.col("rep_id")
     )
+
+
+_D4ALL_SCHEMA = T.StructType(
+    [T.StructField("phash_d4_all", T.ArrayType(T.LongType()))]
+)
+
+
+def with_d4_phashes(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """All 8 per-transform phashes as an array column (identity first —
+    element 1 in Spark's 1-based element_at). The substrate for
+    rotation-aware NEAR-dup candidacy: banding the d4-MIN key is
+    unsound (see with_rot_invariant_hashes' caveat), but banding every
+    per-transform hash of ONE side against the identity hash of the
+    other is — if some aligned pair is close, that transform's hash
+    bands with the other image's plain hash. One Arrow pass, no
+    shuffle; null array for undecodable/NULL blobs."""
+    out_schema = T.StructType(df.schema.fields + list(_D4ALL_SCHEMA.fields))
+    in_cols = df.schema.fieldNames()
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                try:
+                    arr = decode_image(bytes(b))
+                except Exception:
+                    out.append(None)
+                    continue
+                out.append([
+                    phash64(np.ascontiguousarray(op(arr)))
+                    for op in _ORIENT_OPS.values()
+                ])
+            pdf = pdf[in_cols].copy()
+            pdf["phash_d4_all"] = out
+            yield pdf
+
+    return df.mapInPandas(_hash, out_schema)
+
+
+def rot_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
+                       id_col: str = "image_id",
+                       bytes_col: str = "bytes",
+                       bands: int = 7) -> DataFrame:
+    """NEAR-dup pairs under rotation/mirroring: pairs whose BEST-ALIGNED
+    phash Hamming distance (min over the 8 dihedral alignments) is
+    ≤ ``max_hamming`` — catches an EXIF-stripped rotated re-ENCODE,
+    which neither rot_invariant_dedup (exact keys only) nor
+    phash_near_dup_pairs (no alignment) can.
+
+    METRIC (asymmetry, stated honestly): the pair distance is
+    min over the 8 transforms applied to the LOWER-id image, vs the
+    other image's identity hash. phash is not equivariant (p(T·X) is
+    not a permutation of p(X)), so transforming the other side can
+    give a slightly different min — but any true aligned near-dup is
+    close under BOTH conventions, and fixing the transformed side
+    makes candidacy and verdict agree exactly, which is what the
+    pigeonhole guarantee needs. Candidacy: every per-transform hash of
+    every image bands against identity hashes, join kept to
+    a.id < b.id with a = the transformed side (8× band keys on one
+    side, never 64×); the verdict re-derives the full
+    min-over-alignments popcount per candidate.
+
+    Recall: pigeonhole-GUARANTEED when the best alignment's distance
+    ≤ bands-1 — the default bands=7 makes candidacy EXACT at the
+    default max_hamming=6 (phash_guaranteed_recall's rule), so the
+    DuckDB oracle needs no candidacy clause.
+
+    Scale shape: band equi-join (8·bands keys per image on one side,
+    bands on the other), distinct, then a codegen'd 8-element
+    array_min popcount per CANDIDATE. No cartesian, no window.
+
+    Output: id_a < id_b, ``rot_hamming``, ``best_transform`` (1-based
+    EXIF orientation index of the argmin alignment, ties to the
+    lowest index).
+    """
+    hashed = with_d4_phashes(df, bytes_col=bytes_col).filter(
+        F.col("phash_d4_all").isNotNull()
+    ).select(F.col(id_col).alias("img_id"), "phash_d4_all")
+
+    ident = hashed.select(
+        F.col("img_id"), F.element_at("phash_d4_all", 1).alias("ph0")
+    )
+    right = ident.select(
+        "img_id", "ph0",
+        F.explode(F.array(*_hash_band_keys(F.col("ph0"), bands)))
+        .alias("chunk_key"),
+    )
+    left = hashed.select(
+        "img_id", F.explode("phash_d4_all").alias("ph_t")
+    ).select(
+        "img_id",
+        F.explode(F.array(*_hash_band_keys(F.col("ph_t"), bands)))
+        .alias("chunk_key"),
+    )
+    cand = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            hashed.select(F.col("img_id").alias("id_a"),
+                          F.col("phash_d4_all").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            ident.select(F.col("img_id").alias("id_b"),
+                         F.col("ph0").alias("ph_b")),
+            "id_b",
+        )
+        .withColumn(
+            "_dists",
+            F.transform(
+                F.col("arr_a"),
+                lambda x: F.bit_count(x.bitwiseXOR(F.col("ph_b"))),
+            ),
+        )
+        .withColumn("rot_hamming", F.array_min("_dists"))
+        .withColumn(
+            "best_transform",
+            (F.array_position(
+                F.col("_dists"), F.array_min("_dists")
+            )).cast("int"),
+        )
+    )
+    return scored.filter(
+        F.col("rot_hamming") <= F.lit(int(max_hamming))
+    ).select("id_a", "id_b", "rot_hamming", "best_transform")

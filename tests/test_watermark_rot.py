@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from lightcrawler_spark.imagecodec import encode_image
 from lightcrawler_spark.operators.images import (
@@ -213,3 +214,51 @@ def test_rot_invariant_dedup_string_ids(spark):
     # equal caption length: tie to the LOWEST id, string order
     assert got["img:a"]["rep_id"] == "img:a"
     assert got["img:a"]["is_kept"] is True and got["img:b"]["is_kept"] is False
+
+
+def test_rot_near_dup_pairs(spark):
+    # rotated RE-ENCODES (transform + ±16 noise): exact d4-key dedup
+    # misses them; alignment search finds them, and unrelated images
+    # stay apart
+    from lightcrawler_spark.operators.images import (
+        rot_invariant_dedup,
+        rot_near_dup_pairs,
+    )
+
+    base0 = np.random.default_rng(600).integers(0, 256, size=(24, 32, 3))
+    base1 = np.random.default_rng(601).integers(0, 256, size=(24, 32, 3))
+
+    def noisy(a, seed):
+        # ±16: strong enough that the exact d4-min keys differ (proven
+        # below), gentle enough that the aligned distance stays <= 6
+        return np.clip(
+            a.astype(np.int64)
+            + np.random.default_rng(seed).integers(-16, 17, size=a.shape),
+            0, 255,
+        )
+
+    rows = [
+        (0, _enc(base0)),
+        (1, _enc(noisy(np.rot90(base0), 700))),
+        (2, _enc(base1)),
+        (3, _enc(noisy(base1[::-1, ::-1], 702))),
+        (4, bytearray(b"notanimage")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in rot_near_dup_pairs(df).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+    assert pairs[(0, 1)]["rot_hamming"] <= 6
+    # the argmin alignment of the lower-id side is a real transform idx
+    assert 1 <= pairs[(0, 1)]["best_transform"] <= 8
+    # the exact-key path indeed MISSES the noisy rotated re-post —
+    # this operator exists because of that gap
+    cap = df.withColumn("caption", F.lit("c"))
+    exact = {
+        r["image_id"]: r for r in rot_invariant_dedup(cap).collect()
+    }
+    assert exact[0]["dup_key"] != exact[1]["dup_key"]

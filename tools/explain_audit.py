@@ -762,6 +762,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no rank window", r"!windowspecdefinition"),
     ],
+    # rotation-aware near-dup: banded candidate equi-join (8x keys on
+    # the exploded side), never cartesian; verdict a codegen'd
+    # array_min popcount per candidate, no window
+    "rot_near_dup": [
+        ("band equi-join",
+         r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+        ("no cartesian / nested-loop join",
+         r"!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no rank window", r"!windowspecdefinition"),
+    ],
     "byte_budgets": [
         ("partial-agg groupBy(host)", r"HashAggregate"),
         ("no join", r"!Join"),
