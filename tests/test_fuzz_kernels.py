@@ -224,3 +224,100 @@ def test_trim_silence_kernel_invariants(samples, threshold):
     idx2 = [i for i, s in enumerate(trimmed) if abs(s) > threshold]
     lo2, hi2 = (idx2[0], idx2[-1] + 1) if idx2 else (0, 0)
     assert trimmed[lo2:hi2] == trimmed
+
+
+# --- watermark band stats vs scalar oracle; d4 invariance ------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_watermark_stats_cross_formulation(h, w, seed):
+    # the vectorized numpy band stats must agree with the independent
+    # scalar index-loop oracle on ANY image shape, including 1-row
+    # (band == image) and 1-column (no transitions) degenerates
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from lightcrawler_spark.operators.images import (
+        _TXT_DIFF_THRESH,
+        _WM_BAND_DEN,
+    )
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    expect = entry._scalar_watermark_stats(arr)
+
+    gray = arr.astype(np.int64).sum(axis=2)
+    band_h = max(1, h // _WM_BAND_DEN)
+    band, rest = gray[h - band_h:], gray[: h - band_h]
+    if w >= 2:
+        bt = int((np.abs(band[:, 1:] - band[:, :-1]) >= _TXT_DIFF_THRESH).sum())
+        rt = int(
+            (np.abs(rest[:, 1:] - rest[:, :-1]) >= _TXT_DIFF_THRESH).sum()
+        ) if rest.size else 0
+    else:
+        bt = rt = 0
+    got = (
+        bt, int(band.size), rt, int(rest.size),
+        int(band.sum()), int(rest.sum()) if rest.size else 0,
+    )
+    assert got == expect
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=7),
+)
+def test_d4_min_invariance_fuzz(h, w, seed, which):
+    # min-over-D4 of phash/dhash is EXACTLY invariant under any of the
+    # 8 dihedral pre-transforms, for any image shape — the group-closure
+    # theorem, checked on raw pixels (no codec in the loop)
+    import numpy as np
+
+    from lightcrawler_spark.imagecodec import dhash64, phash64
+    from lightcrawler_spark.operators.images import _ORIENT_OPS
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    pre = np.ascontiguousarray(list(_ORIENT_OPS.values())[which](arr))
+
+    def d4min(a):
+        ph = [phash64(np.ascontiguousarray(op(a)))
+              for op in _ORIENT_OPS.values()]
+        dh = [dhash64(np.ascontiguousarray(op(a)))
+              for op in _ORIENT_OPS.values()]
+        return min(ph), min(dh)
+
+    assert d4min(arr) == d4min(pre)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_scalar_d4_transforms_match_numpy(h, w, seed):
+    # the oracle's explicit index-formula transforms must equal the
+    # kernel's numpy-slicing table element-for-element on any shape
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from lightcrawler_spark.operators.images import _ORIENT_OPS
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    for scalar_t, op in zip(
+        entry._scalar_d4_transforms(arr), _ORIENT_OPS.values()
+    ):
+        assert np.array_equal(scalar_t, np.ascontiguousarray(op(arr)))
