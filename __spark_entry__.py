@@ -6632,6 +6632,205 @@ FROM m WHERE m <= 6
 """
 
 
+def q_rot_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-aware near-dup CLUSTERS: rot_near_dup_pairs (banded
+    min-over-alignment candidates, exact at bands=7) → min-label
+    connected components (operators/graph.py) → per-image cluster +
+    canonical flag. The composition that turns aligned pair evidence
+    into a dedup decision; corrupt/NULL blobs stay singleton clusters.
+    Oracle: all-pairs min-over-transform popcount (no candidacy
+    clause) + recursive-CTE closure."""
+    from lightcrawler_spark.operators.graph import dedup_cluster_assignments
+    from lightcrawler_spark.operators.images import rot_near_dup_pairs
+
+    df = spark.createDataFrame(
+        _rot_near_fixture(), "image_id long, bytes binary"
+    )
+    pairs = rot_near_dup_pairs(df)
+    return dedup_cluster_assignments(
+        pairs, df, id_col="image_id"
+    ).select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_canonical",
+    )
+
+
+def _rot_clusters_values_sql() -> str:
+    from lightcrawler_spark.imagecodec import decode_image, phash64
+
+    rows = []
+    all_ids = []
+    for image_id, blob in _rot_near_fixture():
+        all_ids.append(str(image_id))
+        try:
+            arr = decode_image(bytes(blob))
+        except Exception:
+            continue
+        vals = [str(phash64(t)) for t in _scalar_d4_transforms(arr)]
+        rows.append(f"({image_id}, " + ", ".join(vals) + ")")
+    pl = ", ".join(f"p{k}" for k in range(8))
+    dl = ", ".join(
+        f"bit_count(xor(a.p{k}, b.p0))" for k in range(8)
+    )
+    ids = ", ".join(f"({i})" for i in all_ids)
+    return f"""
+WITH RECURSIVE
+t(image_id, {pl}) AS (VALUES
+{",".join(rows)}
+),
+n(image_id) AS (VALUES {ids}),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM t a JOIN t b ON a.image_id < b.image_id
+  WHERE LEAST({dl}) <= 6
+),
+sym AS (
+  SELECT id_a AS s, id_b AS t2 FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT image_id, image_id FROM n
+  UNION
+  SELECT sym.t2, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+)
+SELECT CAST(node AS BIGINT) AS image_id,
+       CAST(min(comp) AS BIGINT) AS cluster,
+       (node = min(comp)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+def _audio_quality_fixture() -> list:
+    """Shared fixture for the audio_quality contract: every defect path
+    of the clipping/dropout/DC screens. Returns (clip_id, blob)."""
+    import numpy as np
+
+    from lightcrawler_spark.operators.audio import make_wav_bytes
+
+    def wav(samples):
+        return bytearray(
+            make_wav_bytes(np.asarray(samples, dtype=np.int16), 16000)
+        )
+
+    rng = np.random.default_rng(90)
+    clean = rng.integers(-8000, 8001, size=2000)
+    hard_clip = np.tile([32767, -32768], 1000)
+    partial = clean.copy(); partial[500:650] = 32767
+    dropout = clean.copy(); dropout[800:2500 - 700] = 0
+    dc = np.clip(clean + 5000, -32768, 32767)
+    silent = np.zeros(2000)  # > the 1600-frame dropout threshold
+    return [
+        (0, wav(clean)),
+        (1, wav(hard_clip)),
+        (2, wav(partial)),
+        (3, wav(dropout)),
+        (4, wav(dc)),
+        (5, wav(silent)),
+        (6, bytearray(b"RIFFgarbage")),
+        (7, None),
+    ]
+
+
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio recording-defect screens
+    (operators/audio.py:with_audio_quality + audio_defect_expr):
+    rail-clipping count and longest rail run, longest exact-zero run
+    (digital dropouts), DC-offset sum — all exact int64 over channel 0,
+    verdict a codegen'd cross-multiplied expression. Fixture paths:
+    clean (keep), hard-clipped everywhere, 150-frame partial clip,
+    1000-frame dropout gap, +5000 DC offset, all-silent (one 2000-frame
+    zero run → defective), corrupt blob and NULL (aq_ok false → NULL
+    verdict).
+    Oracle: independent scalar run-length loops over the SHARED sample
+    arrays, verdict re-derived in SQL."""
+    from lightcrawler_spark.operators.audio import (
+        audio_defect_expr,
+        with_audio_quality,
+    )
+
+    df = spark.createDataFrame(
+        _audio_quality_fixture(), "clip_id long, bytes binary"
+    )
+    return (
+        with_audio_quality(df)
+        .withColumn("defective", audio_defect_expr())
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            "aq_ok", "aq_n_frames", "aq_clip_count", "aq_max_clip_run",
+            "aq_max_zero_run", "aq_dc_sum", "defective",
+        )
+    )
+
+
+def _scalar_audio_quality(samples) -> tuple:
+    """Sequential scalar loops (explicit run counters, no numpy) —
+    deliberately NOT the vectorized mask/run-length math of
+    audio_quality_udf, so oracle and kernel cannot share a bug."""
+    n = len(samples)
+    clip_count = 0
+    max_clip = max_zero = cur_clip = cur_zero = 0
+    dc = 0
+    for v in samples:
+        v = int(v)
+        dc += v
+        if abs(v) >= 32767:
+            clip_count += 1
+            cur_clip += 1
+            max_clip = max(max_clip, cur_clip)
+        else:
+            cur_clip = 0
+        if v == 0:
+            cur_zero += 1
+            max_zero = max(max_zero, cur_zero)
+        else:
+            cur_zero = 0
+    return n, clip_count, max_clip, max_zero, dc
+
+
+def _audio_quality_values_sql() -> str:
+    import numpy as np
+
+    from lightcrawler_spark.operators.audio import parse_wav
+
+    rows = []
+    for clip_id, blob in _audio_quality_fixture():
+        m = parse_wav(bytes(blob) if blob is not None else None)
+        if m is None or m["bits"] != 16:
+            rows.append(
+                f"({clip_id}, false, NULL, NULL, NULL, NULL, NULL)"
+            )
+            continue
+        # decode independently of the kernel's numpy slicing: struct
+        # iteration over the data chunk
+        import struct as _struct
+
+        raw = bytes(blob)[m["data_off"]:m["data_off"] + m["data_len"]]
+        step = 2 * m["channels"]
+        samples = [
+            _struct.unpack_from("<h", raw, i)[0]
+            for i in range(0, len(raw) - step + 1, step)
+        ]
+        n, cc, mc, mz, dc = _scalar_audio_quality(samples)
+        rows.append(f"({clip_id}, true, {n}, {cc}, {mc}, {mz}, {dc})")
+    return (
+        "SELECT CAST(clip_id AS BIGINT) AS clip_id,\n"
+        "       CAST(ok AS BOOLEAN) AS aq_ok,\n"
+        "       CAST(n AS BIGINT) AS aq_n_frames,\n"
+        "       CAST(cc AS BIGINT) AS aq_clip_count,\n"
+        "       CAST(mc AS BIGINT) AS aq_max_clip_run,\n"
+        "       CAST(mz AS BIGINT) AS aq_max_zero_run,\n"
+        "       CAST(dc AS BIGINT) AS aq_dc_sum,\n"
+        "       CASE WHEN NOT ok OR n = 0 THEN NULL\n"
+        "            ELSE (cc * 100 > 1 * n)\n"
+        "                 OR (mz > 1600)\n"
+        "                 OR (abs(dc) * 100 > 5 * 32768 * n)\n"
+        "       END AS defective\n"
+        "FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(clip_id, ok, n, cc, mc, mz, dc)"
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -6809,6 +7008,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_golden_ttl": q_crawl_golden_ttl,
         "host_report": q_host_report,
         "rot_near_dup": q_rot_near_dup,
+        "rot_dedup_clusters": q_rot_dedup_clusters,
+        "audio_quality": q_audio_quality,
     }
 
 
@@ -10479,6 +10680,8 @@ FROM t GROUP BY host
 """,
         "rot_dedup_pipeline": _rot_dedup_values_sql(),
         "rot_near_dup": _rot_near_values_sql(),
+        "rot_dedup_clusters": _rot_clusters_values_sql(),
+        "audio_quality": _audio_quality_values_sql(),
         "sitemap_refetch": """
 WITH docs AS (
   SELECT doc_id,

@@ -214,3 +214,66 @@ def test_trim_silence_roundtrip(spark):
     assert parse_wav(bytes(out[1]["bytes_trimmed"]))["n_frames"] == 0
     assert out[2]["bytes_trimmed"] is None
     assert out[3]["trim_start"] is None
+
+
+class TestAudioQuality:
+    """Recording-defect screens (with_audio_quality +
+    audio_defect_expr): verdict paths pinned per archetype."""
+
+    def _run(self, spark, rows):
+        from lightcrawler_spark.operators.audio import (
+            audio_defect_expr,
+            with_audio_quality,
+        )
+
+        df = spark.createDataFrame(rows, "clip_id long, bytes binary")
+        out = (
+            with_audio_quality(df)
+            .withColumn("defective", audio_defect_expr())
+            .collect()
+        )
+        return {r["clip_id"]: r for r in out}
+
+    def test_defect_paths(self, spark):
+        from lightcrawler_spark.operators.audio import make_wav_bytes
+
+        def wav(s):
+            return bytearray(
+                make_wav_bytes(np.asarray(s, dtype=np.int16), 16000)
+            )
+
+        rng = np.random.default_rng(90)
+        clean = rng.integers(-8000, 8001, size=2000)
+        partial = clean.copy(); partial[500:650] = 32767
+        dropout = clean.copy(); dropout[100:1900] = 0
+        dc = np.clip(clean + 5000, -32768, 32767)
+        got = self._run(spark, [
+            (0, wav(clean)),
+            (1, wav(np.tile([32767, -32768], 1000))),
+            (2, wav(partial)),
+            (3, wav(dropout)),
+            (4, wav(dc)),
+            (5, wav(np.zeros(2000))),
+            (6, bytearray(b"nope")),
+            (7, None),
+        ])
+        assert got[0]["defective"] is False
+        assert got[1]["defective"] is True
+        assert got[1]["aq_max_clip_run"] == 2000   # one unbroken rail run
+        assert got[2]["defective"] is True         # 150/2000 = 7.5% > 1%
+        assert got[2]["aq_max_clip_run"] == 150
+        assert got[3]["defective"] is True         # 1800-frame zero gap
+        assert got[3]["aq_max_zero_run"] >= 1800
+        assert got[4]["defective"] is True         # ~15% DC offset
+        assert got[5]["defective"] is True         # 2000-frame zero run
+        assert got[6]["defective"] is None and got[6]["aq_ok"] is False
+        assert got[7]["defective"] is None
+
+    def test_empty_clip_null_verdict(self, spark):
+        from lightcrawler_spark.operators.audio import make_wav_bytes
+
+        got = self._run(spark, [
+            (0, bytearray(make_wav_bytes(np.zeros(0, dtype=np.int16), 16000))),
+        ])
+        assert got[0]["aq_n_frames"] == 0
+        assert got[0]["defective"] is None
