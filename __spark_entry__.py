@@ -6831,6 +6831,79 @@ def _audio_quality_values_sql() -> str:
     )
 
 
+_REFETCH_NOW_UNIX = 1707523200  # 2024-02-10T00:00:00Z, after the events span
+
+
+def q_refetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-selection flagship: BOTH freshness signals merged into
+    one prioritized refetch set — change-frequency scheduling
+    (scheduler.recrawl_schedule, Cho & Garcia-Molina) marks URLs whose
+    next_fetch time passed ('age_due', rank 3), the sitemap lastmod
+    signal (sitemap.sitemap_refetch) marks publisher-declared changes
+    ('modified', rank 1) and never-fetched listings ('never_fetched',
+    rank 2); per URL the HIGHEST-priority reason wins via one
+    min(struct) partial aggregate (no rank window). URL spaces overlap
+    by construction so the argmin does real work. Oracle re-derives
+    the whole chain: lag-window change counts → intervals → due set,
+    lastmod normalization → verdicts, union → per-URL argmin."""
+    from lightcrawler_spark.operators.admission import host_expr
+    from lightcrawler_spark.operators.scheduler import recrawl_schedule
+    from lightcrawler_spark.operators.sitemap import sitemap_refetch
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(F.lit("http://recrawl.test/p/"),
+                 (F.col("event_id") % 300).cast("string")).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        F.md5(F.col("event_type")).alias("content_hash"),
+        F.col("event_id").alias("seq"),
+    )
+    due = recrawl_schedule(hist, seq_col="seq").filter(
+        F.col("next_fetch_unix") <= F.lit(_REFETCH_NOW_UNIX)
+    ).select("url", F.lit("age_due").alias("reason"),
+             F.lit(3).alias("reason_rank"))
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = F.concat(F.lit("http://recrawl.test/p/"),
+                   F.col("doc_id").cast("string"))
+    entries = docs.select(
+        url.alias("loc"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
+                     F.lit("-15")),
+        )
+        .otherwise(
+            F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
+                     F.lit("-15T0"), (F.col("doc_id") % 10).cast("string"),
+                     F.lit(":30:00Z"))
+        ).alias("lastmod"),
+    )
+    pages = docs.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"),
+        F.concat(F.lit("2024-0"), ((F.col("doc_id") % 4) + 3).cast("string"),
+                 F.lit("-01T00:00:00Z")).alias("fetched_at"),
+    )
+    sm = sitemap_refetch(entries, pages).filter(
+        F.col("needs_refetch")
+    ).select(
+        F.col("loc").alias("url"),
+        F.col("refetch_reason").alias("reason"),
+        F.when(F.col("refetch_reason") == "modified", F.lit(1))
+        .otherwise(F.lit(2)).alias("reason_rank"),
+    )
+    merged = due.unionByName(sm).groupBy("url").agg(
+        F.min(F.struct("reason_rank", "reason")).alias("_r")
+    )
+    return merged.select(
+        "url",
+        host_expr(F.col("url")).alias("host"),
+        F.col("_r.reason").alias("reason"),
+        F.col("_r.reason_rank").cast("int").alias("reason_rank"),
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -7010,6 +7083,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rot_near_dup": q_rot_near_dup,
         "rot_dedup_clusters": q_rot_dedup_clusters,
         "audio_quality": q_audio_quality,
+        "refetch_pipeline": q_refetch_pipeline,
     }
 
 
@@ -10682,6 +10756,92 @@ FROM t GROUP BY host
         "rot_near_dup": _rot_near_values_sql(),
         "rot_dedup_clusters": _rot_clusters_values_sql(),
         "audio_quality": _audio_quality_values_sql(),
+        "refetch_pipeline": r"""
+WITH hist AS (
+  SELECT 'http://recrawl.test/p/' || (event_id % 300) AS url,
+         ts AS fetch_ts, md5(event_type) AS content_hash,
+         event_id AS seq
+  FROM events
+),
+flagged AS (
+  SELECT url, CAST(floor(epoch(fetch_ts)) AS BIGINT) AS unix_s,
+    CASE WHEN lag(content_hash) OVER (
+             PARTITION BY url ORDER BY fetch_ts, seq) IS NOT NULL
+         AND lag(content_hash) OVER (
+             PARTITION BY url ORDER BY fetch_ts, seq) <> content_hash
+         THEN 1 ELSE 0 END AS chg
+  FROM hist
+),
+agg AS (
+  SELECT url, count(*) AS n_fetches, sum(chg) AS n_changes,
+         min(unix_s) AS first_unix, max(unix_s) AS last_unix
+  FROM flagged GROUP BY url
+),
+due AS (
+  SELECT url, 'age_due' AS reason, 3 AS reason_rank
+  FROM (
+    SELECT url, last_unix,
+      CASE WHEN n_fetches <= 1 THEN 2592000
+           ELSE least(greatest(
+                  CAST(floor((last_unix - first_unix)::DOUBLE
+                             / (n_changes + 1)) AS BIGINT),
+                  3600), 2592000) END AS iv
+    FROM agg
+  ) WHERE last_unix + iv <= 1707523200
+),
+docs AS (
+  SELECT doc_id, 'http://recrawl.test/p/' || doc_id AS loc
+  FROM documents WHERE doc_id < 400
+),
+e AS (
+  SELECT loc,
+    CASE WHEN doc_id % 5 = 0 THEN NULL
+         WHEN doc_id % 5 = 1 THEN
+           '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15'
+         ELSE '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15T0'
+              || CAST(doc_id % 10 AS VARCHAR) || ':30:00Z'
+    END AS lastmod
+  FROM docs
+),
+p AS (
+  SELECT loc,
+    '2024-0' || CAST((doc_id % 4) + 3 AS VARCHAR) || '-01T00:00:00Z'
+      AS fetched_at
+  FROM docs WHERE doc_id % 3 <> 0
+),
+en AS (
+  SELECT loc,
+    CASE WHEN regexp_matches(lm2,
+      '^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|\+00:00)?)?$')
+      THEN CASE WHEN strlen(lm2) = 10
+                THEN lm2 || 'T00:00:00Z' ELSE lm2 END
+    END AS lastmod_norm
+  FROM (SELECT loc, regexp_replace(lastmod, '\+00:00$', 'Z') AS lm2 FROM e) s
+),
+sm AS (
+  SELECT en.loc AS url,
+    CASE WHEN p.fetched_at IS NULL THEN 'never_fetched'
+         WHEN en.lastmod_norm IS NOT NULL AND en.lastmod_norm > p.fetched_at
+         THEN 'modified' END AS reason
+  FROM en LEFT JOIN p ON en.loc = p.loc
+),
+sm2 AS (
+  SELECT url, reason,
+    CASE WHEN reason = 'modified' THEN 1 ELSE 2 END AS reason_rank
+  FROM sm WHERE reason IS NOT NULL
+),
+u AS (
+  SELECT * FROM due UNION ALL SELECT * FROM sm2
+),
+best AS (
+  SELECT url, min(reason_rank) AS reason_rank FROM u GROUP BY url
+)
+SELECT b.url, 'recrawl.test' AS host,
+  CASE b.reason_rank WHEN 1 THEN 'modified'
+       WHEN 2 THEN 'never_fetched' ELSE 'age_due' END AS reason,
+  CAST(b.reason_rank AS INT) AS reason_rank
+FROM best b
+""",
         "sitemap_refetch": """
 WITH docs AS (
   SELECT doc_id,
