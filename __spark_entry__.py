@@ -6904,6 +6904,48 @@ def q_refetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_golden_hostcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime per-host quotas end-to-end (spec.host_page_cap /
+    host_byte_cap — the Heritrix maxDocsPerHost analog): hosts whose
+    committed page/byte totals reach the cap drop out of pending for
+    good (partial-agg + broadcast anti-join, the cooldown shape;
+    BSP overshoot of ≤ one round's budget by design). Byte-cap
+    fixture: the ~2 KB-page host caps after its second content page
+    while the ~40 B host fetches everything. Engine trace vs the
+    reference-semantics simulator (VALUES-literal oracle)."""
+    from lightcrawler_spark.fixtures import (
+        bytebudget_spec,
+        make_bytebudget_webgraph,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = bytebudget_spec(host_byte_budget=0, host_byte_cap=3000,
+                           host_page_cap=5)
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_bytebudget_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_hostcap_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        bytebudget_spec,
+        make_bytebudget_webgraph,
+        simulate_reference_crawl,
+    )
+
+    golden = simulate_reference_crawl(
+        make_bytebudget_webgraph(),
+        bytebudget_spec(host_byte_budget=0, host_byte_cap=3000,
+                        host_page_cap=5),
+    )
+    return _golden_values_sql(golden)
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -7084,6 +7126,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rot_dedup_clusters": q_rot_dedup_clusters,
         "audio_quality": q_audio_quality,
         "refetch_pipeline": q_refetch_pipeline,
+        "crawl_golden_hostcap": q_crawl_golden_hostcap,
     }
 
 
@@ -10717,6 +10760,7 @@ WHERE n_repeats > 0
         "crawl_golden_conditional": _golden_conditional_values_sql(),
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
         "crawl_golden_ttl": _golden_ttl_values_sql(),
+        "crawl_golden_hostcap": _golden_hostcap_values_sql(),
         "host_report": """
 WITH t AS (
   SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.test' AS host,

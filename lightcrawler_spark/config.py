@@ -223,6 +223,18 @@ class CrawlSpec:
     # insertion round is recovered from insert_seq's bit-packing —
     # no new state, resume-safe by construction.
     frontier_ttl_rounds: int = 0
+    # P8/P10 per-host LIFETIME quotas (the Heritrix maxDocsPerHost
+    # analog; the reference has only global request/traffic limits):
+    # once a host has host_page_cap claimed pages (or host_byte_cap
+    # received bytes) across the whole crawl, its pending rows become
+    # ineligible — breadth fairness against mega-sites. 0 = off.
+    # Eligibility is decided on COMMITTED totals at round start (BSP),
+    # so a host can overshoot its cap by up to one round's budget —
+    # quotas gate rounds, they don't cut mid-round. Derived each round
+    # from the committed pages (resume-safe); a tiny capped-host dim
+    # broadcast into an anti-join, the cooldown shape.
+    host_page_cap: int = 0
+    host_byte_cap: int = 0
     # fetch-stage host-salting kicks in at this round budget: below it a
     # work-list is small enough that the extra shuffle costs more than
     # the skew it defuses; production budgets (thousands+) always salt

@@ -933,6 +933,19 @@ def simulate_reference_crawl(
     # contribute 0 bytes), consumed at NEXT round's batch selection —
     # the engine derives its dim from pages persisted up to r-1
     byte_stats: dict[str, list] = {}
+    # lifetime host quotas (host_page_cap / host_byte_cap): totals over
+    # all prior pops, mirroring the engine's claimed-pages aggregate
+    host_pages: dict[str, int] = {}
+    host_cap_bytes: dict[str, int] = {}
+
+    def _host_capped(host: str) -> bool:
+        if spec.host_page_cap > 0 and host_pages.get(host, 0) >= spec.host_page_cap:
+            return True
+        if (spec.host_byte_cap > 0
+                and host_cap_bytes.get(host, 0) >= spec.host_byte_cap):
+            return True
+        return False
+
     recv_rules_std = [
         _re.compile(php_regex_to_std(x))
         for x in spec.content_type_receive_rules
@@ -1031,7 +1044,7 @@ def simulate_reference_crawl(
                 prev[0], -1 if prev[1] is None else prev[1]
             ):
                 throttled_hosts[nxt["host"]] = cand
-        if spec.host_byte_budget > 0:
+        if spec.host_byte_budget > 0 or spec.host_byte_cap > 0:
             ct = (p["content_type"] or "") if p else ""
             received = (
                 not exhausted and p is not None and 200 <= status <= 299
@@ -1040,9 +1053,16 @@ def simulate_reference_crawl(
             nbytes = (
                 len(p["body"]) if received and p["body"] is not None else 0
             )
-            st = byte_stats.setdefault(nxt["host"], [0, 0])
-            st[0] += 1
-            st[1] += nbytes
+            if spec.host_byte_budget > 0:
+                st = byte_stats.setdefault(nxt["host"], [0, 0])
+                st[0] += 1
+                st[1] += nbytes
+            if spec.host_byte_cap > 0:
+                host_cap_bytes[nxt["host"]] = (
+                    host_cap_bytes.get(nxt["host"], 0) + nbytes
+                )
+        if spec.host_page_cap > 0:
+            host_pages[nxt["host"]] = host_pages.get(nxt["host"], 0) + 1
         if p is None or exhausted:
             return
         # body only when received (status 2xx + html), like the engine's
@@ -1161,6 +1181,12 @@ def simulate_reference_crawl(
                         row["if_none_match"] = h.get("etag")
                         row["if_modified_since"] = h.get("lm")
                     pending.append(row)
+        if spec.host_page_cap > 0 or spec.host_byte_cap > 0:
+            # lifetime quotas: capped hosts drop out of pending for
+            # good (the engine filters before its cooldown capture, so
+            # an all-capped frontier shares the idle/drain semantics
+            # below — including the engine's revisit-budget idle)
+            pending = [f for f in pending if not _host_capped(f["host"])]
         if not pending:
             if revisit_rules and any(
                 h["n"] <= spec.max_revisits for h in fetch_hist.values()

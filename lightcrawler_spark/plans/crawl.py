@@ -743,6 +743,31 @@ class CrawlEngine:
             else:
                 cands = cands.drop("if_none_match", "if_modified_since")
             pending = pending.unionByName(cands)
+        if (spec.host_page_cap > 0 or spec.host_byte_cap > 0) \
+                and claimed is not None:
+            # lifetime host quotas: page/byte totals over ALL committed
+            # pages; hosts at either cap drop out of pending for good
+            # (same partial-agg + broadcast anti-join shape as cooldown)
+            totals = claimed.groupBy("host").agg(
+                F.count(F.lit(1)).alias("_n_pages"),
+                F.coalesce(
+                    F.sum(F.col("bytes_received").cast("long")), F.lit(0)
+                ).alias("_n_bytes"),
+            )
+            cap_pred = F.lit(False)
+            if spec.host_page_cap > 0:
+                cap_pred = cap_pred | (
+                    F.col("_n_pages") >= F.lit(int(spec.host_page_cap))
+                )
+            if spec.host_byte_cap > 0:
+                cap_pred = cap_pred | (
+                    F.col("_n_bytes") >= F.lit(int(spec.host_byte_cap))
+                )
+            capped = totals.filter(cap_pred).select("host")
+            pending = pending.join(F.broadcast(capped), "host", "left_anti")
+            # BEFORE the pending_before_cooldown capture: quota-capped
+            # rows are dead for the rest of the crawl (unlike cooling
+            # rows) and must not hold an idle cooldown crawl alive
         pending_before_cooldown = pending
         if spec.host_delay_rounds > 0:
             # P8 cross-round cooldown: hosts fetched within the last

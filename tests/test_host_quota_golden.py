@@ -1,0 +1,79 @@
+"""Lifetime per-host quotas (spec.host_page_cap / host_byte_cap — the
+Heritrix maxDocsPerHost analog): engine==simulator golden parity,
+quota dynamics on the heavy/light host fixture, off-control."""
+
+from __future__ import annotations
+
+import pytest
+
+from lightcrawler_spark.fixtures import (
+    HOST_BB_BIG,
+    HOST_BB_SMALL,
+    bytebudget_spec,
+    make_bytebudget_webgraph,
+    simulate_reference_crawl,
+    webgraph_df,
+)
+from lightcrawler_spark.plans.crawl import CrawlEngine
+from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _run(spark, spec):
+    engine = CrawlEngine(
+        spark, spec,
+        SyntheticFetcher(webgraph_df(spark, make_bytebudget_webgraph()), spec),
+    )
+    return (
+        engine.run(max_rounds=60)
+        .trace.select("seq", "url", "status").orderBy("seq").collect()
+    )
+
+
+def _counts(rows):
+    c = {}
+    for r in rows:
+        for h in (HOST_BB_BIG, HOST_BB_SMALL):
+            if h in r["url"]:
+                c[h] = c.get(h, 0) + 1
+    return c
+
+
+def test_page_cap_golden_parity(spark):
+    # page cap 3 at per-host budget 3: round 1 claims the root, round 2
+    # adds a full budget (BSP overshoot — eligibility is decided on
+    # committed totals at round start), round 3 sees 4 >= 3 -> capped
+    spec = bytebudget_spec(host_byte_budget=0, host_page_cap=3)
+    golden = simulate_reference_crawl(make_bytebudget_webgraph(), spec)
+    rows = _run(spark, spec)
+    assert [(r["seq"], r["url"], r["status"]) for r in rows] == [
+        (t["seq"], t["url"], t["status"]) for t in golden
+    ]
+    c = _counts(rows)
+    assert c[HOST_BB_BIG] == 4 and c[HOST_BB_SMALL] == 4
+
+
+def test_byte_cap_golden_parity(spark):
+    # byte cap 3000: the heavy host (~2 KB pages) caps after its second
+    # content page; the light host (~40 B) never comes close
+    spec = bytebudget_spec(host_byte_budget=0, host_byte_cap=3000)
+    golden = simulate_reference_crawl(make_bytebudget_webgraph(), spec)
+    rows = _run(spark, spec)
+    assert [(r["seq"], r["url"], r["status"]) for r in rows] == [
+        (t["seq"], t["url"], t["status"]) for t in golden
+    ]
+    c = _counts(rows)
+    assert c[HOST_BB_BIG] < 6
+    assert c[HOST_BB_SMALL] == 6
+
+
+def test_caps_off_control(spark):
+    spec = bytebudget_spec(host_byte_budget=0)
+    golden = simulate_reference_crawl(make_bytebudget_webgraph(), spec)
+    rows = _run(spark, spec)
+    assert [(r["seq"], r["url"], r["status"]) for r in rows] == [
+        (t["seq"], t["url"], t["status"]) for t in golden
+    ]
+    c = _counts(rows)
+    assert c[HOST_BB_BIG] == 6 and c[HOST_BB_SMALL] == 6
