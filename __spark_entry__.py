@@ -6946,6 +6946,42 @@ def _golden_hostcap_values_sql() -> str:
     return _golden_values_sql(golden)
 
 
+def q_keyword_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category keyword screen (operators/text.py:keyword_screen): the
+    LAION-style list cut as pure JVM regexp_count per category
+    (word-boundary, case-insensitive, escaped literals — the list is
+    config, the mechanism is the operator). Captions synthesized from
+    documents with injected hits: every 7th gets a stock-site
+    attribution (twice, mixed case), every 11th a placeholder phrase,
+    every 13th 'NSFW'; word-boundary honesty pinned by a 'shutterstocky'
+    non-hit suffix on every 5th. Oracle re-counts via
+    len(regexp_extract_all) with an equivalently word-bounded RE2
+    pattern (the operator anchors per keyword EDGE so non-word-edged
+    keywords like 'c++' still match; for these all-word-edged lists
+    the two forms are identical)."""
+    from lightcrawler_spark.operators.text import keyword_screen
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    cap = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" shutterstocky"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" photo by ShutterStock via shutterstock"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" No Image Available"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" NSFW"))
+        .otherwise(F.lit("")),
+    )
+    df = docs.select("doc_id", cap.alias("caption"))
+    return keyword_screen(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "caption", "kw_nsfw", "kw_placeholder", "kw_stock_site",
+        "kw_flagged",
+    )
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -7127,6 +7163,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality": q_audio_quality,
         "refetch_pipeline": q_refetch_pipeline,
         "crawl_golden_hostcap": q_crawl_golden_hostcap,
+        "keyword_screen": q_keyword_screen,
     }
 
 
@@ -10800,6 +10837,33 @@ FROM t GROUP BY host
         "rot_near_dup": _rot_near_values_sql(),
         "rot_dedup_clusters": _rot_clusters_values_sql(),
         "audio_quality": _audio_quality_values_sql(),
+        "keyword_screen": r"""
+WITH caps AS (
+  SELECT doc_id,
+    substr(text, 1, 40)
+    || CASE WHEN doc_id % 5 = 0 THEN ' shutterstocky' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' photo by ShutterStock via shutterstock' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' No Image Available' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' NSFW' ELSE '' END AS caption
+  FROM documents WHERE doc_id < 500
+),
+counted AS (
+  SELECT doc_id, caption,
+    len(regexp_extract_all(caption,
+      '(?i)\b(?:explicit\ content|nsfw)\b'))::BIGINT AS kw_nsfw,
+    len(regexp_extract_all(caption,
+      '(?i)\b(?:coming\ soon|image\ not\ found|lorem\ ipsum|no\ image\ available)\b'))::BIGINT
+      AS kw_placeholder,
+    len(regexp_extract_all(caption,
+      '(?i)\b(?:alamy|dreamstime|getty\ images|istockphoto|shutterstock)\b'))::BIGINT
+      AS kw_stock_site
+  FROM caps
+)
+SELECT doc_id, caption, kw_nsfw, kw_placeholder, kw_stock_site,
+  (kw_nsfw > 0 OR kw_placeholder > 0 OR kw_stock_site > 0) AS kw_flagged
+FROM counted
+""",
         "refetch_pipeline": r"""
 WITH hist AS (
   SELECT 'http://recrawl.test/p/' || (event_id % 300) AS url,

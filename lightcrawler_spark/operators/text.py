@@ -33,6 +33,8 @@ __all__ = [
     "bpe_train",
     "ccnet_buckets",
     "corpus_datasheet",
+    "keyword_screen",
+    "DEFAULT_KEYWORD_CATEGORIES",
 ]
 
 # tiny stopword marker sets — deliberately small & fixed so the SQL oracle
@@ -777,3 +779,70 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text",
         .unionByName(rows(by_lang, F.col("_lang"), "lang:"))
         .unionByName(rows(by_src, F.col("_src"), "source:"))
     )
+
+
+# Default screen categories — a DEMO list (production deployments ship
+# their own curated lists; the mechanism, not the list, is the
+# operator). Keywords are matched as whole words, case-insensitive.
+DEFAULT_KEYWORD_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "stock_site": (
+        "shutterstock", "getty images", "alamy", "dreamstime",
+        "istockphoto",
+    ),
+    "placeholder": (
+        "no image available", "image not found", "coming soon",
+        "lorem ipsum",
+    ),
+    "nsfw": ("nsfw", "explicit content"),
+}
+
+
+def keyword_screen(
+    df: DataFrame,
+    categories: dict[str, tuple[str, ...]] | None = None,
+    text_col: str = "caption",
+) -> DataFrame:
+    """Category keyword screen over a text/caption column — the
+    LAION-style list-based cut (stock-site attributions, placeholder
+    alt-text, NSFW terms) as pure JVM regex: one codegen'd
+    ``regexp_count`` per category with a word-boundary, case-insensitive
+    alternation of ESCAPED literal keywords. No UDF, no shuffle; the
+    screen rides the scan like the admission battery (F5-F7), and the
+    DuckDB oracle re-counts with the identical RE2-compatible pattern.
+
+    The keyword list is pure CONFIG (callers ship their own curated
+    lists; DEFAULT_KEYWORD_CATEGORIES is a demo) — exactly how the
+    reference treats its deny/allow regex rules as per-site data.
+
+    Adds ``kw_<category>`` (hit count, long) per category and
+    ``kw_flagged`` (any category hit). NULL text → 0 counts, flagged
+    false (nothing to screen; emptiness is the quality gate's job).
+    """
+    import re as _re
+
+    def _bounded(kw: str) -> str:
+        # \b only exists at a word/non-word edge: anchor each keyword
+        # edge only when that edge IS a word character, so keywords
+        # like 'c++' still match as standalone tokens
+        pre = r"\b" if _re.match(r"\w", kw) else ""
+        suf = r"\b" if _re.search(r"\w$", kw) else ""
+        return pre + _re.escape(kw) + suf
+
+    if categories is None:
+        categories = DEFAULT_KEYWORD_CATEGORIES
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    flag = F.lit(False)
+    out = df
+    for cat in sorted(categories):
+        kws = categories[cat]
+        if not kws:
+            raise ValueError(f"empty keyword list for category {cat!r}")
+        pat = "(?i)(?:" + "|".join(
+            _bounded(k) for k in sorted(kws)
+        ) + ")"
+        out = out.withColumn(
+            f"kw_{cat}",
+            F.regexp_count(text, F.lit(pat)).cast("long"),
+        )
+        flag = flag | (F.col(f"kw_{cat}") > 0)
+    return out.withColumn("kw_flagged", flag)

@@ -133,3 +133,44 @@ class TestBoilerplateLines:
         line2 = "fox dog cat bird cow pig hen owl bat rat"
         df2 = spark.createDataFrame([(1, line2)], "doc_id long, text string")
         assert strip_boilerplate_lines(df2).collect()[0].n_boiler == 1
+
+
+class TestKeywordScreen:
+    """Category keyword screen (text.keyword_screen): word-boundary
+    honesty, null text, custom categories, empty-list guard."""
+
+    def test_paths(self, spark):
+        from lightcrawler_spark.operators.text import keyword_screen
+
+        df = spark.createDataFrame(
+            [
+                (0, "a photo by Shutterstock of a cat"),
+                (1, "shutterstocky is not a hit"),
+                (2, "No Image Available"),
+                (3, None),
+                (4, "getty images watermark visible"),
+            ],
+            "doc_id long, caption string",
+        )
+        got = {r["doc_id"]: r for r in keyword_screen(df).collect()}
+        assert got[0]["kw_stock_site"] == 1 and got[0]["kw_flagged"] is True
+        assert got[1]["kw_stock_site"] == 0 and got[1]["kw_flagged"] is False
+        assert got[2]["kw_placeholder"] == 1
+        assert got[3]["kw_flagged"] is False     # null -> nothing to screen
+        assert got[4]["kw_stock_site"] == 1      # multi-word keyword
+
+    def test_custom_categories_and_guard(self, spark):
+        import pytest as _pytest
+
+        from lightcrawler_spark.operators.text import keyword_screen
+
+        df = spark.createDataFrame(
+            [(0, "foo C++ bar")], "doc_id long, caption string"
+        )
+        got = keyword_screen(
+            df, {"lang": ("c++",)}
+        ).collect()[0]
+        # regex metacharacters in keywords are escaped, not interpreted
+        assert got["kw_lang"] == 1
+        with _pytest.raises(ValueError):
+            keyword_screen(df, {"empty": ()})
