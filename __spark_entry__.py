@@ -6982,6 +6982,46 @@ def q_keyword_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_golden_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-INTERACTION golden: conditional-GET revisits, byte-
+    derived per-host budgets, frontier TTL and lifetime page quotas all
+    ON in one crawl over the heavy/light host web (ETags on the heavy
+    host's details). The dims interact — budgets shape which rounds
+    revisits land in, quotas end hosts, TTL ages what the budgets
+    delayed — and the trace must still match the reference-semantics
+    simulator pop for pop (VALUES-literal oracle). Composition is
+    where politeness bugs hide; this row certifies the four features
+    compose exactly."""
+    from lightcrawler_spark.fixtures import (
+        combined_spec,
+        make_combined_webgraph,
+        webgraph_df,
+    )
+    from lightcrawler_spark.plans.crawl import CrawlEngine
+    from lightcrawler_spark.sources.fetcher import SyntheticFetcher
+
+    spec = combined_spec()
+    engine = CrawlEngine(
+        spark, spec, SyntheticFetcher(
+            webgraph_df(spark, make_combined_webgraph()), spec
+        ),
+    )
+    return _run_engine_trace(spark, engine)
+
+
+def _golden_combined_values_sql() -> str:
+    from lightcrawler_spark.fixtures import (
+        combined_spec,
+        make_combined_webgraph,
+        simulate_reference_crawl,
+    )
+
+    golden = simulate_reference_crawl(
+        make_combined_webgraph(), combined_spec()
+    )
+    return _golden_values_sql(golden)
+
+
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full query registry in stable topical grouping order (crawl →
     content → curation → multimodal → archive). queries() reorders it for
@@ -7164,6 +7204,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refetch_pipeline": q_refetch_pipeline,
         "crawl_golden_hostcap": q_crawl_golden_hostcap,
         "keyword_screen": q_keyword_screen,
+        "crawl_golden_combined": q_crawl_golden_combined,
     }
 
 
@@ -10798,6 +10839,7 @@ WHERE n_repeats > 0
         "crawl_golden_bytebudget": _golden_bytebudget_values_sql(),
         "crawl_golden_ttl": _golden_ttl_values_sql(),
         "crawl_golden_hostcap": _golden_hostcap_values_sql(),
+        "crawl_golden_combined": _golden_combined_values_sql(),
         "host_report": """
 WITH t AS (
   SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.test' AS host,

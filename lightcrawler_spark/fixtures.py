@@ -648,6 +648,29 @@ def bytebudget_spec(**kw) -> CrawlSpec:
     )
 
 
+def make_combined_webgraph() -> list[dict]:
+    """Feature-interaction fixture: the heavy/light byte-budget web
+    with ETags on the heavy host's detail pages — so ONE crawl can
+    exercise conditional revisits, byte-derived budgets, frontier TTL
+    and lifetime quotas simultaneously."""
+    pages = make_bytebudget_webgraph()
+    for p in pages:
+        if HOST_BB_BIG in p["url"] and "/d" in p["url"]:
+            p["etag"] = '"v-' + p["url"][-6:] + '"'
+    return pages
+
+
+def combined_spec(**kw) -> CrawlSpec:
+    """All four round-4 politeness/recrawl dims on at once."""
+    kw.setdefault("revisit_url_rules", [r"#/d\d# i"])
+    kw.setdefault("revisit_after_rounds", 2)
+    kw.setdefault("max_revisits", 1)
+    kw.setdefault("conditional_get", True)
+    kw.setdefault("frontier_ttl_rounds", 8)
+    kw.setdefault("host_page_cap", 10)
+    return bytebudget_spec(**kw)
+
+
 def conditional_spec(**kw) -> CrawlSpec:
     kw.setdefault("conditional_get", True)
     return CrawlSpec(

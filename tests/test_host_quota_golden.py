@@ -77,3 +77,37 @@ def test_caps_off_control(spark):
     ]
     c = _counts(rows)
     assert c[HOST_BB_BIG] == 6 and c[HOST_BB_SMALL] == 6
+
+
+def test_combined_features_golden(spark):
+    # conditional-GET + byte budgets + frontier TTL + page quotas, all
+    # on at once: interaction is where politeness bugs hide, and the
+    # trace must still match the simulator pop for pop
+    from lightcrawler_spark.fixtures import (
+        combined_spec,
+        make_combined_webgraph,
+    )
+
+    spec = combined_spec()
+    golden = simulate_reference_crawl(make_combined_webgraph(), spec)
+    engine = CrawlEngine(
+        spark, spec,
+        SyntheticFetcher(webgraph_df(spark, make_combined_webgraph()), spec),
+    )
+    rows = (
+        engine.run(max_rounds=100)
+        .trace.select("seq", "url", "status", "bytes_received")
+        .orderBy("seq").collect()
+    )
+    assert [(r["seq"], r["url"], r["status"]) for r in rows] == [
+        (t["seq"], t["url"], t["status"]) for t in golden
+    ]
+    # each feature visibly fired: 304s exist (conditional), the heavy
+    # host's schedule stretched past the light host's (byte budgets),
+    # and revisits happened (trace longer than the 12-page web)
+    assert any(r["status"] == 304 for r in rows)
+    assert all(r["bytes_received"] == 0 for r in rows if r["status"] == 304)
+    assert len(rows) > 12
+    last_big = max(r["seq"] for r in rows if HOST_BB_BIG in r["url"])
+    last_small = max(r["seq"] for r in rows if HOST_BB_SMALL in r["url"])
+    assert last_big > last_small
