@@ -1212,7 +1212,9 @@ def simulate_reference_crawl(
             pending = [f for f in pending if not _host_capped(f["host"])]
         if not pending:
             if revisit_rules and any(
-                h["n"] <= spec.max_revisits for h in fetch_hist.values()
+                h["n"] <= spec.max_revisits
+                and not _host_capped(h["row"]["host"])
+                for h in fetch_hist.values()
             ):
                 round_idx += 1  # idle: revisits still maturing
                 continue

@@ -45,6 +45,7 @@ __all__ = [
     "with_text_overlay_stats",
     "text_overlay_expr",
     "with_watermark_stats",
+    "watermark_band_stats",
     "watermark_expr",
     "with_rot_invariant_hashes",
     "rot_invariant_dedup",
@@ -1337,6 +1338,30 @@ _WM_SCHEMA = T.StructType(
 )
 
 
+def watermark_band_stats(arr: np.ndarray) -> tuple:
+    """Per-image band statistics (the vectorized kernel, hoisted pure
+    so the fuzz harness exercises THIS code against the scalar oracle
+    — the test_fuzz_kernels convention). Returns the six int64 signals
+    (band_trans, band_px, rest_trans, rest_px, band_sum, rest_sum)."""
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype(np.int64).sum(axis=2)  # 0..765 exact
+    band_h = max(1, h // _WM_BAND_DEN)
+    band, rest = gray[h - band_h:], gray[: h - band_h]
+    if w >= 2:
+        band_t = int(
+            (np.abs(band[:, 1:] - band[:, :-1]) >= _TXT_DIFF_THRESH).sum()
+        )
+        rest_t = int(
+            (np.abs(rest[:, 1:] - rest[:, :-1]) >= _TXT_DIFF_THRESH).sum()
+        ) if rest.size else 0
+    else:
+        band_t = rest_t = 0
+    return (
+        band_t, int(band.size), rest_t, int(rest.size),
+        int(band.sum()), int(rest.sum()) if rest.size else 0,
+    )
+
+
 @pandas_udf(_WM_SCHEMA)
 def watermark_stats_udf(data: pd.Series) -> pd.DataFrame:
     """Watermark-band signals in one decode pass — the heuristic screen
@@ -1381,22 +1406,12 @@ def watermark_stats_udf(data: pd.Series) -> pd.DataFrame:
             bt.append(None); bp.append(None); rt.append(None)
             rp.append(None); bs.append(None); rs.append(None)
             continue
-        h, w = arr.shape[0], arr.shape[1]
-        gray = arr.astype(np.int64).sum(axis=2)  # 0..765 exact
-        band_h = max(1, h // _WM_BAND_DEN)
-        band, rest = gray[h - band_h:], gray[: h - band_h]
-        if w >= 2:
-            band_t = int(
-                (np.abs(band[:, 1:] - band[:, :-1]) >= _TXT_DIFF_THRESH).sum()
-            )
-            rest_t = int(
-                (np.abs(rest[:, 1:] - rest[:, :-1]) >= _TXT_DIFF_THRESH).sum()
-            ) if rest.size else 0
-        else:
-            band_t = rest_t = 0
+        band_t, band_px, rest_t, rest_px, band_s, rest_s = (
+            watermark_band_stats(arr)
+        )
         bt.append(band_t); rt.append(rest_t)
-        bp.append(int(band.size)); rp.append(int(rest.size))
-        bs.append(int(band.sum())); rs.append(int(rest.sum()) if rest.size else 0)
+        bp.append(band_px); rp.append(rest_px)
+        bs.append(band_s); rs.append(rest_s)
     return pd.DataFrame(
         {
             "wm_band_trans": pd.array(bt, dtype="Int64"),
@@ -1663,9 +1678,16 @@ def rot_near_dup_pairs(df: DataFrame, max_hamming: int = 6,
     EXIF orientation index of the argmin alignment, ties to the
     lowest index).
     """
+    # ONE decode+8-hash Arrow pass: the hashed projection feeds four
+    # plan subtrees (identity keys, exploded keys, both verdict
+    # join-backs); a lazy localCheckpoint pins it after the first
+    # materialization so the expensive pass never recomputes per
+    # subtree (the arrays are 8 longs/row — tiny to hold)
     hashed = with_d4_phashes(df, bytes_col=bytes_col).filter(
         F.col("phash_d4_all").isNotNull()
-    ).select(F.col(id_col).alias("img_id"), "phash_d4_all")
+    ).select(
+        F.col(id_col).alias("img_id"), "phash_d4_all"
+    ).localCheckpoint(eager=False)
 
     ident = hashed.select(
         F.col("img_id"), F.element_at("phash_d4_all", 1).alias("ph0")

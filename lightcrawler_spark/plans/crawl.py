@@ -629,19 +629,42 @@ class CrawlEngine:
     def _future_revisits(self, r: int) -> bool:
         """True when some matching URL still has revisit budget — the
         crawl idles (committing empty rounds so age advances) instead
-        of draining. Runs only on otherwise-empty rounds."""
+        of draining. Runs only on otherwise-empty rounds. Revisits on
+        QUOTA-CAPPED hosts don't count: the pending filter would delete
+        them every round, so counting them would idle-spin the crawl to
+        max_rounds instead of draining."""
+        spec = self.spec
         claimed = self._pages_upto(r)
         if claimed is None:
             return False
-        n = (
+        cands = (
             claimed.filter(self._revisit_pred())
             .groupBy("url_md5")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= F.lit(int(self.spec.max_revisits)))
-            .limit(1)
-            .count()
+            .agg(
+                F.count("*").alias("_n"),
+                F.first("host").alias("host"),
+            )
+            .filter(F.col("_n") <= F.lit(int(spec.max_revisits)))
         )
-        return n > 0
+        if spec.host_page_cap > 0 or spec.host_byte_cap > 0:
+            totals = claimed.groupBy("host").agg(
+                F.count(F.lit(1)).alias("_n_pages"),
+                F.coalesce(
+                    F.sum(F.col("bytes_received").cast("long")), F.lit(0)
+                ).alias("_n_bytes"),
+            )
+            cap_pred = F.lit(False)
+            if spec.host_page_cap > 0:
+                cap_pred = cap_pred | (
+                    F.col("_n_pages") >= F.lit(int(spec.host_page_cap))
+                )
+            if spec.host_byte_cap > 0:
+                cap_pred = cap_pred | (
+                    F.col("_n_bytes") >= F.lit(int(spec.host_byte_cap))
+                )
+            capped = totals.filter(cap_pred).select("host")
+            cands = cands.join(F.broadcast(capped), "host", "left_anti")
+        return cands.limit(1).count() > 0
 
     # -- unified round-table projections -------------------------------------
     def _pages_upto(self, r: int) -> DataFrame | None:

@@ -242,31 +242,15 @@ def test_watermark_stats_cross_formulation(h, w, seed):
     import numpy as np
 
     import __spark_entry__ as entry
-    from lightcrawler_spark.operators.images import (
-        _TXT_DIFF_THRESH,
-        _WM_BAND_DEN,
-    )
+
+    from lightcrawler_spark.operators.images import watermark_band_stats
 
     arr = np.random.default_rng(seed).integers(
         0, 256, size=(h, w, 3)
     ).astype(np.uint8)
-    expect = entry._scalar_watermark_stats(arr)
-
-    gray = arr.astype(np.int64).sum(axis=2)
-    band_h = max(1, h // _WM_BAND_DEN)
-    band, rest = gray[h - band_h:], gray[: h - band_h]
-    if w >= 2:
-        bt = int((np.abs(band[:, 1:] - band[:, :-1]) >= _TXT_DIFF_THRESH).sum())
-        rt = int(
-            (np.abs(rest[:, 1:] - rest[:, :-1]) >= _TXT_DIFF_THRESH).sum()
-        ) if rest.size else 0
-    else:
-        bt = rt = 0
-    got = (
-        bt, int(band.size), rt, int(rest.size),
-        int(band.sum()), int(rest.sum()) if rest.size else 0,
-    )
-    assert got == expect
+    # the HOISTED production kernel itself vs the scalar oracle — a
+    # future edit to the vectorized math is caught here
+    assert watermark_band_stats(arr) == entry._scalar_watermark_stats(arr)
 
 
 @settings(max_examples=25, deadline=None)

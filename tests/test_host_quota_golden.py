@@ -111,3 +111,31 @@ def test_combined_features_golden(spark):
     last_big = max(r["seq"] for r in rows if HOST_BB_BIG in r["url"])
     last_small = max(r["seq"] for r in rows if HOST_BB_SMALL in r["url"])
     assert last_big > last_small
+
+
+def test_capped_revisits_drain_not_spin(spark):
+    # a quota-capped host with unconsumed revisit budget must DRAIN,
+    # not idle-spin to max_rounds: _future_revisits excludes capped
+    # hosts (and the simulator's idle check mirrors it)
+    from lightcrawler_spark.fixtures import make_bytebudget_webgraph
+
+    spec = bytebudget_spec(
+        host_byte_budget=0, host_page_cap=3,
+        revisit_url_rules=[r"#/d\d# i"],
+        revisit_after_rounds=5, max_revisits=1,
+    )
+    golden = simulate_reference_crawl(make_bytebudget_webgraph(), spec)
+    engine = CrawlEngine(
+        spark, spec,
+        SyntheticFetcher(webgraph_df(spark, make_bytebudget_webgraph()), spec),
+    )
+    res = engine.run(max_rounds=30)
+    rows = res.trace.select("seq", "url", "status").orderBy("seq").collect()
+    assert [(r["seq"], r["url"], r["status"]) for r in rows] == [
+        (t["seq"], t["url"], t["status"]) for t in golden
+    ]
+    # both hosts cap at 4 pages before any revisit matures; the crawl
+    # must end well under the round bound (drain, not the backstop)
+    assert len(rows) == 8
+    assert res.rounds_run < 10
+    assert res.abort_reason == "passedthrough"
