@@ -146,12 +146,13 @@ def sitemap_refetch(
 
     Freshness comparison is LEXICOGRAPHIC on normalized W3C datetime
     strings, never parsed timestamps: ISO 8601 orders lexicographically
-    within a single offset form, date-only values are padded to
-    'T00:00:00Z', '+00:00' normalizes to 'Z', and anything else —
-    malformed values AND non-UTC numeric offsets, which are NOT
-    lexicographically comparable against Z-forms — becomes NULL
-    (conservative: no freshness signal, the age scheduler owns the
-    URL). The verdict is bit-identical across engines with no
+    only at ONE precision, so every admitted form canonicalizes to full
+    'YYYY-MM-DDTHH:MM:SSZ' — date-only pads to midnight, minute
+    precision pads ':00', fractional seconds truncate, naive forms and
+    '+00:00' stamp 'Z' — and anything else (malformed values AND
+    non-UTC numeric offsets, which no string surgery makes comparable)
+    becomes NULL (conservative: no freshness signal, the age scheduler
+    owns the URL). The verdict is bit-identical across engines with no
     timestamp-parsing semantics in play (the C7/C12 determinism rule).
 
     Scale shape: one projection per side + one equi-join on the URL
@@ -168,11 +169,25 @@ def sitemap_refetch(
     w3c = r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|\+00:00)?)?$"
 
     def norm(col):
+        # every admitted form canonicalizes to full 'THH:MM:SSZ'
+        # precision before comparing: 'Z' sorts above ':' and '.', so a
+        # minute-precision or fractional-seconds value is NOT
+        # lexicographically comparable against the canonical form
+        # (e.g. '...T18:00Z' > '...T18:00:30Z' byte-wise while being
+        # 30s older) — pad the missing ':SS', truncate fractional
+        # digits (floor: a sub-second-newer lastmod equal at :SS is a
+        # no-op refetch, never a missed one), and stamp naive forms Z
         col = F.regexp_replace(col, r"\+00:00$", "Z")
         valid = F.when(col.rlike(w3c), col)
-        return F.when(
-            F.length(valid) == 10, F.concat(valid, F.lit("T00:00:00Z"))
-        ).otherwise(valid)
+        t = F.regexp_replace(valid, r"Z$", "")
+        t = F.regexp_replace(t, r"\.\d+$", "")
+        t = F.when(
+            t.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.concat(t, F.lit("T00:00:00"))
+        ).when(
+            t.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}$"),
+            F.concat(t, F.lit(":00")),
+        ).otherwise(t)
+        return F.when(valid.isNotNull(), F.concat(t, F.lit("Z")))
 
     e = entries.select(
         F.col(loc_col).alias("loc"),

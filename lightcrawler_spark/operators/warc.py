@@ -245,7 +245,10 @@ def warc_revisit_records(
     return _with_global_offsets(sized, order_col, num_partitions)
 
 
-_NM_PROFILE = "http://netpreserve.org/warc/1.1/revisit/server-not-modified"
+# WARC/1.0 revisit profile URI — the record header says WARC/1.0
+# (parse_warc_segment requires it), so the profile version must match:
+# strict replay tools reject a 1.1 profile on a 1.0 record
+_NM_PROFILE = "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
 
 
 def warc_not_modified_records(

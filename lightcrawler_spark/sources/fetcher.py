@@ -459,7 +459,12 @@ class HttpFetcher:
                 if inm:
                     # RFC 9110 §13.1.2: echo the stored ETag verbatim
                     headers["If-None-Match"] = inm
-                if ims:
+                elif ims:
+                    # RFC 9110 §13.1.3: SHOULD NOT combine validators —
+                    # a legacy server that wrongly prefers IMS could 304
+                    # a page whose ETag changed while its date did not;
+                    # send IMS only when no ETag is stored (matches the
+                    # SyntheticFetcher/simulator evaluation order)
                     headers["If-Modified-Since"] = ims
                 if auth:
                     # P13 basic auth (PHPCrawler:722-727)

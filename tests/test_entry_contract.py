@@ -85,10 +85,11 @@ def test_every_query_has_callable_and_oracle_keys():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # the intentional rows-only set: only the probabilistic prefilters
-    # (bit-array survivor sets have no SQL equivalent; their FPR and
-    # exactness are unit-tested instead)
-    assert set(q) - set(o) == {"bloom_prefilter", "cuckoo_prefilter"}
+    # every driver query is oracle-backed since r5: the probabilistic
+    # prefilters now project bounded-property rows (exact counts +
+    # no-false-negative zero + FPR interval) instead of the raw
+    # survivor set, so they carry SQL oracles too
+    assert set(q) - set(o) == set()
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
@@ -107,7 +108,34 @@ def test_rows_only_queries_run(spark):
     q = entrymod.queries()
     assert q["image_verify"](spark, SF_DIR).count() == 64  # all verdicts pass
     assert q["simhash_docs"](spark, SF_DIR).count() == 500
-    assert q["bloom_prefilter"](spark, SF_DIR).count() > 0
+    row = q["bloom_prefilter"](spark, SF_DIR).collect()[0]
+    assert row["n_seen_survivors"] == 0 and row["fp_within_budget"]
     assert q["content_extract"](spark, SF_DIR).filter("n_images = 1").count() == 100
     assert q["summary_fields"](spark, SF_DIR).filter(
         "index_ori_no is not null").count() == 25
+
+
+def test_no_array_or_map_driver_columns(spark):
+    """Array-free driver projection rule (CORRECTNESS_r04 regression):
+    the driver's canonicalizer pandas-sorts every column and cannot
+    factorize list/dict cells, so NO queries() entry may project an
+    ArrayType/MapType (or array/map-bearing struct) column. Schema-only
+    check — plans are built, not executed, except the handful of
+    queries (kmeans training) whose CONSTRUCTION runs bounded O(k)
+    driver work."""
+    from pyspark.sql import types as T
+
+    def has_container(dt) -> bool:
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(has_container(f.dataType) for f in dt.fields)
+        return False
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        bad = [f.name for f in df.schema.fields if has_container(f.dataType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"array/map columns in driver projections: {offenders}"

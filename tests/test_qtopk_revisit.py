@@ -149,7 +149,7 @@ class TestWarcNotModified:
             "WARC/1.0\r\nWARC-Type: revisit\r\n"
             "WARC-Target-URI: http://h.test/1\r\n"
             "WARC-Date: 2026-01-01T00:00:00Z\r\n"
-            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
             "server-not-modified\r\n"
             f"WARC-Refers-To-Digest: md5:{digest}\r\n"
             "Content-Length: 0\r\n\r\n\r\n\r\n"

@@ -190,3 +190,45 @@ class TestSitemapRefetch:
         assert got["u:utc"]["needs_refetch"] is True
         assert got["u:offset"]["lastmod_norm"] is None
         assert got["u:offset"]["needs_refetch"] is False
+
+    def test_mixed_precision_canonicalization(self, spark):
+        # ADVICE r4: every admitted W3C form canonicalizes to full
+        # 'THH:MM:SSZ' precision BEFORE comparing — 'Z' sorts above ':'
+        # and '.', so minute-precision / fractional / naive forms are
+        # not comparable against canonical strings byte-wise
+        got = self._run(
+            spark,
+            [
+                # minute precision, same minute as fetch → pads ':00',
+                # equal, NOT newer (raw 'T18:00Z' > 'T18:00:30Z' would
+                # have falsely refetched)
+                ("u:minute-eq", "2024-06-01T18:00"),
+                # minute precision one minute later → refetch
+                ("u:minute-gt", "2024-06-01T18:01Z"),
+                # fractional seconds truncate (floor): sub-second-newer
+                # is equal at :SS precision → no refetch (the advisory
+                # example: '...T18:00:30.5Z' vs fetched '...T18:00:30Z')
+                ("u:frac-eq", "2024-06-01T18:00:30.5Z"),
+                # fractional seconds on a LATER second still refetches
+                ("u:frac-gt", "2024-06-01T18:00:31.2Z"),
+                # naive full-precision form stamps 'Z'
+                ("u:naive-gt", "2024-06-01T19:00:00"),
+            ],
+            [
+                ("u:minute-eq", "2024-06-01T18:00:30Z"),
+                ("u:minute-gt", "2024-06-01T18:00:30Z"),
+                ("u:frac-eq", "2024-06-01T18:00:30Z"),
+                ("u:frac-gt", "2024-06-01T18:00:30Z"),
+                ("u:naive-gt", "2024-06-01T18:00:30Z"),
+            ],
+        )
+        assert got["u:minute-eq"]["lastmod_norm"] == "2024-06-01T18:00:00Z"
+        assert got["u:minute-eq"]["needs_refetch"] is False
+        assert got["u:minute-gt"]["lastmod_norm"] == "2024-06-01T18:01:00Z"
+        assert got["u:minute-gt"]["needs_refetch"] is True
+        assert got["u:frac-eq"]["lastmod_norm"] == "2024-06-01T18:00:30Z"
+        assert got["u:frac-eq"]["needs_refetch"] is False
+        assert got["u:frac-gt"]["lastmod_norm"] == "2024-06-01T18:00:31Z"
+        assert got["u:frac-gt"]["needs_refetch"] is True
+        assert got["u:naive-gt"]["lastmod_norm"] == "2024-06-01T19:00:00Z"
+        assert got["u:naive-gt"]["needs_refetch"] is True
