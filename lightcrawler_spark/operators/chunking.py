@@ -559,29 +559,45 @@ def epoch_shard_order(
     sorts by (shard_order, sample_order).
 
     Scale shape: the within-shard window partitions by shard — bounded
-    by the shard byte cap (a shard is one tar). The shard-rank window
-    runs over the DISTINCT shard list only (corpus/shard_bytes rows —
-    ~10^5 at 100 TB), the vocab_topk bounded-post-aggregation shape,
-    then broadcasts back.
+    by the shard byte cap (a shard is one tar). The shard rank runs
+    over the DISTINCT shard list only (corpus/shard_bytes rows —
+    ~10^5 at 100 TB) via the two-stage range-partitioned rank
+    (pack_sequences' prefix-sum idiom: per-partition row_number +
+    driver prefix of O(P) partition counts) — even a bounded dim never
+    plans a single-partition WindowExec — then broadcasts back.
     """
     e = str(int(epoch))
-    shard_hash = F.md5(
-        F.concat(F.col(shard_col).cast("string"), F.lit(f":{e}:{salt}"))
-    )
-    shards = (
+    spark = df.sparkSession
+    distinct_shards = (
         df.select(F.col(shard_col).alias("_shard")).distinct()
         .withColumn(
             "_sh",
             F.md5(F.concat(F.col("_shard").cast("string"),
                            F.lit(f":{e}:{salt}"))),
         )
-        .withColumn(
-            "shard_order",
-            F.row_number().over(
-                Window.orderBy(F.col("_sh"), F.col("_shard"))
-            ).cast("long") - 1,
-        )
-        .drop("_sh")
+    )
+    n_part = max(2, min(spark.sparkContext.defaultParallelism, 32))
+    ranged = distinct_shards.repartitionByRange(
+        n_part, F.col("_sh"), F.col("_shard")
+    ).withColumn("_pid", F.spark_partition_id())
+    # two actions below (counts collect + downstream join) must see the
+    # same partition layout -> pin it
+    ranged = ranged.localCheckpoint(eager=False)
+    totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    by_pid = {r["_pid"]: r["_n"] for r in totals}
+    prefix, acc = {}, 0
+    for pid in sorted(by_pid):
+        prefix[pid] = acc
+        acc += by_pid[pid]
+    offsets = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _off long"
+    )
+    w_shard = Window.partitionBy("_pid").orderBy(F.col("_sh"), F.col("_shard"))
+    shards = (
+        ranged.withColumn("_rn", F.row_number().over(w_shard).cast("long"))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("shard_order", F.col("_off") + F.col("_rn") - 1)
+        .drop("_pid", "_rn", "_off", "_sh")
     )
     w = Window.partitionBy(shard_col).orderBy(
         F.md5(F.concat(F.col(key_col).cast("string"),

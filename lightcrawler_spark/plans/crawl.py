@@ -886,20 +886,14 @@ class CrawlEngine:
             # BigInt digit count doubles per embedding level — measured
             # as 3s → 12s → 112s per-round blowup on a fixture crawl,
             # grinding inside BigInteger.multiply. A checkpoint is not
-            # enough (LogicalRDD keeps the default Long.MaxValue size
-            # estimate); collect the O(hosts) agg to a LocalRelation
-            # with REAL tiny stats — driver-centralizing the host-count
-            # dim is this flag's documented cost (apportion_budget
-            # already centralizes two scalars of the same shape).
-            counts = self.spark.createDataFrame(
-                [
-                    (row["host"], row["pending"])
-                    for row in pending.groupBy("host")
-                    .agg(F.count(F.lit(1)).alias("pending"))
-                    .collect()
-                ],
-                "host string, pending long",
-            )
+            # enough (LogicalRDD keeps the source plan's estimate);
+            # _to_local rewraps the checkpointed agg through
+            # internalCreateDataFrame, whose fresh LogicalRDD carries
+            # the CONSTANT defaultSizeInBytes — stats severed with ZERO
+            # host rows on the driver (the r3 collect→createDataFrame
+            # form of this fix centralized O(hosts) rows per round,
+            # a driver bottleneck at 10^8 hosts).
+            counts = self._apportion_counts(pending)
             shares = scheduler.apportion_budget(
                 counts, spec.apportion_round_budget,
             ).select(
@@ -1284,6 +1278,17 @@ class CrawlEngine:
         for jrdd in self._round_block_rdds:
             jrdd.unpersist(False)
         self._round_block_rdds.clear()
+
+    def _apportion_counts(self, pending: DataFrame) -> DataFrame:
+        """Per-host pending-count dim for Hamilton apportionment,
+        stats-severed via _to_local: one map-side-combined groupBy(host)
+        materialized executor-side — the plan scans the checkpointed
+        RDD (ExistingRDD), never a driver-built LocalRelation, so no
+        host row crosses the driver (tests/test_apportion_bpe.py
+        asserts the plan shape)."""
+        return self._to_local(
+            pending.groupBy("host").agg(F.count(F.lit(1)).alias("pending"))
+        )
 
     def _to_local(self, df: DataFrame) -> DataFrame:
         """Materialize + SEVER Catalyst statistics, JVM-side.

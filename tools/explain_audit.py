@@ -280,10 +280,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no row-at-a-time Python", r"!BatchEvalPython"),
     ],
     # epoch shuffle: within-shard window (shard-cap bounded) + a
-    # distinct-shard-only rank broadcast back — corpus never funnels
+    # distinct-shard-only two-stage rank (range partition + _pid-keyed
+    # window + broadcast prefix offsets) — corpus never funnels and
+    # even the bounded shard dim plans no single-partition WindowExec
     "epoch_shard_order": [
         ("within-shard rank window", r"windowspecdefinition\(shard_idx"),
+        ("shard rank keyed by _pid", r"windowspecdefinition\(_pid#\d+"),
         ("shard ranks broadcast back", r"BroadcastHashJoin"),
+        ("no unpartitioned window",
+         r"!windowspecdefinition\([a-z_]+#\d+L? (?:ASC|DESC)"),
         ("no Python", r"!BatchEvalPython|ArrowEvalPython"),
     ],
     # layout flagship: after the checkpoint-truncated CC, the plan is
