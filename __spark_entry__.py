@@ -6529,18 +6529,30 @@ def q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     url = F.concat(F.lit("http://s"), (F.col("doc_id") % 7).cast("string"),
                    F.lit(".test/p/"), F.col("doc_id").cast("string"))
+    mm = F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"))
+    # %5==1 exercises the r5 canonicalization battery: garbage,
+    # minute precision, fractional seconds, naive full precision —
+    # all must normalize to the comparable 'THH:MM:SSZ' form (or NULL)
+    odd = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("not-a-date"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(mm, F.lit("-15T0"),
+                       (F.col("doc_id") % 10).cast("string"), F.lit(":30Z")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(mm, F.lit("-15T0"),
+                       (F.col("doc_id") % 10).cast("string"),
+                       F.lit(":30:45.25Z")))
+        .otherwise(
+            F.concat(mm, F.lit("-15T0"),
+                     (F.col("doc_id") % 10).cast("string"), F.lit(":30:00")))
+    )
     entries = docs.select(
         url.alias("loc"),
         F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("not-a-date"))
-        .when(
-            F.col("doc_id") % 5 == 2,
-            F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
-                     F.lit("-15")),
-        )
+        .when(F.col("doc_id") % 5 == 1, odd)
+        .when(F.col("doc_id") % 5 == 2, F.concat(mm, F.lit("-15")))
         .otherwise(
-            F.concat(F.lit("2024-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
-                     F.lit("-15T0"), (F.col("doc_id") % 10).cast("string"),
+            F.concat(mm, F.lit("-15T0"), (F.col("doc_id") % 10).cast("string"),
                      F.lit(":30:00Z"))
         ).alias("lastmod"),
     )
@@ -11131,7 +11143,18 @@ WITH docs AS (
 e AS (
   SELECT loc,
     CASE WHEN doc_id % 5 = 0 THEN NULL
-         WHEN doc_id % 5 = 1 THEN 'not-a-date'
+         WHEN doc_id % 5 = 1 THEN
+           CASE WHEN doc_id % 4 = 0 THEN 'not-a-date'
+                WHEN doc_id % 4 = 1 THEN
+                  '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15T0'
+                  || CAST(doc_id % 10 AS VARCHAR) || ':30Z'
+                WHEN doc_id % 4 = 2 THEN
+                  '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15T0'
+                  || CAST(doc_id % 10 AS VARCHAR) || ':30:45.25Z'
+                ELSE
+                  '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15T0'
+                  || CAST(doc_id % 10 AS VARCHAR) || ':30:00'
+           END
          WHEN doc_id % 5 = 2 THEN
            '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15'
          ELSE '2024-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '-15T0'
@@ -11146,13 +11169,29 @@ p AS (
   FROM docs WHERE doc_id % 3 <> 0
 ),
 en AS (
+  -- canonical-precision re-derivation (r5 rule): strip Z, truncate
+  -- fractional seconds, pad date-only to midnight and minute forms
+  -- with :00, re-stamp Z — independent string surgery, same contract
   SELECT loc,
-    CASE WHEN regexp_matches(lm2,
-      '^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|\\+00:00)?)?$')
-      THEN CASE WHEN strlen(lm2) = 10
-                THEN lm2 || 'T00:00:00Z' ELSE lm2 END
+    CASE WHEN valid IS NOT NULL THEN
+      CASE WHEN regexp_matches(t, '^\\d{4}-\\d{2}-\\d{2}$')
+             THEN t || 'T00:00:00Z'
+           WHEN regexp_matches(t, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}$')
+             THEN t || ':00Z'
+           ELSE t || 'Z' END
     END AS lastmod_norm
-  FROM (SELECT loc, regexp_replace(lastmod, '\\+00:00$', 'Z') AS lm2 FROM e) s
+  FROM (
+    SELECT loc, valid,
+      regexp_replace(regexp_replace(valid, 'Z$', ''), '\\.\\d+$', '') AS t
+    FROM (
+      SELECT loc,
+        CASE WHEN regexp_matches(lm2,
+          '^\\d{4}-\\d{2}-\\d{2}(T\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|\\+00:00)?)?$')
+        THEN lm2 END AS valid
+      FROM (SELECT loc, regexp_replace(lastmod, '\\+00:00$', 'Z') AS lm2
+            FROM e) s0
+    ) s1
+  ) s2
 ),
 j AS (
   SELECT en.loc, en.lastmod_norm, p.fetched_at AS fetched_norm
