@@ -3765,10 +3765,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightcrawler_spark.operators.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    # scalar (vec_id, dim, code) cells — the array-free driver
+    # projection rule (see q_kmeans_centroids)
     return quantize_embeddings(emb).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(F.col("q_scale"), 6).alias("q_scale_r"),
-        "q_codes",
+        F.posexplode("q_codes").alias("dim", "code"),
+    ).select(
+        "vec_id", "q_scale_r",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("code").cast("int").alias("code"),
     )
 
 
@@ -9882,9 +9888,9 @@ q AS (
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
   ROUND(scale, 6) AS q_scale_r,
-  list_transform(embedding, x -> CAST(round(x::DOUBLE * scale) AS INT))
-    AS q_codes
-FROM q
+  CAST(p.pos AS BIGINT) AS dim,
+  CAST(round(embedding[p.pos + 1]::DOUBLE * scale) AS INT) AS code
+FROM q, (SELECT unnest(range(64)) AS pos) p
 """,
         "archive_pipeline": r"""
 WITH d AS (
