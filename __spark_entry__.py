@@ -7333,11 +7333,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver's per-round CORRECTNESS snapshot records only the FIRST
     50 entries of this dict, so dict order IS coverage. Policy: pin the
-    flagship composition queries, then pack the window with the
-    LONGEST-UNCHECKED entries — never-driver-checked first, then oldest
-    checked round — judged against the shipped CORRECTNESS_r*.json
-    artifacts. Deterministic given the artifacts; falls back to the
-    registry's stable grouping order when none are present.
+    flagship composition queries (unless the never-checked backlog
+    alone saturates the window — then every slot goes to coverage),
+    then pack the window with the LONGEST-UNCHECKED entries —
+    never-driver-checked first, then oldest checked round — judged
+    against the shipped CORRECTNESS_r*.json artifacts. Deterministic
+    given the artifacts; falls back to the registry's stable grouping
+    order when none are present.
 
     Within a tier (same last-checked round, including never-checked),
     NEWEST registry entries go first: a brand-new query has had no
