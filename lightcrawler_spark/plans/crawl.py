@@ -1228,6 +1228,22 @@ class CrawlEngine:
             if vc not in pages.columns:
                 pages = pages.withColumn(vc, F.lit(None).cast("string"))
         pages = pages.select(*PAGES_COLS)
+        if (
+            not getattr(self.store, "materializes", False)
+            and spec.sever_stored_stats
+            and self._pages_feedback()
+        ):
+            # storage.py:write's "pages may stay flat" contract holds
+            # only while pages reach pending EXCLUSIVELY through the
+            # left-anti seen join (left-child-only stats). Revisit
+            # candidates UNION into pending and the caps/cooldown/
+            # backoff/latency/byte dims JOIN into it — each re-closes
+            # the memory store's stats-compounding feedback loop
+            # through the pages table (measured: 120-host live-soak
+            # revisit A/B OOMs the driver heap inside the sizeInBytes
+            # visitor ~round 10). Sever exactly when such a feature is
+            # on; durable stores re-read parquet with real scan stats.
+            pages = self._to_local(pages)
         self.store.write("pages", r, pages)
 
         if can_harvest and int(stats["n_set_cookies"]) > 0:
@@ -1278,6 +1294,29 @@ class CrawlEngine:
         for jrdd in self._round_block_rdds:
             jrdd.unpersist(False)
         self._round_block_rdds.clear()
+
+    def _pages_feedback(self) -> bool:
+        """True when the pages table feeds the round pipeline beyond
+        the seen anti-join (whose stats visitor reads the LEFT child
+        only, making it safe over unsevered memory-store frames):
+        revisit rows union into pending; the lifetime-cap, cooldown,
+        backoff, latency-budget and byte-budget dims join into it.
+        Each of those paths multiplies the stored pages plan's
+        Catalyst sizeInBytes into every later round — the same
+        geometric compounding `_to_local` severs on the frontier side
+        — so memory-store runs with any of these features sever their
+        pages frames too (tests/test_stats_flatten.py pins the digit
+        bound for the revisit shape)."""
+        spec = self.spec
+        return bool(
+            spec.revisit_url_rules
+            or spec.host_page_cap > 0
+            or spec.host_byte_cap > 0
+            or spec.host_delay_rounds > 0
+            or spec.retry_after_backoff
+            or spec.adaptive_latency_budgets
+            or spec.host_byte_budget > 0
+        )
 
     def _apportion_counts(self, pending: DataFrame) -> DataFrame:
         """Per-host pending-count dim for Hamilton apportionment,

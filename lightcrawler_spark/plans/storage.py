@@ -218,9 +218,13 @@ class MemoryRoundStore:
         # 2s → 16s → 106s per-round planning, grinding in
         # BigInteger.multiply; tests/test_stats_flatten.py pins both
         # directions). The pages table may stay a flat select over the
-        # fetch-results checkpoint: with the frontier side always
-        # severed, its stats are bounded per round and the feedback
-        # loop cannot re-close.
+        # fetch-results checkpoint ONLY while pages reach pending
+        # exclusively through the left-anti seen join (left-child-only
+        # stats): revisit rules and the caps/cooldown/backoff/budget
+        # dims re-close the loop through pages, so the engine severs
+        # pages frames too when such a feature is on
+        # (CrawlEngine._pages_feedback — the r5 120-host live-soak
+        # revisit A/B found the re-closure as a driver-heap OOM).
         self._tables.setdefault(table, {})[round_no] = df
 
     def _parts_upto(self, table: str, lo: int, hi: int) -> list[DataFrame]:

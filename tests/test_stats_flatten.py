@@ -97,3 +97,48 @@ def test_checkpoint_only_arm_compounds(spark):
         f"checkpoint-only arm stayed at {digits_never} digits — "
         "compounding gone; revisit whether severing is still needed"
     )
+
+
+def _run_revisit(spark, sever: bool, rounds: int):
+    """Memory-store crawl with the pages→pending feedback ON (revisit
+    rules): pages stats must be severed too (CrawlEngine.
+    _pages_feedback) — the left-anti seen join is left-child-stats-only
+    so the frontier-side sever never covered this path, and the r5
+    120-host live-soak revisit A/B found the re-closure as a driver
+    heap OOM inside the sizeInBytes visitor."""
+    web = make_webgraph(n_lists=6, details_per_list=6,
+                        images=make_images(6))
+    web_df = webgraph_df(spark, web)
+    spec = default_spec(
+        budget=6,
+        per_host_politeness=True,
+        sever_stored_stats=sever,
+    )
+    spec.revisit_url_rules = ["#/detail#"]
+    spec.revisit_after_rounds = 2
+    spec.max_revisits = 2
+    engine = CrawlEngine(spark, spec, SyntheticFetcher(web_df, spec),
+                         robots_fixture=ROBOTS_FIXTURE)
+    result = engine.run(max_rounds=rounds)
+    stored = engine.store.read_upto("pages", result.rounds_run)
+    return result, _stat_digits(stored)
+
+
+def test_pages_feedback_severed_stats_stay_flat(spark):
+    res, digits = _run_revisit(spark, sever=True, rounds=12)
+    assert res.rounds_run >= 8, "revisit fixture must sustain 8+ rounds"
+    assert digits <= 40, (
+        f"stored pages sizeInBytes has {digits} digits with revisit "
+        "feedback on — the pages-side sever is dead or bypassed"
+    )
+
+
+def test_pages_feedback_unsevered_arm_compounds(spark):
+    """Direction check: with severing off, the revisit feedback loop
+    really does compound through the pages table (if this stops
+    failing, the pages-side sever is dead weight)."""
+    _, digits = _run_revisit(spark, sever=False, rounds=8)
+    assert digits > 1_000, (
+        f"unsevered revisit arm stayed at {digits} digits — "
+        "pages-side compounding gone; revisit _pages_feedback"
+    )

@@ -50,6 +50,7 @@ def _make_handler(host_idx: int, fanout: int, max_pages: int):
             pass
 
         def do_GET(self):
+            etag = None
             if self.path == "/robots.txt":
                 body = b"User-agent: *\nDisallow: /private\n"
                 ctype = "text/plain"
@@ -65,12 +66,25 @@ def _make_handler(host_idx: int, fanout: int, max_pages: int):
                     ).encode("utf-8")
                     ctype = "text/html"
                     status = 200
+                    # content never changes in this farm, so the ETag is
+                    # a pure content version; a matching If-None-Match
+                    # revalidates to an empty 304 (RFC 9110 conditional
+                    # path — the engine sends ONLY If-None-Match when an
+                    # ETag is stored, per the r5 validator fix)
+                    etag = f'"h{host_idx}-p{page}-v1"'
+                    if self.headers.get("If-None-Match") == etag:
+                        status, body = 304, b""
                 else:
                     body, ctype, status = b"nope", "text/plain", 404
             else:
                 body, ctype, status = b"nope", "text/plain", 404
             self.send_response(status)
             self.send_header("Content-Type", ctype)
+            if etag:
+                self.send_header("ETag", etag)
+                self.send_header(
+                    "Last-Modified", "Wed, 01 Jan 2025 00:00:00 GMT"
+                )
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -86,6 +100,11 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--max-rounds", type=int, default=60)
+    ap.add_argument("--revisit-after", dest="revisit_after", type=int,
+                    default=0, help=">0: revisit pages after N rounds and "
+                    "run a conditional-GET on/off A/B over real sockets")
+    ap.add_argument("--max-revisits", dest="max_revisits", type=int,
+                    default=1)
     a = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -116,56 +135,105 @@ def main() -> None:
         shuffle_partitions=a.cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    spec = CrawlSpec(
-        seeds=seeds,
-        # ANY: the follow base is the FIRST seed's domain (reference
-        # semantics), which would reject the other farm hosts' links;
-        # every generated link is same-host-relative anyway, and the
-        # /private subtree is the robots gate's job
-        follow_mode=0,
-        max_depth=32,
-        retry_limit=1,
-        obey_robots_txt=True,   # live /robots.txt: /private is disallowed
-        per_host_politeness=True,
-        # budget_per_round == round_duration / crawl_delay == a.budget
-        crawl_delay_s=1.0,
-        round_duration_s=float(a.budget),
-        follow_redirects_till_content=False,
-    )
-    engine = CrawlEngine(spark, spec, HttpFetcher(spec, timeout_s=10.0))
+    def _spec(conditional: bool) -> CrawlSpec:
+        return CrawlSpec(
+            seeds=seeds,
+            # ANY: the follow base is the FIRST seed's domain (reference
+            # semantics), which would reject the other farm hosts' links;
+            # every generated link is same-host-relative anyway, and the
+            # /private subtree is the robots gate's job
+            follow_mode=0,
+            max_depth=32,
+            retry_limit=1,
+            obey_robots_txt=True,  # live /robots.txt: /private disallowed
+            per_host_politeness=True,
+            # budget_per_round == round_duration / crawl_delay == a.budget
+            crawl_delay_s=1.0,
+            round_duration_s=float(a.budget),
+            follow_redirects_till_content=False,
+            # revisit machinery is gated on the url-rule list (empty = off)
+            revisit_url_rules=["#/p/#"] if a.revisit_after > 0 else [],
+            revisit_after_rounds=max(a.revisit_after, 1),
+            max_revisits=a.max_revisits,
+            conditional_get=conditional,
+        )
 
-    t0 = time.perf_counter()
-    result = engine.run(max_rounds=a.max_rounds)
-    wall = time.perf_counter() - t0
+    def _run_arm(conditional: bool) -> dict:
+        spec = _spec(conditional)
+        engine = CrawlEngine(spark, spec, HttpFetcher(spec, timeout_s=10.0))
+        t0 = time.perf_counter()
+        result = engine.run(max_rounds=a.max_rounds)
+        wall = time.perf_counter() - t0
+        pages = result.pages
+        agg = pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("round").alias("max_round"),
+            F.sum("bytes_received").alias("bytes"),
+            F.sum((F.col("status") == 304).cast("long")).alias("n_304"),
+            F.sum(F.col("url").contains("/private/").cast("long"))
+            .alias("n_private"),
+        ).first()
+        n_exceeded = politeness_audit(pages, a.budget).filter(
+            F.col("exceeded")
+        ).count()
+        # pop-schedule identity across arms: order-insensitive xor-hash
+        # over (seq, url) — statuses differ between arms by design
+        sched = pages.agg(F.expr(
+            "bit_xor(xxhash64(concat(cast(round as string), '|', url)))"
+        )).first()[0]
+        n_hosts_seen = pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        ).distinct().count()
+        return {
+            "rounds": int(agg["max_round"]) + 1,
+            "pops": int(agg["n"]),
+            "bytes": int(agg["bytes"]),
+            "n_304": int(agg["n_304"]),
+            "wall_s": round(wall, 1),
+            "pages_per_sec": round(agg["n"] / wall, 1),
+            "politeness_rounds_exceeded": int(n_exceeded),
+            "robots_private_fetches": int(agg["n_private"]),
+            "hosts_seen": int(n_hosts_seen),
+            "schedule_hash": int(sched),
+        }
 
-    pages = result.pages
-    n_pages = pages.count()
-    n_rounds = pages.agg(F.max("round")).first()[0]
-    audit = politeness_audit(pages, a.budget)
-    n_exceeded = audit.filter(F.col("exceeded")).count()
-    n_private = pages.filter(F.col("url").contains("/private/")).count()
-    n_hosts_seen = pages.select(
-        F.regexp_extract("url", r"^https?://([^/]+)", 1)
-    ).distinct().count()
+    expected = a.hosts * a.pages_per_host
+    base = {
+        "hosts": a.hosts, "pages_per_host": a.pages_per_host,
+        "budget_per_round": a.budget, "cpus": a.cpus,
+        "expected_pages": expected,
+    }
+    if a.revisit_after > 0:
+        off = _run_arm(conditional=False)
+        on = _run_arm(conditional=True)
+        print(json.dumps({
+            "mode": "live-soak-conditional-ab",
+            **base,
+            "revisit_after": a.revisit_after,
+            "max_revisits": a.max_revisits,
+            "off": off, "on": on,
+            "pop_schedule_identical":
+                off["pops"] == on["pops"]
+                and off["schedule_hash"] == on["schedule_hash"],
+            "bytes_saved_pct": round(
+                100.0 * (off["bytes"] - on["bytes"]) / max(off["bytes"], 1),
+                2,
+            ),
+        }))
+    else:
+        arm = _run_arm(conditional=False)
+        arm.pop("schedule_hash")
+        n_pages = arm.pop("pops")
+        print(json.dumps({
+            "mode": "live-soak",
+            **base,
+            "pages_fetched": n_pages,
+            "coverage": round(n_pages / expected, 4),
+            **arm,
+        }))
 
     for srv in servers:
         srv.shutdown()
-
-    expected = a.hosts * a.pages_per_host
-    print(json.dumps({
-        "mode": "live-soak",
-        "hosts": a.hosts, "pages_per_host": a.pages_per_host,
-        "budget_per_round": a.budget, "cpus": a.cpus,
-        "rounds": int(n_rounds) + 1 if n_rounds is not None else 0,
-        "pages_fetched": int(n_pages),
-        "expected_pages": expected,
-        "coverage": round(n_pages / expected, 4),
-        "wall_s": round(wall, 1),
-        "pages_per_sec": round(n_pages / wall, 1),
-        "politeness_rounds_exceeded": int(n_exceeded),
-        "robots_private_fetches": int(n_private),
-        "hosts_seen": int(n_hosts_seen),
-    }))
     spark.stop()
 
 
