@@ -232,3 +232,75 @@ class TestSitemapRefetch:
         assert got["u:frac-gt"]["needs_refetch"] is True
         assert got["u:naive-gt"]["lastmod_norm"] == "2024-06-01T19:00:00Z"
         assert got["u:naive-gt"]["needs_refetch"] is True
+
+    def test_normalization_grid_total_and_order_preserving(self, spark):
+        """Exhaustive form×instant grid in ONE Spark pass: every
+        admitted W3C form must normalize to the canonical
+        'YYYY-MM-DDTHH:MM:SSZ' precision whose value equals the
+        truncated instant, every rejected form must NULL, and the
+        lexicographic order of any two normalized values must equal
+        the chronological order of their truncated instants — the
+        property the whole freshness rule rests on."""
+        import datetime as dt
+        import itertools
+
+        instants = [
+            dt.datetime(2023, 12, 31, 23, 59, 59),
+            dt.datetime(2024, 1, 1, 0, 0, 0),
+            dt.datetime(2024, 6, 1, 18, 0, 30),
+            dt.datetime(2024, 6, 1, 18, 0, 31),
+            dt.datetime(2024, 6, 1, 18, 1, 0),
+            dt.datetime(2024, 10, 5, 7, 9, 9),
+        ]
+        # (render, truncated-canonical-from-instant) — admitted forms
+        def forms(t):
+            date = t.strftime("%Y-%m-%d")
+            hm = t.strftime("%Y-%m-%dT%H:%M")
+            full = t.strftime("%Y-%m-%dT%H:%M:%S")
+            mid = t.replace(hour=0, minute=0, second=0)
+            return [
+                (date, mid.strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (hm, t.replace(second=0).strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (hm + "Z", t.replace(second=0).strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (full, t.strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (full + "Z", t.strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (full + "+00:00", t.strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (full + ".5Z", t.strftime("%Y-%m-%dT%H:%M:%SZ")),
+                (full + ".987654Z", t.strftime("%Y-%m-%dT%H:%M:%SZ")),
+            ]
+
+        rejected = [
+            "2024-06-01T18:00:30-03:00", "2024-06-01T18:00:30+0000",
+            "2024-6-1", "20240601", "2024-06-01 18:00:30Z",
+            "last tuesday", "", "2024-06-01T18Z",
+        ]
+        rows, want = [], {}
+        for i, t in enumerate(instants):
+            for j, (raw, canon) in enumerate(forms(t)):
+                key = f"ok:{i}:{j}"
+                rows.append((key, raw))
+                want[key] = canon
+        for j, raw in enumerate(rejected):
+            key = f"bad:{j}"
+            rows.append((key, raw))
+            want[key] = None
+
+        from lightcrawler_spark.operators.sitemap import sitemap_refetch
+
+        e = spark.createDataFrame(rows, "loc string, lastmod string")
+        p = spark.createDataFrame([], "url string, fetched_at string")
+        got = {
+            r["loc"]: r["lastmod_norm"]
+            for r in sitemap_refetch(e, p).collect()
+        }
+        assert got == want
+        # order preservation: lexicographic on normalized == chrono on
+        # truncated instants, across EVERY admitted pair
+        norm = [(k, v) for k, v in got.items() if v is not None]
+        parsed = {
+            k: dt.datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ")
+            for k, v in norm
+        }
+        for (k1, v1), (k2, v2) in itertools.combinations(norm, 2):
+            assert (v1 < v2) == (parsed[k1] < parsed[k2]), (k1, k2)
+            assert (v1 == v2) == (parsed[k1] == parsed[k2]), (k1, k2)

@@ -64,6 +64,10 @@ def main() -> None:
                     help=">0: disk-backed wave build (see module doc)")
     ap.add_argument("--disk-dir", default="/tmp/dedup_soak_waves",
                     help="parquet spill dir for --waves mode")
+    ap.add_argument("--resume", action="store_true",
+                    help="waves mode: keep completed wave dirs and "
+                    "rebuild only missing/partial ones (crash-safe "
+                    "restart of a multi-hour 10^10 build)")
     a = ap.parse_args()
 
     if a.waves > 0:
@@ -159,14 +163,25 @@ def main_waves(a) -> None:
     par = a.cpus * 4
     per_wave = a.seen // a.waves
     fpp_wave = a.fpp / a.waves  # union bound over the OR'd deltas
-    if os.path.isdir(a.disk_dir):
+    if os.path.isdir(a.disk_dir) and not a.resume:
         shutil.rmtree(a.disk_dir)
     os.makedirs(a.disk_dir, exist_ok=True)
+
+    def _wave_done(w: int) -> bool:
+        # parquet commit protocol: _SUCCESS marks a completed write;
+        # a dir without it is a crash leftover and must be rebuilt
+        return os.path.exists(
+            os.path.join(a.disk_dir, f"wave={w}", "_SUCCESS")
+        )
 
     wave_walls = []
     t0 = time.perf_counter()
     for w in range(a.waves):
         tw = time.perf_counter()
+        if a.resume and _wave_done(w):
+            wave_walls.append(0.0)
+            print(f"wave {w}: resumed (already committed)", file=sys.stderr)
+            continue
         lo, hi = w * per_wave, (w + 1) * per_wave if w < a.waves - 1 else a.seen
         keys = spark.range(lo, hi, 1, par).select(
             _url(F.col("id")).alias("url")

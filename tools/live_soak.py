@@ -105,6 +105,9 @@ def main() -> None:
                     "run a conditional-GET on/off A/B over real sockets")
     ap.add_argument("--max-revisits", dest="max_revisits", type=int,
                     default=1)
+    ap.add_argument("--skew-mega", dest="skew_mega", type=int, default=0,
+                    help=">1: host 0 serves this many TIMES pages_per_host "
+                    "pages (politeness-under-skew through real sockets)")
     a = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -117,6 +120,10 @@ def main() -> None:
 
     servers = []
     seeds = []
+    pages_of = [
+        a.pages_per_host * (a.skew_mega if i == 0 and a.skew_mega > 1 else 1)
+        for i in range(a.hosts)
+    ]
     for i in range(a.hosts):
         # one DISTINCT loopback IP per host (the whole 127.0.0.0/8
         # block loops back on Linux): the scheduler's politeness key is
@@ -124,7 +131,7 @@ def main() -> None:
         # would collapse the farm into one politeness bucket
         ip = f"127.0.{i // 250}.{i % 250 + 1}"
         srv = ThreadingHTTPServer(
-            (ip, 0), _make_handler(i, a.fanout, a.pages_per_host)
+            (ip, 0), _make_handler(i, a.fanout, pages_of[i])
         )
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         servers.append(srv)
@@ -197,12 +204,14 @@ def main() -> None:
             "schedule_hash": int(sched),
         }
 
-    expected = a.hosts * a.pages_per_host
+    expected = sum(pages_of)
     base = {
         "hosts": a.hosts, "pages_per_host": a.pages_per_host,
         "budget_per_round": a.budget, "cpus": a.cpus,
         "expected_pages": expected,
     }
+    if a.skew_mega > 1:
+        base["skew_mega"] = a.skew_mega
     if a.revisit_after > 0:
         off = _run_arm(conditional=False)
         on = _run_arm(conditional=True)
