@@ -124,6 +124,14 @@ def kmeans_centroids(
         F.col(id_col).alias("_kid"),
         quantize_micro_expr(F.col(vec_col)).alias("_kq"),
     )
+    # Deliberately NOT checkpointing q between iterations: an r5 A/B
+    # (sf0.1, iters=3, best-of-3 warm) measured 5.9 s uncached vs
+    # 5.5-5.7 s pinned — the leg is bound by iters+1 SERIAL job
+    # latencies, not scan cost, so the pin buys noise here while at
+    # 10^10-vector scale it would park the whole quantized corpus in
+    # the block manager (production trains on a sample; the scan is
+    # the cheap part of an iteration, the groupBy shuffle ships only
+    # k×(dim+1) pre-combined int64s per partition either way).
     init_rows = q.orderBy("_kid").limit(k).collect()
     cents = [(i, [int(v) for v in r["_kq"]]) for i, r in enumerate(init_rows)]
     if not cents:
