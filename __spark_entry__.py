@@ -1671,33 +1671,33 @@ def _prefilter_property_row(seen: DataFrame, new: DataFrame,
       error mode left) stay within 3× the 1% build budget, floored
       at 5 for tiny scale factors.
 
-    Four O(1) aggregates cross-joined into one row; every input agg is
-    a map-side-combined count, so the check adds nothing to the plan
-    the prefilter itself doesn't already shuffle."""
-    n_total = new.agg(F.count(F.lit(1)).alias("n_new_total"))
-    n_exact = (
-        new.join(seen.distinct(), "url", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_new_exact"))
+    Two aggregation passes cross-joined into one row — ONE over `new`
+    (left join against the seen dim gives total AND exact-new in the
+    same scan) and ONE over `survivors`, so the expensive Arrow-UDF
+    prefilter subtree executes exactly once (r5 review finding: the
+    earlier four-agg crossJoin evaluated the survivors plan — shard
+    build included — twice, since Spark does not dedupe common
+    subtrees across a crossJoin)."""
+    seen_dim = seen.distinct().withColumn("_s", F.lit(1))
+    new_agg = new.join(seen_dim, "url", "left").agg(
+        F.count(F.lit(1)).alias("n_new_total"),
+        F.sum(F.col("_s").isNull().cast("long")).alias("n_new_exact"),
     )
-    n_surv = survivors.agg(F.count(F.lit(1)).alias("_n_surv"))
-    n_seen_surv = (
-        survivors.join(seen.distinct(), "url", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_seen_survivors"))
+    surv_agg = survivors.join(seen_dim, "url", "left").agg(
+        F.count(F.lit(1)).alias("_n_surv"),
+        F.count("_s").alias("n_seen_survivors"),
     )
-    return (
-        n_total.crossJoin(n_exact).crossJoin(n_surv).crossJoin(n_seen_surv)
-        .select(
-            F.col("n_new_total").cast("long").alias("n_new_total"),
-            F.col("n_new_exact").cast("long").alias("n_new_exact"),
-            F.col("n_seen_survivors").cast("long").alias("n_seen_survivors"),
-            (
-                (F.col("n_new_exact") - F.col("_n_surv"))
-                <= F.greatest(
-                    F.ceil(F.col("n_new_exact") * F.lit(0.03)),
-                    F.lit(5),
-                )
-            ).alias("fp_within_budget"),
-        )
+    return new_agg.crossJoin(surv_agg).select(
+        F.col("n_new_total").cast("long").alias("n_new_total"),
+        F.col("n_new_exact").cast("long").alias("n_new_exact"),
+        F.col("n_seen_survivors").cast("long").alias("n_seen_survivors"),
+        (
+            (F.col("n_new_exact") - F.col("_n_surv"))
+            <= F.greatest(
+                F.ceil(F.col("n_new_exact") * F.lit(0.03)),
+                F.lit(5),
+            )
+        ).alias("fp_within_budget"),
     )
 
 
@@ -7359,7 +7359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import re as _re
 
     last_checked: dict[str, int] = {}
-    ever_red: set[str] = set()
+    last_red: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = _re.search(r"r(\d+)", os.path.basename(path))
@@ -7371,34 +7371,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         except (OSError, ValueError):
             continue
         for k, row in snapshot.items():
+            rnd = int(m.group(1))
             if isinstance(row, dict):
-                if row.get("err") is not None:
-                    ever_red.add(k)  # erred rows tier with never-checked
+                if row.get("err") is not None or any(
+                    row.get(f) is False
+                    for f in ("rows_match", "schema_match", "hash_match")
+                ):
+                    last_red[k] = max(last_red.get(k, 0), rnd)
                     continue
-                if any(row.get(f) is False for f in
-                       ("rows_match", "schema_match", "hash_match")):
-                    ever_red.add(k)  # red rows must re-enter the window too
-                    continue
-            last_checked[k] = max(last_checked.get(k, 0), int(m.group(1)))
+            last_checked[k] = max(last_checked.get(k, 0), rnd)
     if not last_checked:
         return full
 
     pos = {k: i for i, k in enumerate(full)}
-    unchecked = [k for k in full if k not in last_checked]
     # Flagship pinning yields to a saturated backlog: when the
     # never-checked tier alone fills the 50-entry window, every pinned
     # slot displaces a query that has NO independent driver execution
     # while the flagships were green in the immediately preceding round
     # (and stay covered by the committed VERIFY artifact) — so pin only
     # while there is slack.
+    # a query whose LATEST driver result was red/err tiers with
+    # never-checked no matter how many earlier rounds were green —
+    # an older green must not keep a fresh regression out of the
+    # window (r5 review finding)
+    def eff_checked(k: str) -> int:
+        lc = last_checked.get(k, -1)
+        return -1 if last_red.get(k, -1) > lc else lc
+
+    unchecked = [k for k in full if eff_checked(k) < 0]
     pins = _WINDOW_FLAGSHIPS if len(unchecked) < 50 else []
     rest = [k for k in full if k not in pins]
-    # sort: (never-green first; within that, red-history entries lead —
-    # they have a VISIBLE err/red snapshot row to clear — then newest
-    # registry entries), ties by registry position
+    # sort: (never-green/red-latest first; within that, red-history
+    # entries lead — they have a VISIBLE err/red snapshot row to clear
+    # — then newest registry entries), ties by registry position
     rest.sort(key=lambda k: (
-        last_checked.get(k, -1),
-        0 if (k not in last_checked and k in ever_red) else 1,
+        eff_checked(k),
+        0 if (eff_checked(k) < 0 and k in last_red) else 1,
         -pos[k],
     ))
     ordered = [k for k in pins if k in full] + rest

@@ -1323,8 +1323,9 @@ class CrawlEngine:
         stats-severed via _to_local: one map-side-combined groupBy(host)
         materialized executor-side — the plan scans the checkpointed
         RDD (ExistingRDD), never a driver-built LocalRelation, so no
-        host row crosses the driver (tests/test_apportion_bpe.py
-        asserts the plan shape)."""
+        host row crosses the driver (tests/test_skew_golden.py::
+        test_counts_dim_keeps_host_rows_off_the_driver asserts the
+        plan shape)."""
         return self._to_local(
             pending.groupBy("host").agg(F.count(F.lit(1)).alias("pending"))
         )

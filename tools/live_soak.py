@@ -191,17 +191,20 @@ def main() -> None:
         n_hosts_seen = pages.select(
             F.regexp_extract("url", r"^https?://([^/]+)", 1)
         ).distinct().count()
+        # empty-crawl guards: a misbehaving farm must publish a
+        # coverage-0 witness row, not die on int(None)
         return {
-            "rounds": int(agg["max_round"]) + 1,
+            "rounds": int(agg["max_round"]) + 1
+            if agg["max_round"] is not None else 0,
             "pops": int(agg["n"]),
-            "bytes": int(agg["bytes"]),
-            "n_304": int(agg["n_304"]),
+            "bytes": int(agg["bytes"] or 0),
+            "n_304": int(agg["n_304"] or 0),
             "wall_s": round(wall, 1),
             "pages_per_sec": round(agg["n"] / wall, 1),
             "politeness_rounds_exceeded": int(n_exceeded),
-            "robots_private_fetches": int(agg["n_private"]),
+            "robots_private_fetches": int(agg["n_private"] or 0),
             "hosts_seen": int(n_hosts_seen),
-            "schedule_hash": int(sched),
+            "schedule_hash": int(sched) if sched is not None else 0,
         }
 
     expected = sum(pages_of)
